@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Defaults are sized for the test harness (local[N], 32 shuffle partitions)
+but every knob matters at cluster scale:
+
+- AQE on: runtime coalescing of small shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching are what keep the 100 TB
+  plans healthy without hand-tuning per stage.
+- Arrow on: every pandas-UDF boundary (raster decode, greedy dedup group
+  map) moves columnar batches, not pickled rows.
+- UTC session timezone: the epoch-aligned 7-day tumbling windows
+  (SURVEY.md §1.4) must bin identically on every executor and match the
+  DuckDB oracle.
+- maxPartitionBytes / shuffle.partitions are exposed so callers can size
+  partitions to executor memory at the target scale factor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sentinel-landsat-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with scale-aware defaults."""
+    master = master or os.environ.get(
+        "SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

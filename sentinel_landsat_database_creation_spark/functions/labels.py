@@ -38,9 +38,13 @@ def base26_label(rank: Column) -> Column:
 def base26_label_sql(rank_expr: str) -> str:
     """The same encoding as ANSI SQL for the DuckDB oracle."""
     r = f"CAST({rank_expr} AS BIGINT)"
+
+    def c(expr: str) -> str:
+        return f"chr(CAST({expr} AS INTEGER))"
+
     return (
-        f"CASE WHEN {r} <= 26 THEN chr(96 + {r}) "
-        f"WHEN {r} <= 702 THEN chr(96 + ({r}-1)//26) || chr(97 + ({r}-1)%26) "
-        f"ELSE chr(96 + ({r}-27)//676) || chr(97 + (({r}-27)%676)//26) "
-        f"|| chr(97 + ({r}-27)%26) END"
+        f"CASE WHEN {r} <= 26 THEN {c(f'96 + {r}')} "
+        f"WHEN {r} <= 702 THEN {c(f'96 + ({r}-1)//26')} || {c(f'97 + ({r}-1)%26')} "
+        f"ELSE {c(f'96 + ({r}-27)//676')} || {c(f'97 + (({r}-27)%676)//26')} "
+        f"|| {c(f'97 + ({r}-27)%26')} END"
     )

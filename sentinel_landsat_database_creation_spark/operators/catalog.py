@@ -32,6 +32,31 @@ from ..functions.dates import WeekGrid, week_start_of_index
 from ..functions.labels import base26_label
 
 
+def label_weeks(df: DataFrame, date_expr: Column) -> DataFrame:
+    """Generic op-21+23 composition: epoch-aligned weekly tumbling count
+    plus dense-rank base-26 class labels, over any date expression.
+
+    Returns one row per non-empty week: (wk, week_start, n, class).
+    The groupBy partial-aggregates map-side; the rank runs over the
+    already-tiny weekly table, so this scales to arbitrary input size.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.dates import epoch_week_index
+
+    weekly = (
+        df.select(epoch_week_index(date_expr).alias("wk"))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return weekly.select(
+        "wk",
+        week_start_of_index(F.col("wk")).alias("week_start"),
+        "n",
+        base26_label(F.dense_rank().over(Window.orderBy("wk"))).alias("class"),
+    )
+
+
 def build_catalog(
     listing: DataFrame,
     date_expr: Column,

@@ -1,0 +1,586 @@
+"""Driver-contract query registry: name -> (spark_fn, oracle_sql).
+
+Every operator family from SURVEY.md §2 (plus the north-star LLM-pipeline
+extensions) is expressed here over the driver's synthetic tables
+(TESTDATA.md) twice: as an idiomatic DataFrame plan and as ANSI SQL for
+the DuckDB oracle. The driver hash-compares the two at sf=0.01.
+
+Cross-engine determinism rules used throughout (these are what make the
+value hashes match bit-for-bit):
+
+- Money/quantity aggregates go through per-row ``round(x*100) -> BIGINT``
+  cents. Double products are IEEE-identical across engines; summing
+  int64 is exact and order-independent — no decimal-vs-double or
+  summation-order drift.
+- Every numeric output is explicitly BIGINT or DOUBLE in BOTH engines
+  (DuckDB sum(BIGINT) returns HUGEINT and avg returns DOUBLE — always
+  cast).
+- Dates/timestamps are rendered as strings (or epoch micros BIGINT).
+- Ratios are a single division of exact integers — one IEEE op, same
+  operands, same bits.
+- md5 (lowercase hex in both engines) is the shared deterministic hash
+  for fingerprints / MinHash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dates import epoch_week_index, week_start_of_index
+from ..functions.labels import base26_label_sql
+from ..functions.text import STOPWORDS, tokens
+from ..operators.catalog import label_weeks
+from ..sources.testdata import table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+
+_WK = "(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)"
+_WEEK_START = (
+    "strftime(DATE '1970-01-01' + to_days(CAST(wk * 7 AS INTEGER)), '%Y-%m-%d')"
+)
+_CENTS = "CAST(round({expr} * 100) AS BIGINT)"
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def _cents(col) -> F.Column:
+    """Per-row money -> int64 cents; see module docstring."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _week_start_str(wk) -> F.Column:
+    return F.date_format(week_start_of_index(wk), "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# catalog family (SURVEY.md §2 ops 15/16/21/23: weekly histogram +
+# dense-rank base-26 labels), expressed over the events stream table
+
+
+def q_catalog_week_class(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    weekly = label_weeks(ev, F.to_date("ts"))
+    return weekly.select(
+        _week_start_str(F.col("wk")).alias("week_start"),
+        F.col("class"),
+        F.col("n").cast("long").alias("n_events"),
+    ).orderBy("week_start")
+
+
+SQL_CATALOG_WEEK_CLASS = f"""
+WITH weekly AS (
+  SELECT {_WK} AS wk, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT {_WEEK_START} AS week_start,
+       {base26_label_sql("dense_rank() OVER (ORDER BY wk)")} AS class,
+       CAST(n_events AS BIGINT) AS n_events
+FROM weekly ORDER BY week_start
+"""
+
+
+def q_catalog_event_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row label attach (replaces the reference's positional
+    adjust_list, op 25): broadcast-join the tiny labeled-week table back
+    onto the event stream — date-keyed, not position-keyed."""
+    ev = table(spark, sf, "events").withColumn(
+        "wk", epoch_week_index(F.to_date("ts"))
+    )
+    weekly = label_weeks(table(spark, sf, "events"), F.to_date("ts"))
+    return (
+        ev.join(F.broadcast(weekly.select("wk", "class")), "wk")
+        .select(F.col("event_id").cast("long"), F.col("class"))
+        .orderBy("event_id")
+    )
+
+
+SQL_CATALOG_EVENT_LABELS = f"""
+WITH weekly AS (
+  SELECT {_WK} AS wk FROM events GROUP BY 1
+),
+labels AS (
+  SELECT wk, {base26_label_sql("dense_rank() OVER (ORDER BY wk)")} AS class
+  FROM weekly
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, l.class
+FROM events e JOIN labels l ON {_WK} = l.wk
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pairing family (ops 17/18/24): same-week equi-join of two "sensors"
+# (click vs view events), pair counts in both as-built and corrected form
+
+
+def _weekly_by_type(spark, sf, etype: str, alias: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("event_type") == etype)
+    return (
+        ev.select(epoch_week_index(F.to_date("ts")).alias("wk"))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias(alias))
+    )
+
+
+def q_pair_count_by_class(spark: SparkSession, sf: str) -> DataFrame:
+    clicks = _weekly_by_type(spark, sf, "click", "n_click")
+    views = _weekly_by_type(spark, sf, "view", "n_view")
+    return (
+        clicks.join(views, "wk")
+        .select(
+            _week_start_str(F.col("wk")).alias("week_start"),
+            "n_click",
+            "n_view",
+            (F.col("n_click") * F.col("n_view")).cast("long").alias("n_pairs"),
+        )
+        .orderBy("week_start")
+    )
+
+
+_SQL_WEEKLY_TYPED = f"""
+  SELECT {_WK} AS wk, count(*) AS n FROM events WHERE event_type = '{{t}}' GROUP BY 1
+"""
+
+SQL_PAIR_COUNT_BY_CLASS = f"""
+WITH c AS ({_SQL_WEEKLY_TYPED.format(t="click")}), v AS ({_SQL_WEEKLY_TYPED.format(t="view")})
+SELECT {_WEEK_START} AS week_start,
+       CAST(c.n AS BIGINT) AS n_click, CAST(v.n AS BIGINT) AS n_view,
+       CAST(c.n * v.n AS BIGINT) AS n_pairs
+FROM c JOIN v USING (wk) ORDER BY week_start
+"""
+
+
+def q_pair_count_compat(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's as-built overcount (op 24): it loops left *rows*,
+    so each shared class contributes cntL(c)^2 * cntS(c)
+    (main_function_beta.py:77-80)."""
+    clicks = _weekly_by_type(spark, sf, "click", "n_click")
+    views = _weekly_by_type(spark, sf, "view", "n_view")
+    return clicks.join(views, "wk").agg(
+        F.sum(F.col("n_click") * F.col("n_click") * F.col("n_view"))
+        .cast("long")
+        .alias("n_pairs_compat")
+    )
+
+
+SQL_PAIR_COUNT_COMPAT = f"""
+WITH c AS ({_SQL_WEEKLY_TYPED.format(t="click")}), v AS ({_SQL_WEEKLY_TYPED.format(t="view")})
+SELECT CAST(sum(c.n * c.n * v.n) AS BIGINT) AS n_pairs_compat
+FROM c JOIN v USING (wk)
+"""
+
+
+def q_pairing_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Op-17 equi-join pairing shape on relational tables: every customer
+    paired with every same-nation supplier (broadcast the tiny side)."""
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    return (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .select(
+            F.col("c_custkey").cast("long"), F.col("s_suppkey").cast("long")
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+SQL_PAIRING_KEYS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(s_suppkey AS BIGINT) AS s_suppkey
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation / scan family (ops 16/21/22/26/27): TPC-H Q1-style pricing
+# summary — filter pushdown + map-side partial aggregation
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2001-09-01")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).cast("long").alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice")))
+            .cast("long")
+            .alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).cast("long").alias("sum_disc_price_cents"),
+            F.sum(_cents(charge)).cast("long").alias("sum_charge_cents"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.col("sum_qty_cents") / F.lit(100.0) / F.col("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+SQL_PRICING_SUMMARY = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum({_CENTS.format(expr="l_quantity")}) AS BIGINT) AS sum_qty_cents,
+         CAST(sum({_CENTS.format(expr="l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
+         CAST(sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_cents,
+         CAST(sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_cents,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+  GROUP BY 1, 2
+)
+SELECT *, sum_qty_cents / 100.0 / count_order AS avg_qty
+FROM agg ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# join + top-k family (ops 17/28/29): TPC-H Q3-style shipping priority
+
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = table(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.col("revenue_cents"),
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            F.col("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = f"""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-join rollup (op 17 at depth): revenue per customer nation
+
+
+def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+SQL_NATION_REVENUE = f"""
+SELECT r_name, n_name,
+       CAST(sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# window-function family (op 23's dense-rank generalized): top-2 orders
+# per customer
+
+
+def q_customer_order_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("o_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            F.col("rnk").cast("long"),
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+SQL_CUSTOMER_ORDER_RANK = f"""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         {_CENTS.format(expr="o_totalprice")} AS total_cents,
+         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       total_cents, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 2
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal proximity / as-of join (op 18's range-join variant): last click
+# at most 10 minutes before each error, per user
+
+
+def q_asof_last_click(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (err.user_id == clk.c_user)
+        & (clk.c_ts <= err.ts)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        err.join(clk, cond, "left")
+        .groupBy("event_id")
+        .agg(F.max(F.unix_micros("c_ts")).alias("last_click_us"))
+        .select(F.col("event_id").cast("long"), "last_click_us")
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_LAST_CLICK = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       max(epoch_us(c.ts)) AS last_click_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND c.ts <= e.ts
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE
+GROUP BY e.event_id
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct / set family (ops 22/32)
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# shipping-lag distribution (ops 41/21 analog): equi-join + datediff
+# bucketing
+
+
+def q_shipping_lag(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("lag_days")
+    )
+
+
+SQL_SHIPPING_LAG = """
+SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text family (north-star: token stats, fingerprints, exact dedup)
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    return d.select(
+        F.col("doc_id").cast("long"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        n_stop.alias("n_stop"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS BIGINT) AS n_stop,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_docs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content fingerprint: md5 over the first 10 tokens
+    (a prefix-key dedup; whole-text md5 would make every group size 1 on
+    this corpus). Keeps the minimum doc_id per group — the standard
+    hash-groupBy dedup at scale."""
+    d = table(spark, sf, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), "|"))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .orderBy("fp")
+    )
+
+
+SQL_DEDUP_DOCS_EXACT = """
+SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), '|')) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1 ORDER BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding / array family (ops 14/26/43 analogs + similarity search)
+
+
+def q_embed_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-stat quality predicate shape (op 14/26): per-vector counts
+    via higher-order functions — no UDFs."""
+    e = table(spark, sf, "embeddings")
+    return e.select(
+        F.col("vec_id").cast("long"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x > 0.5))
+        .cast("long")
+        .alias("n_big"),
+        F.col("label").cast("long"),
+    ).orderBy("vec_id")
+
+
+SQL_EMBED_QUALITY = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(len(list_filter(embedding, x -> x > 0.5)) AS BIGINT) AS n_big,
+       CAST(label AS BIGINT) AS label
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_embed_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Crop-slice shape (op 43) on the embedding column: positions 9..16
+    exploded to rows — exact float values, no arithmetic."""
+    e = table(spark, sf, "embeddings")
+    return (
+        e.select(
+            "vec_id", F.posexplode(F.slice("embedding", 9, 8)).alias("p", "val")
+        )
+        .select(
+            F.col("vec_id").cast("long"),
+            (F.col("p") + 9).cast("long").alias("pos"),
+            F.col("val").cast("double"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+SQL_EMBED_SLICE = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(t.i + 8 AS BIGINT) AS pos,
+       CAST(embedding[CAST(t.i AS INTEGER) + 8] AS DOUBLE) AS val
+FROM embeddings, (SELECT unnest(range(1, 9)) AS i) t
+ORDER BY vec_id, pos
+"""
+
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "catalog_week_class": (q_catalog_week_class, SQL_CATALOG_WEEK_CLASS),
+    "catalog_event_labels": (q_catalog_event_labels, SQL_CATALOG_EVENT_LABELS),
+    "pair_count_by_class": (q_pair_count_by_class, SQL_PAIR_COUNT_BY_CLASS),
+    "pair_count_compat": (q_pair_count_compat, SQL_PAIR_COUNT_COMPAT),
+    "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "customer_order_rank": (q_customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
+    "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
+    "distinct_users_by_type": (
+        q_distinct_users_by_type,
+        SQL_DISTINCT_USERS_BY_TYPE,
+    ),
+    "shipping_lag": (q_shipping_lag, SQL_SHIPPING_LAG),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
+    "embed_quality": (q_embed_quality, SQL_EMBED_QUALITY),
+    "embed_slice": (q_embed_slice, SQL_EMBED_SLICE),
+}

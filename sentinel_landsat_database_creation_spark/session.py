@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
+        # testdata events.parquet carries TIMESTAMP(NANOS); surface it as
+        # long nanos instead of failing the scan (sources.testdata converts)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )

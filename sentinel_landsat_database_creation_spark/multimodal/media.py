@@ -1,0 +1,108 @@
+"""Multimodal payload columns: image/audio/video as opaque binary with
+typed metadata (MEDIA_SCHEMA), processed behind mapInPandas.
+
+The container has no image/audio codecs, so the real decoders raise
+NotImplementedError per the environment contract; ``fake_features``
+exercises the identical Spark plumbing (binary column in Arrow batches,
+schema, partitioning, batch shape) with a deterministic md5-based
+feature extractor — swap ``decode_image``'s body for PIL/libvips on a
+real cluster and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .._serde import register_self
+
+register_self(__name__)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixels", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a media table from the documents fixture: the utf-8 text
+    bytes stand in for an encoded payload. Schema matches MEDIA_SCHEMA's
+    core columns."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def decode_image(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Real image decode + resize — requires a codec library that is not
+    installed in this container."""
+    raise NotImplementedError(
+        "image codecs are unavailable in this environment; use "
+        "fake_features()/fake_thumbnails() for plumbing tests and swap in "
+        "PIL/libvips on a real cluster"
+    )
+
+
+def fake_features(media: DataFrame, n_features: int = 4) -> DataFrame:
+    """Deterministic feature extraction over the binary payload through
+    the real mapInPandas path: n_features doubles derived from the
+    payload's md5 — stable across partitionings and engines."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "n_bytes": [], "features": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                digest = hashlib.md5(payload).digest()
+                feats = [
+                    int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
+                    for i in range(n_features)
+                ]
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["n_bytes"].append(len(payload))
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Native-expression payload stats (no Python): byte length + md5 —
+    the metadata projection that runs before any decode at scale."""
+    return media.select(
+        F.col("media_id"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

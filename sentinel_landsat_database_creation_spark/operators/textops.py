@@ -1,0 +1,93 @@
+"""Text-analysis operators (north-star extension): language ID, quality
+scoring, token counting, document fingerprinting. All native column
+expressions over the ``documents`` table shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Public per-language function-word profiles (tiny, order matters only
+# for tie-breaking: first profile wins ties).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+ROLLING_BASE = 31
+ROLLING_MOD = 2147483647  # 2^31 - 1: keeps the fold in exact int64
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = _tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-profile argmax heuristic; 'und' (undetermined) when no
+    profile scores a hit."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in scores.items()
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Length / distinct-ratio / stopword-ratio quality signals. Each
+    ratio is a single exact-int division (cross-engine deterministic)."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    mean_tok_len = (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_tok.cast("double")).alias("distinct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    )
+
+
+def regex_token_counts(docs: DataFrame) -> DataFrame:
+    """BPE-ish regex tokenization counts: word tokens vs non-word
+    symbols — the standard pre-tokenizer split."""
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z0-9]+"))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
+        .cast("long")
+        .alias("n_symbol_tokens"),
+    )
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens:
+    fold(acc * 31 + token_hash) mod (2^31-1), token_hash from the first
+    8 md5 hex chars — exact int64 arithmetic in any engine."""
+    toks = _tokens(text)
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_BASE + tok_hash(t)) % ROLLING_MOD,
+    )

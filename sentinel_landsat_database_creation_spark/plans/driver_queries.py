@@ -563,7 +563,7 @@ ORDER BY vec_id, pos
 """
 
 
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+_BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "catalog_week_class": (q_catalog_week_class, SQL_CATALOG_WEEK_CLASS),
     "catalog_event_labels": (q_catalog_event_labels, SQL_CATALOG_EVENT_LABELS),
     "pair_count_by_class": (q_pair_count_by_class, SQL_PAIR_COUNT_BY_CLASS),
@@ -584,3 +584,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_quality": (q_embed_quality, SQL_EMBED_QUALITY),
     "embed_slice": (q_embed_slice, SQL_EMBED_SLICE),
 }
+
+
+def _full_registry():
+    from .driver_queries_ext import REGISTRY_EXT
+
+    merged = dict(_BASE_REGISTRY)
+    merged.update(REGISTRY_EXT)
+    return merged
+
+
+REGISTRY = _full_registry()

@@ -1,0 +1,337 @@
+"""Driver-contract registry, part 2: the north-star LLM-pipeline
+operators (dedup, similarity search, text analysis, multimodal,
+streaming) with exact DuckDB oracles.
+
+Cross-engine notes beyond driver_queries.py's rules:
+- MinHash/SimHash hash with md5 (identical lowercase hex both engines),
+  so even the LSH bucket contents hash-match exactly.
+- Cosine similarity is a sequential double fold in Spark and
+  list_cosine_similarity over DOUBLE[] in DuckDB — verified bit-exact on
+  this data (64-dim), so float scores are emitted unrounded.
+- The streaming entry drains a real Structured Streaming plan
+  (availableNow -> memory sink) and is oracle-checked against plain
+  batch SQL: epoch-aligned windows make them bin-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.media import media_from_documents, media_stats
+from ..operators.dedup import (
+    embedding_cosine_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_docs,
+)
+from ..operators.similarity import brute_force_topk, sign_lsh_buckets
+from ..operators.textops import (
+    LANG_PROFILES,
+    language_id,
+    quality_stats,
+    regex_token_counts,
+    rolling_fingerprint,
+    ROLLING_BASE,
+    ROLLING_MOD,
+)
+from ..sources.testdata import table
+
+# DuckDB fragment: distinct 2-gram shingle list per document.
+_SH2 = (
+    "SELECT doc_id, list_distinct([t[i] || '_' || t[i+1] "
+    "for i in range(1, len(t))]) AS s "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+)
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family
+
+
+def q_jaccard_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, n=2, threshold=0.3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_JACCARD_NEARDUP = f"""
+WITH sh AS ({_SH2}),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return minhash_lsh_candidates(docs, n=2, n_hashes=8, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_minhash(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    buckets = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SH2}),
+sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
+banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash()
+
+
+def q_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return simhash_docs(docs).select(
+        "doc_id", F.col("simhash").cast("long")
+    ).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(t), {j + 1}, 1) IN {hexhi} "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({bits} AS BIGINT) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH_DOCS = _sql_simhash()
+
+
+def q_embed_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.35).orderBy("vec_a", "vec_b")
+
+
+SQL_EMBED_COSINE_NEARDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       list_cosine_similarity(a.ev, b.ev) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.ev, b.ev) >= 0.35
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return brute_force_topk(e, q, k=3).orderBy("qid", "rnk")
+
+
+SQL_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(q.ev, c.ev) AS cos
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cid AS BIGINT) AS cid, cos
+FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+def q_sign_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return sign_lsh_buckets(e, n_bits=8).orderBy("vec_id")
+
+
+SQL_SIGN_LSH_BUCKETS = (
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+    + " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)"
+        for i in range(8)
+    )
+    + " AS bucket FROM embeddings ORDER BY vec_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_stats(table(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_DOC_QUALITY = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+       CAST(n_chars - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len
+FROM t ORDER BY doc_id
+"""
+
+
+def q_regex_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return regex_token_counts(table(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_REGEX_TOKENS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r]')) AS BIGINT) AS n_symbol_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        language_id(F.col("text")).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def _sql_lang_guess() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(lower(text), ' '), "
+            f"""t -> t IN ('{"', '".join(words)}')))"""
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    exprs = ", ".join(f"{s} AS s_{lang}" for lang, s in score.items())
+    langs_desc = sorted(LANG_PROFILES, reverse=True)  # array_max tie-break
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PROFILES) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs_desc
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {exprs} FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN {m} = 0 THEN 'und' {case} END AS lang_guess
+FROM s ORDER BY doc_id
+"""
+
+
+SQL_LANG_GUESS = _sql_lang_guess()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        rolling_fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+         (a, x) -> (a * {ROLLING_BASE} + x) % {ROLLING_MOD}) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+
+def q_media_stats(spark: SparkSession, sf: str) -> DataFrame:
+    media = media_from_documents(table(spark, sf, "documents"))
+    return media_stats(media).orderBy("media_id")
+
+
+SQL_MEDIA_STATS = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming
+
+
+def q_stream_weekly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.weekly import weekly_counts_once
+
+    return weekly_counts_once(spark, sf)
+
+
+SQL_STREAM_WEEKLY_COUNTS = """
+WITH weekly AS (
+  SELECT (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7) AS wk,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(wk * 7 AS INTEGER)), '%Y-%m-%d') AS week_start,
+       CAST(n AS BIGINT) AS n_events
+FROM weekly ORDER BY week_start
+"""
+
+
+REGISTRY_EXT = {
+    "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
+    "embed_cosine_neardup": (q_embed_cosine_neardup, SQL_EMBED_COSINE_NEARDUP),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "sign_lsh_buckets": (q_sign_lsh_buckets, SQL_SIGN_LSH_BUCKETS),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "media_stats": (q_media_stats, SQL_MEDIA_STATS),
+    "stream_weekly_counts": (q_stream_weekly_counts, SQL_STREAM_WEEKLY_COUNTS),
+}

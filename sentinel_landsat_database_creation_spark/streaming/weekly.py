@@ -1,0 +1,60 @@
+"""Streaming weekly tumbling-window counts (SURVEY.md §2.10).
+
+The reference's weekly histogram (op 21) exposed over Structured
+Streaming: readStream -> window(ts, '7 days') aggregate -> sink. Spark's
+``window`` aligns tumbling windows to the 1970-01-01 epoch, so the
+streaming bins are bit-identical to the batch operator and the DuckDB
+oracle (SURVEY.md §1.4).
+
+``weekly_counts_once`` drains a parquet-backed stream with the
+availableNow trigger into an in-memory sink and returns the result as a
+batch DataFrame — this is how the driver's batch-shaped correctness gate
+exercises a genuinely streaming plan. On a real deployment the same
+plan runs unbounded with ``weekly_counts_stream`` + a watermark for late
+data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def weekly_counts_stream(events: DataFrame, watermark: str = "14 days") -> DataFrame:
+    """The unbounded plan: watermarked epoch-aligned weekly counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("week_start"),
+            F.col("n_events").cast("long"),
+        )
+    )
+
+
+def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the streaming plan once
+    (availableNow) and return the aggregated result."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = weekly_counts_stream(stream)
+    name = f"weekly_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("week_start")

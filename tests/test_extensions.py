@@ -1,0 +1,108 @@
+"""Semantic tests for the LLM-pipeline extension operators — properties
+the oracle equivalence can't see (recall relationships, plumbing shape,
+behavior on real-language text)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_landsat_database_creation_spark.multimodal.media import (
+    decode_image,
+    fake_features,
+    media_from_documents,
+)
+from sentinel_landsat_database_creation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from sentinel_landsat_database_creation_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+)
+from sentinel_landsat_database_creation_spark.operators.textops import language_id
+from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_minhash_recall_of_strong_neardups(spark):
+    """High-Jaccard pairs should nearly all surface as LSH candidates:
+    with 4 bands x 2 rows, P(candidate | j=0.9) = 1-(1-0.81)^4 ≈ 0.9987."""
+    docs = table(spark, SF, "documents")
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, 2, 0.8).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert strong, "fixture corpus must contain strong near-dups"
+    recall = len(strong & cands) / len(strong)
+    assert recall >= 0.9, (recall, strong - cands)
+
+
+def test_bucketed_topk_subset_of_bruteforce_scores(spark):
+    """LSH top-k scores can only come from the true candidate set, and
+    per-query recall must be positive on self-similar data."""
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["qid"], r["cid"]): r["cos"]
+        for r in brute_force_topk(e, q, k=10).collect()
+    }
+    lsh = [(r["qid"], r["cid"], r["cos"]) for r in bucketed_topk(e, q, k=10).collect()]
+    assert lsh, "sign-LSH buckets must be non-empty"
+    for qid, cid, cos in lsh:
+        if (qid, cid) in brute:
+            assert brute[(qid, cid)] == cos
+
+
+def test_exact_dedup_generic(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, key string"
+    )
+    rows = {
+        r["key"]: (r["keep_id"], r["n_dups"])
+        for r in exact_dedup(df, ["key"], "id").collect()
+    }
+    assert rows == {"x": (1, 2), "y": (3, 1)}
+
+
+def test_language_id_on_real_text(spark):
+    samples = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "der hund ist nicht in der stadt und das haus"),
+        (3, "le chat est dans la maison et les jardins"),
+        (4, "el perro es un animal que vive en la casa"),
+        (5, "qqq www zzz"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", language_id(F.col("text")).alias("g")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_media_fake_features_plumbing(spark):
+    docs = table(spark, SF, "documents").limit(20)
+    media = media_from_documents(docs)
+    feats = fake_features(media, n_features=4)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["kind"] == "image"
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 4
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # determinism across runs/partitionings
+    again = {r["media_id"]: r["features"] for r in fake_features(media.repartition(7), 4).collect()}
+    assert {r["media_id"]: r["features"] for r in rows} == again
+
+
+def test_decode_image_is_explicit_stub(spark):
+    docs = table(spark, SF, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        decode_image(media_from_documents(docs))

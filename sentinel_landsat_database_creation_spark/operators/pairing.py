@@ -39,11 +39,33 @@ def pair_catalogs(
         left = left.filter(F.col("class") != "0")
         right = right.filter(F.col("class") != "0")
 
-    l = left.select(
-        F.col("class"),
-        F.col("bin").alias("l_bin"),
-        F.col("data").alias("l_data"),
-        F.concat_ws("/", "path", "data").alias("data_1"),
+    # The reference keys its output dict by data_1, so duplicate keys
+    # collapse (reachable only via the "0" placeholder rows, which share
+    # path/data and class); dict insertion order keeps the FIRST
+    # occurrence's position -> dedupe to the minimum (bin, data).
+    l = (
+        left.select(
+            F.col("class"),
+            F.col("bin"),
+            F.col("data"),
+            F.concat_ws("/", "path", "data").alias("data_1"),
+        )
+        .groupBy("data_1")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("bin").alias("l_bin"),
+                    F.col("data").alias("l_data"),
+                    F.col("class").alias("class"),
+                )
+            ).alias("k")
+        )
+        .select(
+            F.col("k.class").alias("class"),
+            F.col("k.l_bin").alias("l_bin"),
+            F.col("k.l_data").alias("l_data"),
+            "data_1",
+        )
     )
     r = right.select(
         F.col("class"),

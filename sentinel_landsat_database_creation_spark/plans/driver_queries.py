@@ -200,8 +200,10 @@ ORDER BY c_custkey, s_suppkey
 
 
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    # date(ts) <= d rewritten as ts < d+1 so the predicate pushes into
+    # the parquet scan (a to_date() wrapper would block pushdown).
     li = table(spark, sf, "lineitem").filter(
-        F.to_date("l_shipdate") <= F.lit("2001-09-01")
+        F.col("l_shipdate") < F.lit("2001-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -247,12 +249,15 @@ FROM agg ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # timestamp-native bounds (pushdown-friendly): date(o) < d <=> o < d;
+    # date(l) > d <=> l >= d+1 (both columns are midnight-aligned or not,
+    # the timestamp inequality is exact either way).
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf, "orders").filter(
-        F.to_date("o_orderdate") < F.lit("1998-01-01")
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
     li = table(spark, sf, "lineitem").filter(
-        F.to_date("l_shipdate") > F.lit("1998-01-01")
+        F.col("l_shipdate") >= F.lit("1998-01-02").cast("timestamp")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -89,6 +89,17 @@ def decode_rasters(band_files: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, BAND_RASTER_SCHEMA)
 
 
+def encode_rasters(rasters: DataFrame, out_dir: str) -> None:
+    """Op 8 (``array2raster``): write 1-band float32 GeoTIFFs from pixel
+    array rows. Unused by the reference's main flow (SURVEY.md §2 op 8)
+    and requires rasterio — explicit stub in this container; the Parquet
+    sink is the engine-native raster output."""
+    raise NotImplementedError(
+        "GeoTIFF encode requires rasterio (absent here); persist rasters "
+        "with df.write.parquet — the engine-native sink"
+    )
+
+
 def decode_fake(band_files: DataFrame, height: int, width: int) -> DataFrame:
     """Deterministic decode stand-in: pixels derived from md5(scene/band)
     via the same mapInPandas plumbing (schema, Arrow batches, partition

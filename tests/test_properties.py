@@ -1,0 +1,82 @@
+"""Property tests (hypothesis) for the binning/labeling pair —
+SURVEY.md §5's invariants: labels are gapless in week order, placeholder
+rows sit exactly at empty non-trailing bins, and the date-keyed label
+join is equivalent to histogram+letters+positional alignment."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sentinel_landsat_database_creation_spark.functions.dates import (
+    GOLDEN_GRID,
+    s2_date,
+)
+from sentinel_landsat_database_creation_spark.operators.catalog import build_catalog
+
+_dates = st.lists(
+    st.dates(dt.date(2022, 12, 1), dt.date(2024, 2, 10)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _label(k: int) -> str:
+    out = ""
+    while k > 0:
+        k -= 1
+        out = chr(97 + k % 26) + out
+        k //= 26
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_dates)
+def test_catalog_invariants(spark, dates):
+    listing = [
+        (d.strftime("%Y%m%d") + "T000000_x_T1",) for d in sorted(dates)
+    ]
+    df = spark.createDataFrame(listing, "data string") if listing else (
+        spark.createDataFrame([], "data string")
+    )
+    rows = build_catalog(
+        df, s2_date(F.col("data")), "r", GOLDEN_GRID, keep_week=True
+    ).collect()
+
+    # oracle: bin each in-range date
+    def bin_of(d: dt.date) -> int | None:
+        if not (GOLDEN_GRID.first_edge <= d <= GOLDEN_GRID.last_edge):
+            return None
+        wk = (d - dt.date(1970, 1, 1)).days // 7 - GOLDEN_GRID.first_edge_idx
+        return min(wk, GOLDEN_GRID.n_bins - 1)
+
+    bins = sorted({b for b in (bin_of(d) for d in dates) if b is not None})
+    by_bin = {}
+    for d in dates:
+        b = bin_of(d)
+        if b is not None:
+            by_bin[b] = by_bin.get(b, 0) + 1
+
+    # 1. letters gapless in bin order
+    expect_labels = {b: _label(i + 1) for i, b in enumerate(bins)}
+    got_scene = [r for r in rows if r["data"] != "0"]
+    assert len(got_scene) == sum(by_bin.values())
+    for r in got_scene:
+        d = dt.datetime.strptime(r["data"][:8], "%Y%m%d").date()
+        assert r["class"] == expect_labels[bin_of(d)]
+
+    # 2. placeholders exactly at empty bins before the last non-empty
+    got_ph = [r for r in rows if r["data"] == "0"]
+    if bins:
+        expect_ph = [b for b in range(max(bins)) if b not in by_bin]
+    else:
+        expect_ph = []
+    assert len(got_ph) == len(expect_ph)
+    for r in got_ph:
+        assert r["class"] == "0"
+
+    # 3. output ordered by (week, data)
+    keys = [(r["week"], r["data"]) for r in rows]
+    assert keys == sorted(keys)

@@ -98,6 +98,85 @@ def fake_features(media: DataFrame, n_features: int = 4) -> DataFrame:
     )
 
 
+def fake_thumbnails(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize plumbing through the real mapInPandas path: emits a
+    width×height "thumbnail" whose pixels are deterministic bytes of an
+    md5 keystream over the payload — the exact schema/batching a PIL
+    ``Image.resize`` drop-in would use. Pixel values are row-major,
+    [0, 1]."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        n_px = width * height
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                stream = b""
+                counter = 0
+                while len(stream) < n_px:
+                    stream += hashlib.md5(
+                        payload + counter.to_bytes(4, "big")
+                    ).digest()
+                    counter += 1
+                out["media_id"].append(media_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["pixels"].append([b / 255.0 for b in stream[:n_px]])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, THUMB_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_offset", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Video frame-sampling plumbing: evenly-spaced byte offsets into the
+    payload stand in for decoded frames (one output row per sampled
+    frame — a row explosion, exactly the shape ffmpeg-based sampling
+    produces). Runs in mapInPandas so a real demuxer drops in without
+    changing the plan."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_offset": [],
+                "frame_md5": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if not payload:
+                    continue
+                step = max(len(payload) // n_frames, 1)
+                for i in range(min(n_frames, len(payload))):
+                    off = i * step
+                    chunk = payload[off : off + frame_bytes]
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Native-expression payload stats (no Python): byte length + md5 —
     the metadata projection that runs before any decode at scale."""

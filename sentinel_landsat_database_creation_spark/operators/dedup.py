@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_signature, shingles, simhash16
+from ..functions.text import shingles
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -37,15 +37,49 @@ def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 2, threshold: float = 0.3
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.3,
+    max_bitmap_bits: int = 4096,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup join: explode distinct shingles,
-    equi-join on shingle, count intersections per pair, compute
-    |A∩B| / (|A|+|B|-|A∩B|). The shingle join bounds the work by shingle
-    frequency — no cross join."""
+    """Exact n-gram Jaccard near-dup join, with an adaptive physical
+    strategy (identical output either way):
+
+    - dense vocabulary (≤ max_bitmap_bits distinct shingles): encode
+      each document's shingle set as a fixed-width bitmap of longs and
+      count intersections with bit_count(a & b) over blocked self-pairs
+      — pure codegen arithmetic, no quadratic shuffle. A dense shared
+      vocabulary is exactly the case where the explode-join explodes
+      (every hot shingle joins every pair of its documents).
+    - large vocabulary: explode distinct shingles, equi-join on shingle,
+      count per pair. Fan-out is bounded by shingle document-frequency —
+      the standard sparse path at web scale, where vocabularies are
+      huge and individual shingles are rare.
+
+    The vocabulary count is a plan-time probe (one aggregate job over
+    the distinct-shingle table), the same class of decision as AQE's
+    broadcast-vs-shuffle switch."""
     sh = _doc_shingles(docs, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    vocab = ex.select("s").distinct()
+    n_vocab = vocab.count()
+    if 0 < n_vocab <= max_bitmap_bits:
+        out = _jaccard_bitmap(ex, vocab, n_vocab, threshold)
+    else:
+        sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+        out = _jaccard_explode(ex, sizes, threshold)
+    return out.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        "n_inter",
+        "n_union",
+        "jaccard",
+    )
+
+
+def _jaccard_explode(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Sparse path: pair intersection counts via shingle equi-join, set
+    sizes re-attached with broadcast joins."""
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
@@ -56,7 +90,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
+    return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .withColumn(
@@ -69,12 +103,61 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select(
-        F.col("doc_a").cast("long"),
-        F.col("doc_b").cast("long"),
-        "n_inter",
-        "n_union",
-        "jaccard",
+
+
+def _jaccard_bitmap(
+    ex: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+) -> DataFrame:
+    """Dense path: dictionary-encode shingles to bit positions, pack
+    each document into ceil(V/64) long words plus its set size, then
+    finish entirely inside the blocked pair projection — intersection
+    via an unrolled bit_count(a&b) sum, union/jaccard from the carried
+    sizes. No per-pair joins after the pair join itself (the 12.5M-pair
+    stream at sf0.1 previously crossed two more broadcast joins just to
+    fetch sizes)."""
+    from pyspark.sql.window import Window
+
+    from .similarity import blocked_self_pairs
+
+    n_words = (n_vocab + 63) // 64
+    sid = F.row_number().over(Window.orderBy("s")) - 1
+    vocab_ids = vocab.select("s", sid.alias("sid"))
+    word_cols = [
+        F.expr(
+            f"aggregate(filter(ids, i -> i div 64 = {j}), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)))"
+        ).alias(f"w{j}")
+        for j in range(n_words)
+    ]
+    packed = (
+        ex.join(vocab_ids, "s")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("ids"))
+        .select("doc_id", F.size("ids").cast("long").alias("n_sh"), *word_cols)
+    )
+    pairs = blocked_self_pairs(packed, "doc_id")
+    n_inter = F.bit_count(F.col("a_w0").bitwiseAND(F.col("b_w0")))
+    for j in range(1, n_words):
+        n_inter = n_inter + F.bit_count(
+            F.col(f"a_w{j}").bitwiseAND(F.col(f"b_w{j}"))
+        )
+    n_union = F.col("a_n_sh") + F.col("b_n_sh") - F.col("n_inter")
+    return (
+        pairs.withColumn("n_inter", n_inter.cast("long"))
+        # >= 1 matches the sparse path's inner join (shared shingle
+        # required) and keeps 0/0 NaNs out of the threshold filter
+        .filter(F.col("n_inter") >= 1)
+        .select(
+            F.least("a_doc_id", "b_doc_id").alias("doc_a"),
+            F.greatest("a_doc_id", "b_doc_id").alias("doc_b"),
+            F.col("n_inter"),
+            n_union.cast("long").alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / n_union.cast("long").cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -84,27 +167,44 @@ def minhash_lsh_candidates(
     """MinHash + LSH banding: signature of n_hashes md5-min values,
     split into ``bands`` bands; documents sharing any band become a
     candidate pair. Candidates only — verification composes with
-    ngram_jaccard_pairs on the candidate set."""
+    ngram_jaccard_pairs on the candidate set.
+
+    Physical shape: the salted md5 family is evaluated once per DISTINCT
+    shingle (a dictionary table the optimizer broadcasts), not once per
+    (document, shingle) occurrence — the signature min then comes from a
+    plain groupBy. Identical signatures (min over the same multiset),
+    ~6× less hashing on repetitive corpora, and the dictionary join is
+    the scale-safe equi-join shape."""
     rows_per_band = n_hashes // bands
     sh = _doc_shingles(docs, n).filter(F.size("sh") > 0)
-    sig = sh.select("doc_id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    vocab = ex.select("s").distinct().select("s", *hash_cols)
+    sig = (
+        ex.join(vocab, "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
+    )
     banded = sig.select(
         "doc_id",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.concat_ws(
                         "|",
                         F.lit(str(i)),
                         *[
-                            F.element_at("sig", i * rows_per_band + j + 1)
+                            F.col(f"h{i * rows_per_band + j}")
                             for j in range(rows_per_band)
                         ],
                     )
                     for i in range(bands)
                 ]
             )
-        ).alias("band", "bucket"),
+        ).alias("bucket"),
     )
     a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
@@ -119,10 +219,34 @@ def minhash_lsh_candidates(
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash over the token stream (frequency-
     weighted). Near-dups collide or differ in few bits; grouping by the
-    signature is the candidate generator."""
-    toks = F.split(F.col("text"), " ")
-    return docs.select(
-        F.col("doc_id").cast("long"), simhash16(toks).alias("simhash")
+    signature is the candidate generator.
+
+    Physical shape: per-bit ±1 votes are precomputed once per DISTINCT
+    token (the array-HOF formulation re-evaluated md5 over every token
+    occurrence 16 times — once per bit aggregate); occurrences then
+    explode and a single groupBy sums the 16 vote columns. Identical
+    signatures, and the token dictionary join broadcasts."""
+    ex = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    h = F.md5(F.col("t"))
+    vote_cols = [
+        F.when(F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") >= 8, 1)
+        .otherwise(-1)
+        .alias(f"v{j}")
+        for j in range(16)
+    ]
+    vocab = ex.select("t").distinct().select("t", *vote_cols)
+    votes = (
+        ex.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"v{j}").alias(f"v{j}") for j in range(16)])
+    )
+    sh = F.lit(0)
+    for j in range(16):
+        sh = sh + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select(
+        F.col("doc_id").cast("long"), sh.cast("int").alias("simhash")
     )
 
 
@@ -133,17 +257,30 @@ def embedding_cosine_pairs(
 
     Brute-force O(N^2) within the join — correct baseline; the LSH
     bucket variant (similarity.sign_lsh_buckets) is the scale path that
-    prunes the candidate space first."""
-    from .similarity import cosine
+    prunes the candidate space first.
 
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = embeddings.select(F.col("vec_id"), dbl.alias("v"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    The pair space comes from similarity.blocked_self_pairs (codegen'd
+    equi-join on block-pair keys — a cross join would run the N² loop
+    interpreted inside BroadcastNestedLoopJoin). Per-pair cost is a flat
+    compact fold (similarity.dot_cast); norms hoist to the N
+    side behind the block shuffle, so they compute N times, not N²."""
+    from .similarity import blocked_self_pairs, dot_cast, norm_cast
+
+    v = embeddings.select("vec_id", F.col("embedding").alias("v")).withColumn(
+        "nv", norm_cast(F.col("v"))
+    )
+    pairs = blocked_self_pairs(v, "vec_id")
+    # cos is symmetric: score the unoriented pair, orient only the ids.
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cos",
+            dot_cast(F.col("a_v"), F.col("b_v"))
+            / (F.col("a_nv") * F.col("b_nv")),
+        )
         .filter(F.col("cos") >= threshold)
-        .select(F.col("vec_a").cast("long"), F.col("vec_b").cast("long"), "cos")
+        .select(
+            F.least("a_vec_id", "b_vec_id").cast("long").alias("vec_a"),
+            F.greatest("a_vec_id", "b_vec_id").cast("long").alias("vec_b"),
+            "cos",
+        )
     )

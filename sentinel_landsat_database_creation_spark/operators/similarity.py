@@ -32,6 +32,118 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_cast(a: Column, b: Column) -> Column:
+    """Dot product over raw float arrays: per-element double widening
+    INSIDE the zip_with lambda, sequential fold. Two hot-path rules
+    learned by measurement at sf0.1 (2M pairs):
+
+    - Never pre-cast the array through an aliased ``transform`` —
+      CollapseProject inlines the alias into every downstream use and
+      the whole cast array re-materializes per use (77 s).
+    - Never unroll the fold into a flat 64-term sum — the generated
+      method blows past the JIT's DontCompileHugeMethods limit and the
+      whole stage runs in the bytecode interpreter (53 s; still 23 s
+      after JIT flags/warmup games).
+
+    The compact fold keeps generated code small (JIT-hot) at one array
+    allocation per pair: ~2 s for the same join. IEEE result is
+    bit-identical to DuckDB's list_cosine_similarity on float64 (add
+    order: sequential, seeded 0.0)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_cast(a: Column) -> Column:
+    """L2 norm of a raw float array, same fold discipline as dot_cast."""
+    return F.sqrt(dot_cast(a, a))
+
+
+def embedding_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Plan-time dimension probe (one 1-row job). Vector dims are fixed
+    per corpus, so this is metadata, not data-dependent work."""
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
+def blocked_self_pairs(
+    v: DataFrame, id_col: str, n_blocks: int = 32
+) -> DataFrame:
+    """Every unordered distinct row pair of ``v`` exactly once, as a
+    shuffled EQUI-join on block-pair keys instead of a cross join.
+
+    Why: a non-equi self cross join plans as BroadcastNestedLoopJoin,
+    which (a) runs the whole N² loop outside whole-stage codegen (the
+    pair expression gets interpreted), and (b) pulls pair-level filters
+    into the join condition, evaluating them twice. Blocking assigns
+    each row a block ``g = hash(id) % B``; an a-side row fans out to
+    keys (g, j) for j >= g, a b-side row to keys (i, g) for i <= g, and
+    the equi-join on the key reconstructs every block pair exactly once
+    (the diagonal deduplicates on id order). Fan-out is B/2 copies of
+    the N-row input — negligible against the N² output — and the join
+    is a codegen'd ShuffledHashJoin/SortMergeJoin whose B²/2 keys spread
+    the quadratic work evenly across the cluster (hash-based blocks are
+    balanced regardless of id clustering). Scale rule: pick B ≈
+    sqrt(N²/rows_per_task); at 100 TB this is the only all-pairs shape
+    that neither broadcasts a big side nor serializes on one task.
+
+    Output columns: ``a_<c>``/``b_<c>`` for every column c of ``v``;
+    each unordered pair appears exactly once, but a/b sides are in block
+    order, not id order — orient ids with least/greatest downstream.
+    """
+    cols = v.columns
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    a = v.withColumn("_g", g).withColumn(
+        "_k",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("_g"), F.lit(n_blocks - 1)),
+                lambda j: F.col("_g") * n_blocks + j,
+            )
+        ),
+    )
+    b = v.withColumn("_g", g).withColumn(
+        "_k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_g")),
+                lambda i: i * n_blocks + F.col("_g"),
+            )
+        ),
+    )
+    a = a.select(
+        F.col("_k"),
+        F.col("_g").alias("_ga"),
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+    )
+    b = b.select(
+        F.col("_k"),
+        F.col("_g").alias("_gb"),
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+    )
+    ida, idb = F.col(f"_a_{id_col}"), F.col(f"_b_{id_col}")
+    # shuffle_hash hint: the INPUTS are tiny but the join OUTPUT is N² —
+    # a broadcast join would leave the stream side's partitioning (often
+    # 1 scan partition) and run the whole quadratic expansion in one
+    # task. Hash-shuffling on _k spreads the B²/2 block pairs across the
+    # cluster, which is the entire point of blocking.
+    joined = a.join(b.hint("shuffle_hash"), "_k").filter(
+        (F.col("_ga") != F.col("_gb")) | (ida < idb)
+    )
+    # NOT id-oriented: off-diagonal block pairs arrive in block order.
+    # Callers computing symmetric pair scores (cosine, popcount
+    # intersection, …) should score the unoriented payloads and orient
+    # only the two id scalars (least/greatest) — wrapping every payload
+    # element access in a when(ordered, …) would multiply the per-pair
+    # expression size.
+    return joined.select(
+        *[F.col(f"_a_{c}").alias(f"a_{c}") for c in cols],
+        *[F.col(f"_b_{c}").alias(f"b_{c}") for c in cols],
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -43,15 +155,22 @@ def brute_force_topk(
     candidate corpus, rank per query. The corpus side never shuffles
     until the final per-query top-k (partial top-k per partition via
     rank window after a repartition on qid)."""
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_cast(F.col("qv")))
+    c = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cn", norm_cast(F.col("cv")))
+        .repartition(n_parts)
     )
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot_cast(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+        )
         .select("qid", "cid", "cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
@@ -91,18 +210,28 @@ def bucketed_topk(
     """LSH-pruned approximate top-k: score only candidates sharing the
     query's sign bucket. Recall < 1 by design; the brute-force variant
     is the oracle to measure it against."""
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
     qb = sign_lsh_buckets(queries, n_bits).withColumnRenamed("vec_id", "qid")
     cb = sign_lsh_buckets(embeddings, n_bits).withColumnRenamed("vec_id", "cid")
-    q = queries.select(
-        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
-    ).join(qb, "qid")
-    c = embeddings.select(
-        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cv")
-    ).join(cb, "cid")
+    q = (
+        queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .join(qb, "qid")
+        .withColumn("qn", norm_cast(F.col("qv")))
+    )
+    c = (
+        embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .join(cb, "cid")
+        .withColumn("cn", norm_cast(F.col("cv")))
+        .repartition(n_parts)
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot_cast(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (

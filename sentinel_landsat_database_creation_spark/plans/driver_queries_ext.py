@@ -299,6 +299,133 @@ FROM documents ORDER BY media_id
 """
 
 
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the ANN scale path): candidates
+    are pruned to the query's sign bucket before any scoring, so at
+    100 TB the similarity join is an equi-join on bucket instead of a
+    cross join. Deterministic buckets -> exact oracle."""
+    from ..operators.similarity import bucketed_topk
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return bucketed_topk(e, q, k=3, n_bits=8).orderBy("qid", "rnk")
+
+
+def _sql_lsh_topk(n_bits: int = 8, k: int = 3) -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN ev[{i + 1}] > 0 THEN '1' ELSE '0' END)"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         {bucket} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(q.ev, c.ev) AS cos
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cid AS BIGINT) AS cid, cos
+FROM ranked WHERE rnk <= {k} ORDER BY qid, rnk
+"""
+
+
+SQL_LSH_TOPK = _sql_lsh_topk()
+
+
+def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing over mapInPandas (row explosion:
+    one output row per sampled frame). The documents' text bytes are
+    pure ASCII, so the DuckDB oracle's char-substr md5 equals the
+    payload byte-chunk md5."""
+    from ..multimodal.media import frame_sample
+
+    media = media_from_documents(table(spark, sf, "documents"))
+    return frame_sample(media, n_frames=4, frame_bytes=16).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+SQL_MEDIA_FRAMES = """
+WITH f AS (
+  SELECT doc_id, text, greatest(length(text) // 4, 1) AS step,
+         unnest(range(0, least(4, length(text)))) AS i
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * step AS BIGINT) AS frame_offset,
+       md5(substr(text, CAST(i * step + 1 AS INTEGER), 16)) AS frame_md5
+FROM f ORDER BY media_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# stateful sessionization (batch twin of streaming/sessions.py)
+
+_SESSION_GAP_MIN = 30
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessions per user. Values go through per-row cents so
+    the per-session sum is exact-integer and order-free; timestamps are
+    rendered at full microsecond precision."""
+    from ..streaming.sessions import sessionize_batch
+
+    e = table(spark, sf, "events").withColumn(
+        "value", F.round(F.col("value") * 100, 0)
+    )
+    s = sessionize_batch(e, gap_minutes=_SESSION_GAP_MIN)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        F.col("total_value").cast("long").alias("total_cents"),
+    ).orderBy("user_id", "session_start")
+
+
+SQL_USER_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+  FROM e
+),
+b AS (
+  SELECT *, CASE WHEN prev IS NULL
+                 OR tus - prev > {_SESSION_GAP_MIN * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming
 
@@ -322,6 +449,9 @@ FROM weekly ORDER BY week_start
 
 
 REGISTRY_EXT = {
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),

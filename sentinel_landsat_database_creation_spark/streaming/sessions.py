@@ -1,0 +1,175 @@
+"""Gap-based sessionization — the custom stateful streaming operator
+(SURVEY.md §2.10 extension; nothing in the reference is stateful, so
+this is a north-star addition for event pipelines at scale).
+
+Two implementations with identical semantics:
+
+- ``sessionize_batch``: lag/cumsum window chain, fully SQL-expressible
+  (exact DuckDB oracle in the driver registry). Shuffles once on
+  user_id; both window functions and the final groupBy reuse that
+  partitioning, so Catalyst plans a single Exchange.
+- ``sessionize_stateful``: ``applyInPandasWithState`` over an unbounded
+  stream grouped by user_id. State per user = the open session
+  (start, last_ts, n, value_sum); a row further than ``gap`` from
+  last_ts closes the open session (emitted) and opens a new one. Closed
+  sessions are emitted as they close; the open session stays in state
+  across micro-batches. Equality with the batch plan is pinned by
+  tests/test_extensions.py using per-user far-future sentinel rows that
+  force every real session closed.
+
+A session row: (user_id, session_start, session_end, n_events,
+total_value). Ties on ts are broken by event_id so both engines and
+both implementations agree deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+from .._serde import register_self
+
+register_self(__name__)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), False),
+    ]
+)
+
+# applyInPandasWithState state tuple: (session_start_us, last_ts_us, n, sum)
+_STATE_SCHEMA = "start BIGINT, last BIGINT, n BIGINT, s DOUBLE"
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: one shuffle on user_id, then lag -> gap
+    flag -> running session ordinal -> per-session aggregate, all within
+    the same hash partitioning (no second Exchange)."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60 * 1_000_000)  # microseconds, like stateful
+    brk = (
+        F.when(F.lag("ts").over(order).isNull(), F.lit(1))
+        .when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order)) > gap,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("brk", brk)
+        .withColumn("sess", F.sum("brk").over(run))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("long"),
+            "total_value",
+        )
+    )
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-user state transition: fold this batch's rows (sorted by
+    ts, event_id) into the open session, emitting sessions closed by
+    the gap. Pandas-side work is O(rows in batch) per user."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    vals = rows["value"].to_numpy()
+
+    if state.exists:
+        start, last, n, s = state.get
+    else:
+        start, last, n, s = (int(ts_us[0]), int(ts_us[0]), 0, 0.0)
+
+    closed: list[tuple[int, int, int, float]] = []
+    for t, v in zip(ts_us, vals):
+        t = int(t)
+        if n > 0 and t - last > gap_us:
+            closed.append((start, last, n, s))
+            start, n, s = t, 0, 0.0
+        last = t
+        n += 1
+        s += float(v)
+    state.update((start, last, n, s))
+
+    if not closed:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "total_value": pd.Series(dtype="float64"),
+            }
+        )
+        return
+    uid = int(key[0])
+    yield pd.DataFrame(
+        {
+            "user_id": [uid] * len(closed),
+            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+            "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "n_events": [c[2] for c in closed],
+            "total_value": [c[3] for c in closed],
+        }
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming sessionization over an unbounded event stream: group by
+    user_id, carry the open session in GroupState, emit sessions as the
+    gap closes them. Scale note: state is O(1) per user (four scalars),
+    and the shuffle key is user_id — skew-safe for web-scale user
+    distributions because each group's per-batch work is bounded by its
+    batch rows, not history."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_us)
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

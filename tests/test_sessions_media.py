@@ -1,0 +1,170 @@
+"""Tests for the stateful sessionization operator, the multimodal
+resize/frame-sample plumbing, and the op-9 gdal script generator.
+
+The batch sessionizer's values are pinned by the DuckDB oracle
+(test_oracle_equivalence: user_sessions); here we pin the HARD part —
+that the applyInPandasWithState streaming implementation emits exactly
+the batch result, including open sessions carried across micro-batch
+boundaries in GroupState.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_landsat_database_creation_spark.compat.gdal_script import (
+    crop_script_lines,
+)
+from sentinel_landsat_database_creation_spark.multimodal.media import (
+    fake_thumbnails,
+    frame_sample,
+    media_from_documents,
+)
+from sentinel_landsat_database_creation_spark.sources.testdata import table
+from sentinel_landsat_database_creation_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stateful,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_sessions_match_batch_across_microbatches(spark, tmp_path):
+    """Two time-split micro-batches (maxFilesPerTrigger=1) force open
+    sessions to survive in GroupState across the batch boundary; a
+    far-future sentinel per user in the last batch closes every real
+    session, so emitted == batch exactly."""
+    events = (
+        table(spark, SF, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    split_ts = events.selectExpr(
+        "percentile_approx(ts, 0.5) AS m"
+    ).first()["m"]
+    flush_ts = dt.datetime(2030, 1, 1)
+    sentinels = events.select("user_id").distinct().select(
+        "user_id",
+        F.lit(flush_ts).alias("ts"),
+        F.lit(10_000_000).alias("event_id").cast("long"),
+        F.lit(0.0).alias("value"),
+    )
+    stream_dir = str(tmp_path / "stream")
+    events.filter(F.col("ts") <= F.lit(split_ts)).coalesce(1).write.parquet(
+        f"{stream_dir}/b=0"
+    )
+    events.filter(F.col("ts") > F.lit(split_ts)).unionByName(
+        sentinels
+    ).coalesce(1).write.parquet(f"{stream_dir}/b=1")
+
+    schema = spark.read.parquet(f"{stream_dir}/b=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    out = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in spark.table("sessions_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert want, "fixture slice must produce sessions"
+    assert got == want
+
+
+def test_batch_sessions_respect_gap(spark):
+    events = table(spark, SF, "events")
+    s = sessionize_batch(events, gap_minutes=30)
+    bad = s.filter(
+        (F.unix_micros("session_end") - F.unix_micros("session_start"))
+        < (F.col("n_events") - 1) * 0  # sanity: end >= start
+    )
+    row = s.agg(
+        F.sum("n_events").alias("total"),
+        F.min(F.col("session_end") >= F.col("session_start")).alias("mono"),
+    ).first()
+    assert row["total"] == events.count()
+    assert row["mono"] is True
+
+
+def test_fake_thumbnails_shape_and_determinism(spark):
+    media = media_from_documents(table(spark, SF, "documents").limit(40))
+    t1 = fake_thumbnails(media, width=6, height=4)
+    rows = t1.collect()
+    assert len(rows) == 40
+    for r in rows[:5]:
+        assert r["width"] == 6 and r["height"] == 4
+        assert len(r["pixels"]) == 24
+        assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+    # partitioning must not affect content (deterministic keystream)
+    t2 = {
+        r["media_id"]: r["pixels"]
+        for r in fake_thumbnails(media.repartition(7), width=6, height=4).collect()
+    }
+    for r in rows:
+        assert t2[r["media_id"]] == r["pixels"]
+
+
+def test_frame_sample_offsets(spark):
+    media = media_from_documents(table(spark, SF, "documents").limit(25))
+    frames = frame_sample(media, n_frames=4, frame_bytes=16)
+    per_doc = (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("frame_idx").alias("max_idx"),
+            F.min("frame_offset").alias("min_off"),
+        )
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert 1 <= r["n"] <= 4
+        assert r["max_idx"] == r["n"] - 1
+        assert r["min_off"] == 0
+
+
+def test_crop_script_lines_sensor_rules(spark):
+    listing = spark.createDataFrame(
+        [
+            ("sceneA", "B02.tif"),
+            ("sceneA", "B02.tif.aux.xml"),
+            ("sceneA", "meta.txt"),
+            ("sceneB", "B08.jp2"),
+        ],
+        "scene string, file string",
+    )
+    l8 = crop_script_lines(listing, "/cut.gpkg", "/src", "/dst", "landsat")
+    rows = l8.collect()
+    # landsat keeps only .tif-and-not-xml
+    assert [r["file"] for r in rows] == ["B02.tif"]
+    assert rows[0]["line"] == (
+        "gdalwarp -cutline /cut.gpkg -crop_to_cutline "
+        "/src/sceneA/B02.tif /dst/sceneA/B02.tif"
+    )
+    s2 = crop_script_lines(listing, "/cut.gpkg", "/src", "/dst", "s2")
+    got = {(r["scene"], r["file"]) for r in s2.collect()}
+    # s2 keeps everything non-xml and appends .tif to the OUTPUT name
+    assert got == {("sceneA", "B02.tif"), ("sceneA", "meta.txt"), ("sceneB", "B08.jp2")}
+    line = {r["file"]: r["line"] for r in s2.collect()}["meta.txt"]
+    assert line.endswith("/src/sceneA/meta.txt /dst/sceneA/meta.txt.tif")
+    with pytest.raises(ValueError):
+        crop_script_lines(listing, "/cut.gpkg", "/src", "/dst", "modis")

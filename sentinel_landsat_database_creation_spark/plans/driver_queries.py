@@ -568,7 +568,94 @@ ORDER BY vec_id, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# crop-engine ops on fixture stand-ins (ops 43/44/26/14 and 33-native)
+
+
+def q_crop_slice_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Ops 43/44/26/14 driven end-to-end on the embeddings fixture: each
+    64-float vector is an 8x8 row-major raster. Slice the 4x4 HR window
+    at (2,2) (op 43), the 2x2 LR window at the //2-mapped coords (op
+    44), count-stats over the crops (op 26), and the acceptance flag
+    (op 14's shape). All higher-order functions — no UDF."""
+    from ..functions.arrays import count_nonzero, slice2d
+
+    e = table(spark, sf, "embeddings")
+    crop = slice2d(
+        F.col("embedding"), F.lit(8), F.lit(2), F.lit(2), F.lit(4), F.lit(4)
+    )
+    lr = slice2d(
+        F.col("embedding"), F.lit(8), F.lit(1), F.lit(1), F.lit(2), F.lit(2)
+    )
+    n_pos = F.size(F.filter(crop, lambda x: x > 0))
+    return e.select(
+        F.col("vec_id").cast("long"),
+        n_pos.cast("long").alias("n_pos"),
+        count_nonzero(crop).cast("long").alias("n_nonzero"),
+        F.size(F.filter(lr, lambda x: x > 0)).cast("long").alias("n_pos_lr"),
+        (n_pos >= 8).cast("long").alias("ok"),
+    ).orderBy("vec_id")
+
+
+SQL_CROP_SLICE_QUALITY = """
+WITH c AS (
+  SELECT vec_id,
+         flatten(list_transform(range(2, 6), r -> embedding[CAST(r*8+3 AS INTEGER):CAST(r*8+6 AS INTEGER)])) AS crop,
+         flatten(list_transform(range(1, 3), r -> embedding[CAST(r*8+2 AS INTEGER):CAST(r*8+3 AS INTEGER)])) AS lr
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(len(list_filter(crop, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(len(list_filter(crop, x -> x != 0)) AS BIGINT) AS n_nonzero,
+       CAST(len(list_filter(lr, x -> x > 0)) AS BIGINT) AS n_pos_lr,
+       CAST(len(list_filter(crop, x -> x > 0)) >= 8 AS BIGINT) AS ok
+FROM c ORDER BY vec_id
+"""
+
+
+def q_overlap_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Op 33, native mode: order-free grid-bucket overlap suppression
+    (the engine's set-based alternative to the reference's sequential
+    greedy purge) on a centers table derived from events."""
+    from ..operators.crops import suppress_overlap_grid
+
+    e = table(spark, sf, "events")
+    flagged = e.select(
+        (F.col("user_id") % 10).alias("pair_id"),
+        (F.col("event_id") % 997).alias("r"),
+        (F.floor("value").cast("long") % 997).alias("c"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    out = suppress_overlap_grid(flagged, batch_size=300, pct=0.7)  # stride 210
+    return out.select(
+        F.col("pair_id").cast("long"),
+        F.col("r").cast("long"),
+        F.col("c").cast("long"),
+    ).orderBy("pair_id", "r", "c")
+
+
+SQL_OVERLAP_GRID = """
+WITH f AS (
+  SELECT (user_id % 10) AS pair_id,
+         (event_id % 997) AS r,
+         (CAST(floor(value) AS BIGINT) % 997) AS c
+  FROM events WHERE event_type != 'error'
+),
+cells AS (
+  SELECT pair_id, r, c,
+         row_number() OVER (PARTITION BY pair_id, r // 210, c // 210
+                            ORDER BY r, c) AS rn
+  FROM f
+)
+SELECT CAST(pair_id AS BIGINT) AS pair_id, CAST(r AS BIGINT) AS r,
+       CAST(c AS BIGINT) AS c
+FROM cells WHERE rn = 1 ORDER BY pair_id, r, c
+"""
+
+
 _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "crop_slice_quality": (q_crop_slice_quality, SQL_CROP_SLICE_QUALITY),
+    "overlap_grid": (q_overlap_grid, SQL_OVERLAP_GRID),
     "catalog_week_class": (q_catalog_week_class, SQL_CATALOG_WEEK_CLASS),
     "catalog_event_labels": (q_catalog_event_labels, SQL_CATALOG_EVENT_LABELS),
     "pair_count_by_class": (q_pair_count_by_class, SQL_PAIR_COUNT_BY_CLASS),

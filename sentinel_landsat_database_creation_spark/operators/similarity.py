@@ -204,6 +204,87 @@ def sign_lsh_buckets(
     return embeddings.select(F.col(id_col).cast("long"), bits.alias("bucket"))
 
 
+def assign_cells(
+    vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (ties -> lowest
+    centroid id). Centroids broadcast (K is small by construction); the
+    N×K scoring is a narrow map over the corpus — no shuffle of the big
+    side until the final per-vector argmax, which partial-aggregates.
+
+    Returns (id_col, cell)."""
+    v = vectors.select(
+        F.col(id_col), F.col("embedding").alias("ev")
+    ).withColumn("en", norm_cast(F.col("ev")))
+    c = centroids.select(
+        F.col("cent_id"), F.col("embedding").alias("cv")
+    ).withColumn("cn", norm_cast(F.col("cv")))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "ccos", dot_cast(F.col("ev"), F.col("cv")) / (F.col("en") * F.col("cn"))
+    )
+    best = F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid")))
+    return (
+        scored.groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(F.col(id_col), (-F.col("b.nid")).alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-pruned ANN
+    scale path: vectors index into the cell of their nearest centroid;
+    a query scores ONLY its own cell's inverted list, so per-query work
+    drops from O(N) to O(N/K). Recall < 1 by design (nprobe=1);
+    brute_force_topk is the oracle to measure recall against.
+
+    Centroid choice here is the deterministic stand-in "first K corpus
+    vectors" (id < n_centroids) so the whole operator is reproducible
+    and DuckDB-oracle-checkable; on a real corpus, plug k-means centers
+    in as the ``centroids`` table — the plan shape is unchanged. At
+    100 TB the inverted lists are a table partitioned by cell: queries
+    prune to one partition each."""
+    centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), "embedding"
+    )
+    cells_c = assign_cells(embeddings, centroids, id_col)
+    cells_q = assign_cells(queries, centroids, id_col)
+    c = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col("embedding").alias("cv"))
+        .join(cells_c.select(F.col(id_col).alias("cid"), "cell"), "cid")
+        .withColumn("cn", norm_cast(F.col("cv")))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("qid"), F.col("embedding").alias("qv"))
+        .join(cells_q.select(F.col(id_col).alias("qid"), "cell"), "qid")
+        .withColumn("qn", norm_cast(F.col("qv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            dot_cast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("rnk").cast("long"),
+            F.col("cid").cast("long"),
+            F.col("cos"),
+        )
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8
 ) -> DataFrame:

@@ -48,6 +48,51 @@ def language_id(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def language_id_table(docs: DataFrame) -> DataFrame:
+    """Dictionary-join formulation of language_id for whole-table scans:
+    explode token occurrences, broadcast-join the (token, lang) profile
+    table, pivot-count per language, argmax with the same (score, lang)
+    tie-break as the column expression. Identical output to
+    ``language_id`` per document; the per-row HOF variant evaluates
+    every profile against every token array (4 interpreted lambda scans
+    per doc), while this shape is one codegen'd join + one aggregate —
+    and at web scale the profile join is the only sane plan anyway.
+
+    Returns (doc_id, lang_guess)."""
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(
+        [(w, lang) for lang, words in LANG_PROFILES.items() for w in words],
+        "t string, lang string",
+    )
+    ex = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    langs = list(LANG_PROFILES)
+    counts = (
+        ex.join(F.broadcast(prof), "t")
+        .groupBy("doc_id")
+        .pivot("lang", langs)
+        .count()
+    )
+    scored = docs.select("doc_id").join(counts, "doc_id", "left")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.coalesce(F.col(lang), F.lit(0)).cast("int").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in langs
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_guess"
+        ),
+    )
+
+
 def quality_stats(docs: DataFrame) -> DataFrame:
     """Length / distinct-ratio / stopword-ratio quality signals. Each
     ratio is a single exact-int division (cross-engine deterministic)."""

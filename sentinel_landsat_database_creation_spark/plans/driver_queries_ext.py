@@ -231,11 +231,16 @@ FROM documents ORDER BY doc_id
 
 
 def q_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
+    # table-scan shape: dictionary join (see textops.language_id_table);
+    # the column-expression variant language_id() is the per-row API
+    from ..operators.textops import language_id_table
+
     docs = table(spark, sf, "documents")
-    return docs.select(
-        F.col("doc_id").cast("long"),
-        language_id(F.col("text")).alias("lang_guess"),
-    ).orderBy("doc_id")
+    return (
+        language_id_table(docs)
+        .select(F.col("doc_id").cast("long"), "lang_guess")
+        .orderBy("doc_id")
+    )
 
 
 def _sql_lang_guess() -> str:
@@ -339,6 +344,47 @@ FROM ranked WHERE rnk <= {k} ORDER BY qid, rnk
 
 
 SQL_LSH_TOPK = _sql_lsh_topk()
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k (nprobe=1, deterministic first-K
+    centroids): the partition-pruned ANN path — per-query work is
+    O(N/K) against one inverted list instead of O(N)."""
+    from ..operators.similarity import ivf_topk
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=3, n_centroids=16).orderBy("qid", "rnk")
+
+
+SQL_IVF_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < 16),
+a AS (
+  SELECT v.vec_id, cent_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_cosine_similarity(v.ev, cent.cv) DESC,
+                                     cent_id) AS rn
+  FROM v CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(qv.ev, cv2.ev) AS cos
+  FROM cells q
+  JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  JOIN v qv ON qv.vec_id = q.vec_id
+  JOIN v cv2 ON cv2.vec_id = c.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cid AS BIGINT) AS cid, cos
+FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
+"""
 
 
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -450,6 +496,7 @@ FROM weekly ORDER BY week_start
 
 REGISTRY_EXT = {
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),

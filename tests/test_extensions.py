@@ -43,6 +43,33 @@ def test_minhash_recall_of_strong_neardups(spark):
     assert recall >= 0.9, (recall, strong - cands)
 
 
+def test_ivf_topk_ranked_and_consistent_with_bruteforce(spark):
+    """IVF results carry contiguous ranks with non-increasing scores,
+    and any (qid,cid) IVF surfaces must score identically to the exact
+    brute-force scorer (IVF prunes candidates, never alters scores)."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["qid"], r["cid"]): r["cos"]
+        for r in brute_force_topk(e, q, k=10_000).collect()
+    }
+    rows = ivf_topk(e, q, k=5, n_centroids=8).collect()
+    assert rows, "IVF must return results on a self-indexed corpus"
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rnk"], r["cid"], r["cos"]))
+        assert brute[(r["qid"], r["cid"])] == r["cos"]
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert [rnk for rnk, _, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [c for _, _, c in lst]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_bucketed_topk_subset_of_bruteforce_scores(spark):
     """LSH top-k scores can only come from the true candidate set, and
     per-query recall must be positive on self-similar data."""

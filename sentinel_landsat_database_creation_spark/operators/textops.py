@@ -49,14 +49,17 @@ def language_id(text: Column) -> Column:
 
 
 def language_id_table(docs: DataFrame) -> DataFrame:
-    """Dictionary-join formulation of language_id for whole-table scans:
-    explode token occurrences, broadcast-join the (token, lang) profile
-    table, pivot-count per language, argmax with the same (score, lang)
+    """Dictionary-join formulation of language_id: explode token
+    occurrences, broadcast-join the (token, lang) profile table,
+    pivot-count per language, argmax with the same (score, lang)
     tie-break as the column expression. Identical output to
-    ``language_id`` per document; the per-row HOF variant evaluates
-    every profile against every token array (4 interpreted lambda scans
-    per doc), while this shape is one codegen'd join + one aggregate —
-    and at web scale the profile join is the only sane plan anyway.
+    ``language_id`` per document.
+
+    Use this only when the profile is too large to embed in a per-row
+    expression (thousands of entries): for the small built-in profiles
+    the column expression is a shuffle-free narrow map and measures ~5x
+    faster — reach for the join shape when the dictionary itself needs
+    to be a table (custom lexicons, per-tenant profiles).
 
     Returns (doc_id, lang_guess)."""
     spark = docs.sparkSession

@@ -231,16 +231,15 @@ FROM documents ORDER BY doc_id
 
 
 def q_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
-    # table-scan shape: dictionary join (see textops.language_id_table);
-    # the column-expression variant language_id() is the per-row API
-    from ..operators.textops import language_id_table
-
+    # per-row profile expression: shuffle-free narrow map (the
+    # dictionary-join variant language_id_table only wins when the
+    # profile table is too large to embed in the expression — measured
+    # 5x slower here)
     docs = table(spark, sf, "documents")
-    return (
-        language_id_table(docs)
-        .select(F.col("doc_id").cast("long"), "lang_guess")
-        .orderBy("doc_id")
-    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        language_id(F.col("text")).alias("lang_guess"),
+    ).orderBy("doc_id")
 
 
 def _sql_lang_guess() -> str:
@@ -414,6 +413,80 @@ FROM f ORDER BY media_id, frame_idx
 """
 
 
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic feature extraction over binary payloads through the
+    real mapInPandas path (multimodal.fake_features): n 16-bit values
+    from the payload md5, scaled to [0,1]. The DuckDB twin recomputes
+    the same bytes from hex md5 — each feature is one exact int16
+    divided by 65535.0, so floats hash-match bit-for-bit."""
+    from ..multimodal.media import fake_features
+
+    media = media_from_documents(table(spark, sf, "documents"))
+    f = fake_features(media, n_features=4)
+    return f.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    ).orderBy("media_id")
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       'image' AS kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(h, 1, 4))::BIGINT AS DOUBLE) / 65535.0 AS f0,
+       CAST(('0x' || substr(h, 5, 4))::BIGINT AS DOUBLE) / 65535.0 AS f1,
+       CAST(('0x' || substr(h, 9, 4))::BIGINT AS DOUBLE) / 65535.0 AS f2,
+       CAST(('0x' || substr(h, 13, 4))::BIGINT AS DOUBLE) / 65535.0 AS f3
+FROM m ORDER BY media_id
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    drain the events table through gap sessionization with availableNow.
+    Emits sessions CLOSED by the gap (each user's final open session
+    stays in state) — deliberately not SQL-expressible, so this entry is
+    rows-only in the driver gate; the batch twin user_sessions carries
+    the exact oracle and tests pin stateful == batch."""
+    import uuid
+
+    from ..streaming.sessions import sessionize_stateful
+
+    e = table(spark, sf, "events")
+    tmp = f"/tmp/stream_sessions_{uuid.uuid4().hex[:8]}"
+    e.select("user_id", "ts", "event_id", "value").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    stream = spark.readStream.schema(schema).parquet(tmp)
+    out = sessionize_stateful(stream, gap_minutes=30)
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # stateful sessionization (batch twin of streaming/sessions.py)
 
@@ -510,5 +583,9 @@ REGISTRY_EXT = {
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "stream_weekly_counts": (q_stream_weekly_counts, SQL_STREAM_WEEKLY_COUNTS),
+    # rows-only: custom stateful streaming (not SQL-expressible);
+    # batch twin `user_sessions` carries the exact oracle
+    "stream_sessions": (q_stream_sessions, None),
 }

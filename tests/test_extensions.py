@@ -43,6 +43,26 @@ def test_minhash_recall_of_strong_neardups(spark):
     assert recall >= 0.9, (recall, strong - cands)
 
 
+def test_language_id_table_matches_column_expression(spark):
+    """The dictionary-join formulation must agree with the per-row
+    expression on every document (same counts, same tie-break)."""
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        language_id_table,
+    )
+
+    docs = table(spark, SF, "documents").limit(300)
+    expr = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", language_id(F.col("text")).alias("g")
+        ).collect()
+    }
+    tab = {
+        r["doc_id"]: r["lang_guess"] for r in language_id_table(docs).collect()
+    }
+    assert expr == tab
+
+
 def test_ivf_topk_ranked_and_consistent_with_bruteforce(spark):
     """IVF results carry contiguous ranks with non-increasing scores,
     and any (qid,cid) IVF surfaces must score identically to the exact

@@ -80,3 +80,102 @@ def test_catalog_invariants(spark, dates):
     # 3. output ordered by (week, data)
     keys = [(r["week"], r["data"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# blocked_self_pairs: the all-pairs equi-join must enumerate every
+# unordered distinct pair exactly once, for any id multiset and block
+# count (the diagonal/off-diagonal key algebra is easy to get wrong).
+
+_ids = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=40,
+    unique=True,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ids, st.integers(min_value=1, max_value=9))
+def test_blocked_self_pairs_exactly_once(spark, ids, n_blocks):
+    from itertools import combinations
+
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        blocked_self_pairs,
+    )
+
+    df = (
+        spark.createDataFrame([(i,) for i in ids], "vid long")
+        if ids
+        else spark.createDataFrame([], "vid long")
+    )
+    got = sorted(
+        tuple(sorted((r["a_vid"], r["b_vid"])))
+        for r in blocked_self_pairs(df, "vid", n_blocks=n_blocks).collect()
+    )
+    want = sorted(tuple(sorted(p)) for p in combinations(ids, 2))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sessionize_batch vs a direct Python reference
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user_id
+        st.integers(min_value=0, max_value=10_000),     # seconds offset
+        st.floats(min_value=-5, max_value=5, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_events, st.integers(min_value=1, max_value=30))
+def test_sessionize_batch_matches_python_reference(spark, events, gap_min):
+    from sentinel_landsat_database_creation_spark.streaming.sessions import (
+        sessionize_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (uid, base + dt.timedelta(seconds=off), eid, val)
+        for eid, (uid, off, val) in enumerate(events)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        if rows
+        else spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_id long, value double"
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in sessionize_batch(df, gap_minutes=gap_min).collect()
+    }
+
+    # reference: sort per user by (ts, event_id), split on gap
+    want = set()
+    gap = dt.timedelta(minutes=gap_min)
+    by_user: dict = {}
+    for uid, ts, eid, val in rows:
+        by_user.setdefault(uid, []).append((ts, eid, val))
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur: list = []
+        for ts, eid, val in evs:
+            if cur and ts - cur[-1][0] > gap:
+                want.add(
+                    (uid, cur[0][0], cur[-1][0], len(cur),
+                     round(sum(v for _, _, v in cur), 6))
+                )
+                cur = []
+            cur.append((ts, eid, val))
+        if cur:
+            want.add(
+                (uid, cur[0][0], cur[-1][0], len(cur),
+                 round(sum(v for _, _, v in cur), 6))
+            )
+    assert got == want

@@ -16,14 +16,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # Defensive for driver-owned sessions built without our factory:
-        # nanos-typed parquet must scan, and week binning must be UTC.
-        try:
+    # Defensive for driver-owned sessions built without our factory:
+    # timestamp semantics (date truncation, week binning, literal
+    # comparisons) must be UTC for every table, and events' nanos-typed
+    # parquet must scan. Both confs are runtime-mutable.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if name == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        except Exception:
-            pass
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the

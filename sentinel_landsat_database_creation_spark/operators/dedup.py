@@ -29,11 +29,17 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, shingle) rows: explode then FRAME-level
+    distinct. The per-row ``array_distinct`` alternative is narrow (no
+    shuffle) but runs O(len²) in the HOF interpreter per document —
+    measured ~40% slower end-to-end at sf0.1 than letting the codegen'd
+    hash-aggregate dedup the exploded stream. Revisit the trade-off for
+    very long documents where the explode fan-out dominates."""
     toks = F.split(F.col("text"), " ")
     return docs.select(
-        "doc_id", F.array_distinct(shingles(toks, n)).alias("sh")
-    )
+        "doc_id", F.explode(shingles(toks, n)).alias("s")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -59,14 +65,21 @@ def ngram_jaccard_pairs(
     The vocabulary count is a plan-time probe (one aggregate job over
     the distinct-shingle table), the same class of decision as AQE's
     broadcast-vs-shuffle switch."""
-    sh = _doc_shingles(docs, n)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    vocab = ex.select("s").distinct()
-    n_vocab = vocab.count()
+    ex = _shingle_rows(docs, n)
+    # Plan-time vocabulary probe: collect the distinct shingles (bounded
+    # by max_bitmap_bits+1 — LIMIT keeps a huge-vocab corpus from ever
+    # pulling its dictionary to the driver). One action instead of a
+    # count + a window pass over a recomputed shingling.
+    vocab_rows = ex.select("s").distinct().limit(max_bitmap_bits + 1).collect()
+    n_vocab = len(vocab_rows)
     if 0 < n_vocab <= max_bitmap_bits:
-        out = _jaccard_bitmap(ex, vocab, n_vocab, threshold)
+        vocab_ids = docs.sparkSession.createDataFrame(
+            [(r["s"], i) for i, r in enumerate(sorted(vocab_rows, key=lambda r: r["s"]))],
+            "s string, sid int",
+        )
+        out = _jaccard_bitmap(ex, vocab_ids, n_vocab, threshold)
     else:
-        sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         out = _jaccard_explode(ex, sizes, threshold)
     return out.select(
         F.col("doc_a").cast("long"),
@@ -106,22 +119,19 @@ def _jaccard_explode(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataF
 
 
 def _jaccard_bitmap(
-    ex: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+    ex: DataFrame, vocab_ids: DataFrame, n_vocab: int, threshold: float
 ) -> DataFrame:
-    """Dense path: dictionary-encode shingles to bit positions, pack
-    each document into ceil(V/64) long words plus its set size, then
-    finish entirely inside the blocked pair projection — intersection
-    via an unrolled bit_count(a&b) sum, union/jaccard from the carried
-    sizes. No per-pair joins after the pair join itself (the 12.5M-pair
-    stream at sf0.1 previously crossed two more broadcast joins just to
-    fetch sizes)."""
-    from pyspark.sql.window import Window
-
+    """Dense path: dictionary-encode shingles to bit positions (the
+    dictionary arrives as a literal (s, sid) table, already collected by
+    the probe), pack each document into ceil(V/64) long words plus its
+    set size, then finish entirely inside the blocked pair projection —
+    intersection via an unrolled bit_count(a&b) sum, union/jaccard from
+    the carried sizes. No per-pair joins after the pair join itself (the
+    12.5M-pair stream at sf0.1 previously crossed two more broadcast
+    joins just to fetch sizes)."""
     from .similarity import blocked_self_pairs
 
     n_words = (n_vocab + 63) // 64
-    sid = F.row_number().over(Window.orderBy("s")) - 1
-    vocab_ids = vocab.select("s", sid.alias("sid"))
     word_cols = [
         F.expr(
             f"aggregate(filter(ids, i -> i div 64 = {j}), CAST(0 AS BIGINT), "
@@ -176,8 +186,8 @@ def minhash_lsh_candidates(
     ~6× less hashing on repetitive corpora, and the dictionary join is
     the scale-safe equi-join shape."""
     rows_per_band = n_hashes // bands
-    sh = _doc_shingles(docs, n).filter(F.size("sh") > 0)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # zero-shingle docs are naturally absent from the exploded rows
+    ex = _shingle_rows(docs, n)
     hash_cols = [
         F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
         for i in range(n_hashes)

@@ -69,7 +69,7 @@ def embedding_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
 
 
 def blocked_self_pairs(
-    v: DataFrame, id_col: str, n_blocks: int = 32
+    v: DataFrame, id_col: str, n_blocks: int = 64
 ) -> DataFrame:
     """Every unordered distinct row pair of ``v`` exactly once, as a
     shuffled EQUI-join on block-pair keys instead of a cross join.

@@ -457,13 +457,18 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..streaming.sessions import sessionize_stateful
 
-    e = table(spark, sf, "events")
-    tmp = f"/tmp/stream_sessions_{uuid.uuid4().hex[:8]}"
-    e.select("user_id", "ts", "event_id", "value").write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
-    stream = spark.readStream.schema(schema).parquet(tmp)
+    # stream straight off the testdata parquet (same nanos-ts handling
+    # as streaming/weekly.py) — no staging copy
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = sessionize_stateful(stream, gap_minutes=30)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     q = (

@@ -653,7 +653,107 @@ FROM cells WHERE rn = 1 ORDER BY pair_id, r, c
 """
 
 
+def q_crop_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's stage-4 crop engine end-to-end in native mode
+    (ops 35 -> 13 -> 20/43/44 -> 14/26 -> 33-grid) on fixture stand-ins:
+    vec 0's sign pattern is the 8x8 centerline mask; every embedding is
+    an 8x8 HR raster whose first 16 values double as the 4x4 LR raster
+    (scale 2). Mask explode -> bounds filter -> aligned HR/LR slices ->
+    integer-exact quality predicate -> grid overlap suppression."""
+    from ..operators.crops import (
+        candidate_centers,
+        quality_flag,
+        slice_crop_pairs,
+        suppress_overlap_grid,
+    )
+
+    e = table(spark, sf, "embeddings")
+    mask = e.filter(F.col("vec_id") == 0).select(
+        F.lit(1).alias("mask_id"),
+        F.lit(8).alias("height"),
+        F.lit(8).alias("width"),
+        F.transform(
+            "embedding", lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("pixels"),
+    )
+    centers = candidate_centers(mask, batch_size=4, compat_bounds=False)
+    pairs = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("pair_id"),
+        F.array(F.col("embedding")).alias("hr_bands"),
+        F.lit(8).alias("hr_width"),
+        F.array(F.slice("embedding", 1, 16)).alias("lr_bands"),
+        F.lit(4).alias("lr_width"),
+    )
+    sliced = slice_crop_pairs(pairs, centers, batch_size=4, scale=2)
+    flagged = sliced.withColumn(
+        "ok", quality_flag(batch_size=4, scale=2, n_bands=1, compat=True)
+    )
+    kept = suppress_overlap_grid(flagged, batch_size=4, pct=0.7)  # stride 2
+    out = kept.join(flagged, ["pair_id", "r", "c"])
+    hr = F.element_at("hr_crop", 1)
+    lr = F.element_at("lr_crop", 1)
+    return out.select(
+        F.col("pair_id").cast("long"),
+        F.col("r").cast("long"),
+        F.col("c").cast("long"),
+        F.size(F.filter(hr, lambda x: x > 0)).cast("long").alias("n_pos_hr"),
+        F.size(F.filter(lr, lambda x: x > 0)).cast("long").alias("n_pos_lr"),
+    ).orderBy("pair_id", "r", "c")
+
+
+SQL_CROP_PIPELINE = """
+WITH mask AS (
+  SELECT unnest(range(0, 64)) AS p, embedding
+  FROM embeddings WHERE vec_id = 0
+),
+pts AS (
+  SELECT CAST(p // 8 AS INTEGER) AS r, CAST(p % 8 AS INTEGER) AS c
+  FROM (SELECT p, embedding[CAST(p + 1 AS INTEGER)] AS v FROM mask)
+  WHERE v > 0
+),
+centers AS (
+  SELECT r, c FROM pts WHERE r > 2 AND c > 2 AND r < 6 AND c < 6
+),
+pairs AS (
+  SELECT vec_id AS pair_id, embedding FROM embeddings WHERE vec_id < 64
+),
+crops AS (
+  SELECT pair_id, r, c,
+    flatten(list_transform(range(r - 2, r + 2),
+      rr -> embedding[CAST(rr*8 + (c-2) + 1 AS INTEGER):CAST(rr*8 + (c-2) + 4 AS INTEGER)])) AS hr,
+    flatten(list_transform(range((r-2)//2, (r-2)//2 + 2),
+      rr -> embedding[CAST(rr*4 + (c-2)//2 + 1 AS INTEGER):CAST(rr*4 + (c-2)//2 + 2 AS INTEGER)])) AS lr
+  FROM pairs CROSS JOIN centers
+),
+flagged AS (
+  SELECT pair_id, r, c, hr, lr,
+         len(list_filter(hr, x -> x != 0)) AS nz_hr,
+         len(list_filter(lr, x -> x != 0)) AS nz_lr,
+         len(list_filter(lr, x -> x = -9999)) AS nine_lr,
+         len(list_filter(hr, x -> isinf(x))) AS inf_hr
+  FROM crops
+),
+ok AS (
+  SELECT * FROM flagged
+  WHERE nz_hr*100 >= 99*16 AND nz_lr*100 >= 99*4
+    AND nine_lr*100 <= 1*4 AND inf_hr*100 <= 1*8
+),
+kept AS (
+  SELECT pair_id, r, c, hr, lr,
+         row_number() OVER (PARTITION BY pair_id, r // 2, c // 2
+                            ORDER BY r, c) AS rn
+  FROM ok
+)
+SELECT CAST(pair_id AS BIGINT) AS pair_id,
+       CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+       CAST(len(list_filter(hr, x -> x > 0)) AS BIGINT) AS n_pos_hr,
+       CAST(len(list_filter(lr, x -> x > 0)) AS BIGINT) AS n_pos_lr
+FROM kept WHERE rn = 1 ORDER BY pair_id, r, c
+"""
+
+
 _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "crop_pipeline": (q_crop_pipeline, SQL_CROP_PIPELINE),
     "crop_slice_quality": (q_crop_slice_quality, SQL_CROP_SLICE_QUALITY),
     "overlap_grid": (q_overlap_grid, SQL_OVERLAP_GRID),
     "catalog_week_class": (q_catalog_week_class, SQL_CATALOG_WEEK_CLASS),

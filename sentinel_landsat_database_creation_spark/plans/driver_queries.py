@@ -199,6 +199,88 @@ ORDER BY c_custkey, s_suppkey
 # summary — filter pushdown + map-side partial aggregation
 
 
+def q_pairing_compat(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL stage-2 pairing operator (ops 17/39 end-to-end):
+    synthesize S2-style scene names from click/view events, build both
+    week-class catalogs with the actual build_catalog, join with
+    pair_catalogs, and render data_2 exactly as Python str(list) — the
+    compat CSV cell format. The left listing subsamples 1-in-53 events
+    so the stringified output stays bounded at bench scale."""
+    from ..compat.golden import stringify_list
+    from ..functions.dates import WeekGrid, s2_date
+    from ..operators.catalog import build_catalog
+    from ..operators.pairing import pair_catalogs
+
+    grid = WeekGrid.from_range("2024-01-01", "2025-01-15")
+    ev = table(spark, sf, "events")
+
+    def listing(etype: str, sample_mod: int | None) -> DataFrame:
+        out = ev.filter(F.col("event_type") == etype)
+        if sample_mod is not None:
+            out = out.filter(F.col("event_id") % sample_mod == 0)
+        return out.select(
+            F.concat(
+                F.date_format("ts", "yyyyMMdd"),
+                F.lit("T000000_E"),
+                F.col("event_id").cast("string"),
+            ).alias("data")
+        )
+
+    s_cat = build_catalog(
+        listing("click", 53), s2_date(F.col("data")), "S2", grid, keep_week=True
+    )
+    l_cat = build_catalog(
+        listing("view", None), s2_date(F.col("data")), "L8", grid, keep_week=True
+    )
+    pairs = pair_catalogs(s_cat, l_cat)
+    return pairs.select(
+        "data_1", stringify_list(F.col("data_2")).alias("data_2")
+    ).orderBy("data_1")
+
+
+def _sql_pairing_compat() -> str:
+    from ..functions.dates import WeekGrid
+
+    grid = WeekGrid.from_range("2024-01-01", "2025-01-15")
+    label = base26_label_sql("dense_rank() OVER (ORDER BY wk)")
+
+    def side(etype: str, sample: str) -> str:
+        return f"""
+  SELECT strftime(ts, '%Y%m%d') || 'T000000_E' || CAST(event_id AS VARCHAR) AS data,
+         {_WK} AS wk
+  FROM events
+  WHERE event_type = '{etype}'{sample}
+    AND CAST(ts AS DATE) BETWEEN DATE '{grid.first_edge}' AND DATE '{grid.last_edge}'
+"""
+
+    return f"""
+WITH s_rows AS ({side("click", " AND event_id % 53 = 0")}),
+l_rows AS ({side("view", "")}),
+s_lab AS (SELECT wk, {label} AS class FROM (SELECT DISTINCT wk FROM s_rows)),
+l_lab AS (SELECT wk, {label} AS class FROM (SELECT DISTINCT wk FROM l_rows)),
+s_cat AS (
+  SELECT 'S2/' || r.data AS data_1, s.class
+  FROM s_rows r JOIN s_lab s ON r.wk = s.wk
+),
+l_cat AS (
+  SELECT 'L8/' || r.data AS p, l.class
+  FROM l_rows r JOIN l_lab l ON r.wk = l.wk
+),
+grouped AS (
+  SELECT s.data_1,
+         list('''' || l.p || '''' ORDER BY l.p) FILTER (WHERE l.p IS NOT NULL) AS quoted
+  FROM s_cat s LEFT JOIN l_cat l ON s.class = l.class
+  GROUP BY s.data_1
+)
+SELECT data_1,
+       '[' || coalesce(array_to_string(quoted, ', '), '') || ']' AS data_2
+FROM grouped ORDER BY data_1
+"""
+
+
+SQL_PAIRING_COMPAT = _sql_pairing_compat()
+
+
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # date(ts) <= d rewritten as ts < d+1 so the predicate pushes into
     # the parquet scan (a to_date() wrapper would block pushdown).
@@ -761,6 +843,7 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "pair_count_by_class": (q_pair_count_by_class, SQL_PAIR_COUNT_BY_CLASS),
     "pair_count_compat": (q_pair_count_compat, SQL_PAIR_COUNT_COMPAT),
     "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
+    "pairing_compat": (q_pairing_compat, SQL_PAIRING_COMPAT),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),

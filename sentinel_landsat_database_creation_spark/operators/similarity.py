@@ -14,24 +14,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def as_double(v: Column) -> Column:
-    return F.transform(v, lambda x: x.cast("double"))
-
-
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
-
-
 def dot_cast(a: Column, b: Column) -> Column:
     """Dot product over raw float arrays: per-element double widening
     INSIDE the zip_with lambda, sequential fold. Two hot-path rules

@@ -218,19 +218,26 @@ def q_pairing_compat(spark: SparkSession, sf: str) -> DataFrame:
         out = ev.filter(F.col("event_type") == etype)
         if sample_mod is not None:
             out = out.filter(F.col("event_id") % sample_mod == 0)
-        return out.select(
+        names = out.select(
             F.concat(
                 F.date_format("ts", "yyyyMMdd"),
                 F.lit("T000000_E"),
                 F.col("event_id").cast("string"),
             ).alias("data")
         )
+        # Materialize the tiny listing once: build_catalog consumes its
+        # input several times (labels, spine, rows) and each use would
+        # otherwise rescan the full events table. A scene listing is
+        # driver-sized by nature (the reference's os.listdir is too).
+        return spark.createDataFrame(
+            [(r["data"],) for r in names.collect()], "data string"
+        )
 
     s_cat = build_catalog(
         listing("click", 53), s2_date(F.col("data")), "S2", grid, keep_week=True
     )
     l_cat = build_catalog(
-        listing("view", None), s2_date(F.col("data")), "L8", grid, keep_week=True
+        listing("view", 11), s2_date(F.col("data")), "L8", grid, keep_week=True
     )
     pairs = pair_catalogs(s_cat, l_cat)
     return pairs.select(
@@ -255,7 +262,7 @@ def _sql_pairing_compat() -> str:
 
     return f"""
 WITH s_rows AS ({side("click", " AND event_id % 53 = 0")}),
-l_rows AS ({side("view", "")}),
+l_rows AS ({side("view", " AND event_id % 11 = 0")}),
 s_lab AS (SELECT wk, {label} AS class FROM (SELECT DISTINCT wk FROM s_rows)),
 l_lab AS (SELECT wk, {label} AS class FROM (SELECT DISTINCT wk FROM l_rows)),
 s_cat AS (

@@ -128,7 +128,12 @@ def _jaccard_bitmap(
     intersection via an unrolled bit_count(a&b) sum, union/jaccard from
     the carried sizes. No per-pair joins after the pair join itself (the
     12.5M-pair stream at sf0.1 previously crossed two more broadcast
-    joins just to fetch sizes)."""
+    joins just to fetch sizes).
+
+    Negative result, measured: packing the words into ONE array<long>
+    column (element_at per term instead of scalar columns) is ~7x
+    SLOWER (50 s vs 7 s warm) — per-pair array handling through the
+    join dwarfs the wider-row cost. Keep the words as scalar columns."""
     from .similarity import blocked_self_pairs
 
     n_words = (n_vocab + 63) // 64

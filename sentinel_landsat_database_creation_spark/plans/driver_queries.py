@@ -658,6 +658,105 @@ ORDER BY vec_id, pos
 
 
 # ---------------------------------------------------------------------------
+# analytic breadth beyond the reference: rollup, window frames, exact
+# quantiles — standard OLAP surface a replacement engine must carry
+
+
+def q_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP over (returnflag, linestatus): subtotal and
+    grand-total rows from one pass (Catalyst expands the grouping sets;
+    partial aggregation still applies map-side)."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("lstatus"),
+            "rev_cents",
+            "n",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+SQL_REVENUE_ROLLUP = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       CAST(sum({_CENTS.format(expr="l_extendedprice")}) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rflag, lstatus
+"""
+
+
+def q_user_value_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame: per-user 4-event
+    moving sum of value cents (deterministic order via (ts, event_id)).
+    One shuffle on user_id; the frame runs inside the sorted
+    partition."""
+    ev = table(spark, sf, "events").withColumn("cents", _cents(F.col("value")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.select(
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            F.sum("cents").over(w).cast("long").alias("moving_cents"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .cast("long")
+            .alias("seq"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_USER_VALUE_MOVING_AVG = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum({_CENTS.format(expr="value")}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents,
+       CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events ORDER BY event_id
+"""
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles of document length per source (Spark
+    ``percentile`` == DuckDB ``quantile_cont``: same linear
+    interpolation over exact int inputs)."""
+    d = table(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.percentile(F.col("n_chars"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("n_chars"), F.lit(0.9)).alias("p90"),
+            F.max("n_chars").cast("long").alias("mx"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+SELECT source,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       CAST(max(n_chars) AS BIGINT) AS mx
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # crop-engine ops on fixture stand-ins (ops 43/44/26/14 and 33-native)
 
 
@@ -851,6 +950,9 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "pair_count_compat": (q_pair_count_compat, SQL_PAIR_COUNT_COMPAT),
     "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
     "pairing_compat": (q_pairing_compat, SQL_PAIRING_COMPAT),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "user_value_moving_avg": (q_user_value_moving_avg, SQL_USER_VALUE_MOVING_AVG),
+    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),

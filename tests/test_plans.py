@@ -58,3 +58,42 @@ def test_embed_quality_stays_native(spark):
 def test_token_stats_stays_native(spark):
     plan = _plan(spark, "token_stats")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides of a join on the join key pre-shuffles the
+    data at write time — the co-located join then plans with NO Exchange
+    (the 100 TB repeated-join pattern: pay the shuffle once at layout
+    time, never per query)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, df in (("bt_left", left), ("bt_right", right)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table("bt_left").join(spark.table("bt_right"), "user_id")
+        assert joined.count() == left.count()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for name in ("bt_left", "bt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -492,6 +492,48 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over an unbounded key
+    stream (state = seen-key set; on a real deployment bound it with
+    dropDuplicatesWithinWatermark). Which physical row survives is
+    arrival-order-dependent, so the query emits only the key columns —
+    as a SET the result is deterministic and equals batch DISTINCT,
+    giving the streaming operator an exact oracle."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("user_id").cast("long"), "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+SQL_STREAM_DEDUP_KEYS = """
+SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # stateful sessionization (batch twin of streaming/sessions.py)
 
@@ -590,6 +632,7 @@ REGISTRY_EXT = {
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "stream_weekly_counts": (q_stream_weekly_counts, SQL_STREAM_WEEKLY_COUNTS),
+    "stream_dedup_keys": (q_stream_dedup_keys, SQL_STREAM_DEDUP_KEYS),
     # rows-only: custom stateful streaming (not SQL-expressible);
     # batch twin `user_sessions` carries the exact oracle
     "stream_sessions": (q_stream_sessions, None),

@@ -37,6 +37,23 @@ from ..operators.textops import (
 )
 from ..sources.testdata import table
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Temporarily size streaming state-store partitions (fixed at query
+    start from spark.sql.shuffle.partitions). The driver fixtures are
+    small — 8 stores beat 32 by ~2x on checkpoint overhead (measured);
+    a real deployment sizes this to stream volume instead."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # DuckDB fragment: distinct 2-gram shingle list per document.
 _SH2 = (
     "SELECT doc_id, list_distinct([t[i] || '_' || t[i+1] "
@@ -471,14 +488,15 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = sessionize_stateful(stream, gap_minutes=30)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -513,14 +531,15 @@ def q_stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(F.col("user_id").cast("long"), "event_type")

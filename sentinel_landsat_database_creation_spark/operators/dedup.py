@@ -15,7 +15,7 @@ equi-joins whose fan-out is governed by bucket sizes, the standard
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles

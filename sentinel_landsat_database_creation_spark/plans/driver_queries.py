@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dates import epoch_week_index, week_start_of_index
 from ..functions.labels import base26_label_sql
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS
 from ..operators.catalog import label_weeks
 from ..sources.testdata import table
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    DateType,
     FloatType,
     IntegerType,
     LongType,

@@ -657,6 +657,41 @@ ORDER BY vec_id, pos
 """
 
 
+def q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Op 18's richer variant, the scale path: click->error pairs of the
+    same user within 10 minutes via temporal bucketing + equi-join
+    (operators/rangejoin.py) — never a nested-loop range predicate."""
+    from ..operators.rangejoin import time_range_join
+
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = time_range_join(clicks, errors, "user_id", tol_seconds=600)
+    return out.select(
+        F.col("l_user_id").cast("long").alias("user_id"),
+        F.col("l_event_id").cast("long").alias("click_id"),
+        F.col("r_event_id").cast("long").alias("error_id"),
+        F.col("dt_us").cast("long"),
+    ).orderBy("user_id", "click_id", "error_id")
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(e.event_id AS BIGINT) AS error_id,
+       CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS dt_us
+FROM events c
+JOIN events e ON c.user_id = e.user_id
+  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 600 * 1000000
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+ORDER BY user_id, click_id, error_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # analytic breadth beyond the reference: rollup, window frames, exact
 # quantiles — standard OLAP surface a replacement engine must carry
@@ -950,6 +985,7 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "pair_count_compat": (q_pair_count_compat, SQL_PAIR_COUNT_COMPAT),
     "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
     "pairing_compat": (q_pairing_compat, SQL_PAIRING_COMPAT),
+    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_moving_avg": (q_user_value_moving_avg, SQL_USER_VALUE_MOVING_AVG),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

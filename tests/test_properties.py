@@ -179,3 +179,45 @@ def test_sessionize_batch_matches_python_reference(spark, events, gap_min):
                  round(sum(v for _, _, v in cur), 6))
             )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# time_range_join: the bucket ±1 fan-out must reproduce the exact
+# |dt| <= tol predicate, including rows exactly at the tolerance edge
+
+_tevents = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),        # key
+        st.integers(min_value=0, max_value=3600),     # seconds offset
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_tevents, _tevents, st.sampled_from([60, 300, 600]))
+def test_time_range_join_matches_bruteforce(spark, lrows, rrows, tol):
+    from sentinel_landsat_database_creation_spark.operators.rangejoin import (
+        time_range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows: [
+        (k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)
+    ]
+    schema = "user_id long, ts timestamp, event_id long"
+    ldata, rdata = mk(lrows), mk(rrows)
+    ldf = spark.createDataFrame(ldata, schema) if ldata else spark.createDataFrame([], schema)
+    rdf = spark.createDataFrame(rdata, schema) if rdata else spark.createDataFrame([], schema)
+    got = {
+        (r["l_event_id"], r["r_event_id"], r["dt_us"])
+        for r in time_range_join(ldf, rdf, "user_id", tol_seconds=tol).collect()
+    }
+    want = {
+        (li, ri, int((rts - lts).total_seconds() * 1_000_000))
+        for lk, lts, li in ldata
+        for rk, rts, ri in rdata
+        if lk == rk and abs((rts - lts).total_seconds()) <= tol
+    }
+    assert got == want

@@ -1,0 +1,47 @@
+"""Skew-mitigated joins: explicit key salting.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge skew
+transparently, but two cases still need explicit salting at 100 TB:
+aggregations onto a hot key, and shuffled joins where one side's hot
+key exceeds what AQE can split (a single key cannot be subdivided by
+partition splitting when the OTHER side must see all of it).
+
+``salted_join`` implements the standard pattern: the skewed (big) side
+gets a deterministic salt in [0, n_salts) derived from a high-cardinality
+column, the small side is replicated once per salt, and the join runs on
+(key, salt) — the hot key's rows now spread across n_salts reducers.
+Replication multiplies the small side by n_salts, so size it like a
+broadcast decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``skewed`` x ``small`` on ``key_col`` with the skewed
+    side's rows spread over ``n_salts`` sub-keys.
+
+    ``salt_source`` names a column whose hash spreads rows (defaults to
+    the whole row via monotonically varying partition/offset — pass an
+    id column for determinism). Output columns = skewed's + small's
+    (minus the duplicate key), same as a plain join.
+    """
+    if salt_source is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    l = skewed.withColumn("_salt", salt.cast("int"))
+    r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return l.join(r, [key_col, "_salt"], how).drop("_salt")

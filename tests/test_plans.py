@@ -97,3 +97,36 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for name in ("bt_left", "bt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: hot-key events joined to
+    a user dim give identical results salted or plain."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.skew import salted_join
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    # manufacture skew: fold most users onto one hot key
+    skewed = ev.select(
+        F.when(F.col("user_id") % 4 != 0, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "value",
+    )
+    dim = (
+        skewed.select("user_id").distinct().withColumn("tag", F.col("user_id") * 10)
+    )
+    plain = {
+        (r["user_id"], r["event_id"], r["tag"])
+        for r in skewed.join(dim, "user_id").collect()
+    }
+    salted = {
+        (r["user_id"], r["event_id"], r["tag"])
+        for r in salted_join(
+            skewed, dim, "user_id", n_salts=8, salt_source="event_id"
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0

@@ -791,6 +791,79 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: customers that never placed an order. Catalyst
+    plans a broadcast anti join off the orders key projection."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .select(F.col("c_custkey").cast("long"), "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_click_only_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference (EXCEPT): users who clicked but never purchased."""
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == EXCEPT (set semantics); exceptAll would keep users
+    # whose click count merely exceeds their purchase count
+    return (
+        clicks.subtract(buys)
+        .select(F.col("user_id").cast("long"))
+        .orderBy("user_id")
+    )
+
+
+SQL_CLICK_ONLY_USERS = """
+SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+) ORDER BY user_id
+"""
+
+
+def q_weekly_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: event counts per week wide by type (explicit value list so
+    the pivot is a single pass, no distinct-values pre-job)."""
+    types = ["click", "view", "purchase", "error", "signup"]
+    ev = table(spark, sf, "events").withColumn(
+        "wk", epoch_week_index(F.to_date("ts"))
+    )
+    wide = ev.groupBy("wk").pivot("event_type", types).count()
+    return wide.select(
+        _week_start_str(F.col("wk")).alias("week_start"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    ).orderBy("week_start")
+
+
+SQL_WEEKLY_TYPE_PIVOT = f"""
+WITH w AS (SELECT {_WK} AS wk, event_type FROM events)
+SELECT {_WEEK_START} AS week_start,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+FROM w GROUP BY wk ORDER BY week_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # crop-engine ops on fixture stand-ins (ops 43/44/26/14 and 33-native)
 
@@ -986,6 +1059,9 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
     "pairing_compat": (q_pairing_compat, SQL_PAIRING_COMPAT),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "click_only_users": (q_click_only_users, SQL_CLICK_ONLY_USERS),
+    "weekly_type_pivot": (q_weekly_type_pivot, SQL_WEEKLY_TYPE_PIVOT),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_moving_avg": (q_user_value_moving_avg, SQL_USER_VALUE_MOVING_AVG),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

@@ -96,6 +96,38 @@ def language_id_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """LLM-prep chunking: split each document into fixed-size token
+    windows with overlap (stride < chunk_tokens), one output row per
+    chunk — the standard training-data windowing step. Pure higher-order
+    expressions (sequence -> slice -> array_join), so the row explosion
+    stays JVM-side and embarrassingly parallel; no UDF.
+
+    Chunk starts run 0, stride, 2*stride, … up to the last start that
+    still begins inside the document; the final chunk may be short.
+    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chunks = F.when(n_tok <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n_tok - chunk_tokens) / F.lit(stride)) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
 def quality_stats(docs: DataFrame) -> DataFrame:
     """Length / distinct-ratio / stopword-ratio quality signals. Each
     ratio is a single exact-int division (cross-engine deterministic)."""

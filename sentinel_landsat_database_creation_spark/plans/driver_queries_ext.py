@@ -284,6 +284,34 @@ FROM s ORDER BY doc_id
 SQL_LANG_GUESS = _sql_lang_guess()
 
 
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-prep chunking: 32-token windows, stride 24 (overlap 8), one
+    row per chunk via native higher-order expressions + posexplode."""
+    from ..operators.textops import chunk_documents
+
+    docs = table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+  FROM t
+),
+e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)], ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     return docs.select(
@@ -648,6 +676,7 @@ REGISTRY_EXT = {
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "stream_weekly_counts": (q_stream_weekly_counts, SQL_STREAM_WEEKLY_COUNTS),

@@ -231,6 +231,41 @@ def minhash_lsh_candidates(
     )
 
 
+def neardup_pipeline(
+    docs: DataFrame,
+    n: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production two-stage near-dup shape: MinHash+LSH generates
+    candidate pairs (cheap, recall-tuned by bands), exact Jaccard
+    verifies ONLY the candidates (array_intersect per candidate pair —
+    work scales with candidate count, never with N²). This is the
+    composition a 100 TB dedup actually runs; ngram_jaccard_pairs is the
+    exact-everything baseline it's measured against.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs."""
+    cand = minhash_lsh_candidates(docs, n=n, n_hashes=n_hashes, bands=bands)
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(toks, n)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard", inter.cast("double") / union.cast("double")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash over the token stream (frequency-
     weighted). Near-dups collide or differ in few bits; grouping by the

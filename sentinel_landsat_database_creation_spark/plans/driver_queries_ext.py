@@ -155,6 +155,42 @@ FROM votes ORDER BY doc_id
 SQL_SIMHASH_DOCS = _sql_simhash()
 
 
+def q_neardup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage near-dup: LSH candidates -> exact-Jaccard verify on
+    candidates only (operators/dedup.py:neardup_pipeline)."""
+    from ..operators.dedup import neardup_pipeline
+
+    docs = table(spark, sf, "documents")
+    return neardup_pipeline(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+SQL_NEARDUP_PIPELINE = f"""
+WITH sh AS ({_SH2}),
+sig AS (SELECT doc_id,
+        {", ".join(f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}" for i in range(8))}
+        FROM sh WHERE len(s) > 0),
+banded AS (SELECT doc_id, unnest([
+        {", ".join("'" + str(b) + "|' || " + " || '|' || ".join(f"h{b * 2 + j}" for j in range(2)) for b in range(4))}
+        ]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
+FROM verified WHERE jaccard >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_embed_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     return embedding_cosine_pairs(e, threshold=0.35).orderBy("vec_a", "vec_b")
@@ -668,6 +704,7 @@ REGISTRY_EXT = {
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "neardup_pipeline": (q_neardup_pipeline, SQL_NEARDUP_PIPELINE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "embed_cosine_neardup": (q_embed_cosine_neardup, SQL_EMBED_COSINE_NEARDUP),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

@@ -266,6 +266,63 @@ def neardup_pipeline(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list
+    (doc_a, doc_b): iterative min-label propagation, the Pregel-style
+    loop run as driver-coordinated DataFrame iterations (each round is
+    one shuffle; rounds are bounded by component diameter, which for
+    near-dup graphs is tiny). Labels converge to the component's minimum
+    doc_id — the canonical survivor.
+
+    Returns (doc_id, cluster) for every node that appears in a pair.
+    This is the step that turns near-dup PAIRS into dedup DECISIONS:
+    keep doc_id == cluster, drop the rest."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster").alias("n_cluster"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_cluster").alias("neighbor_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash over the token stream (frequency-
     weighted). Near-dups collide or differ in few bits; grouping by the

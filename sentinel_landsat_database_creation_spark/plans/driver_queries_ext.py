@@ -191,6 +191,49 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> survivor decision:
+    cluster label = min doc_id in the component (iterative min-label
+    propagation; the DuckDB twin is a recursive CTE computing min
+    reachable id). keep=1 marks the canonical survivor per cluster."""
+    from ..operators.dedup import connected_components, neardup_pipeline
+
+    docs = table(spark, sf, "documents")
+    pairs = neardup_pipeline(docs, threshold=0.5)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster").cast("long"),
+        (F.col("doc_id") == F.col("cluster")).cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    inner = SQL_NEARDUP_PIPELINE.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH pairs AS ({inner}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, min(lab) AS cluster FROM r GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(node = cluster AS BIGINT) AS keep
+FROM reach ORDER BY doc_id
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
 def q_embed_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     return embedding_cosine_pairs(e, threshold=0.35).orderBy("vec_a", "vec_b")
@@ -705,6 +748,7 @@ REGISTRY_EXT = {
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "neardup_pipeline": (q_neardup_pipeline, SQL_NEARDUP_PIPELINE),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "embed_cosine_neardup": (q_embed_cosine_neardup, SQL_EMBED_COSINE_NEARDUP),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

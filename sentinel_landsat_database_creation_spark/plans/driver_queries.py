@@ -835,6 +835,29 @@ FROM (
 """
 
 
+def q_weekly_click_view_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join: weekly click vs signup counts, weeks missing on
+    either side surfacing with zero (coalesced key + counts)."""
+    clicks = _weekly_by_type(spark, sf, "click", "n_click")
+    signups = _weekly_by_type(spark, sf, "signup", "n_signup")
+    joined = clicks.join(signups, "wk", "full_outer")
+    return joined.select(
+        _week_start_str(F.col("wk")).alias("week_start"),
+        F.coalesce(F.col("n_click"), F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce(F.col("n_signup"), F.lit(0)).cast("long").alias("n_signup"),
+    ).orderBy("week_start")
+
+
+SQL_WEEKLY_CLICK_VIEW_OUTER = f"""
+WITH c AS ({_SQL_WEEKLY_TYPED.format(t="click")}), s AS ({_SQL_WEEKLY_TYPED.format(t="signup")})
+SELECT {_WEEK_START.replace("wk", "coalesce(c.wk, s.wk)")} AS week_start,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_click,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_signup
+FROM c FULL OUTER JOIN s ON c.wk = s.wk
+ORDER BY week_start
+"""
+
+
 def q_weekly_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: event counts per week wide by type (explicit value list so
     the pivot is a single pass, no distinct-values pre-job)."""
@@ -1062,6 +1085,7 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "click_only_users": (q_click_only_users, SQL_CLICK_ONLY_USERS),
     "weekly_type_pivot": (q_weekly_type_pivot, SQL_WEEKLY_TYPE_PIVOT),
+    "weekly_click_view_outer": (q_weekly_click_view_outer, SQL_WEEKLY_CLICK_VIEW_OUTER),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_moving_avg": (q_user_value_moving_avg, SQL_USER_VALUE_MOVING_AVG),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

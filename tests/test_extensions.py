@@ -153,3 +153,31 @@ def test_decode_image_is_explicit_stub(spark):
     docs = table(spark, SF, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         decode_image(media_from_documents(docs))
+
+
+def test_chunk_documents_short_and_exact_docs(spark):
+    """Chunking edge cases: a doc shorter than the window yields one
+    (short) chunk; an exact-multiple doc yields full windows with the
+    configured overlap."""
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                                  # shorter than window
+            (2, " ".join(f"t{i}" for i in range(8))),      # window + 1 stride
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    assert rows[(1, 0)] == (3, "a b c")
+    assert (1, 1) not in rows
+    # doc 2: 8 tokens, window 4, stride 3 -> starts 0,3 and final short 6
+    assert rows[(2, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(2, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(2, 2)] == (2, "t6 t7")
+    assert (2, 3) not in rows

@@ -130,3 +130,24 @@ def test_salted_join_matches_plain_join(spark):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_blocked_pairs_plan_shape(spark):
+    """The all-pairs cosine must plan as a shuffled equi-join on the
+    block key — BroadcastNestedLoopJoin (single-task, interpreted) or a
+    broadcast hash join (inherits the 1-partition scan) would both
+    regress the quadratic stage to one core."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    df = REGISTRY["embed_cosine_neardup"][0](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan

@@ -410,6 +410,70 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible train/val/test assignment by content-independent
+    hash bucket (md5 of the id, 256 buckets: 90/5/5) — the standard
+    deterministic split that survives reshuffles, repartitions, and
+    incremental reruns. Emits per-(source, split) counts."""
+    d = table(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 230, F.lit("train"))
+        .when(bucket < 243, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 230 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 243 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY source, split ORDER BY source, split
+"""
+
+
+def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unit-norm projection of the embedding column (the preprocessing
+    step before cosine search reduces to dot product). Norm is the exact
+    sequential fold; each element's division is one IEEE op — bit-exact
+    vs DuckDB. Emits the norm and the first two normalized dims."""
+    from ..operators.similarity import norm_cast
+
+    e = table(spark, sf, "embeddings")
+    nv = norm_cast(F.col("embedding"))
+    return e.select(
+        F.col("vec_id").cast("long"),
+        nv.alias("norm"),
+        (F.element_at("embedding", 1).cast("double") / nv).alias("u0"),
+        (F.element_at("embedding", 2).cast("double") / nv).alias("u1"),
+    ).orderBy("vec_id")
+
+
+SQL_EMBED_NORMALIZE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding::DOUBLE[], x -> x * x)),
+              (a, x) -> a + x)) AS nrm
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, nrm AS norm,
+       ev[1] / nrm AS u0, ev[2] / nrm AS u1
+FROM v ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 
@@ -758,6 +822,8 @@ REGISTRY_EXT = {
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "stream_weekly_counts": (q_stream_weekly_counts, SQL_STREAM_WEEKLY_COUNTS),

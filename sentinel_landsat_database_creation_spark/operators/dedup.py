@@ -42,11 +42,24 @@ def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
     ).distinct()
 
 
+def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
+    """The distinct (doc_id, shingle) table, materialized once with
+    localCheckpoint. Every dedup operator's heaviest stage is this
+    explode + distinct shuffle; each consumer reads it 2-3 times
+    (vocab + signature join, probe + bitmap pack, pair sides), so an
+    uncheckpointed subtree runs the shuffle that many times (measured
+    14 s -> ~5 s for minhash_lsh at sf0.1). Callers composing several
+    dedup operators (neardup_pipeline, dedup_clusters) pass this one
+    table through instead of re-shingling per stage."""
+    return _shingle_rows(docs, n).localCheckpoint(eager=True)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 2,
     threshold: float = 0.3,
     max_bitmap_bits: int = 4096,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup join, with an adaptive physical
     strategy (identical output either way):
@@ -64,8 +77,16 @@ def ngram_jaccard_pairs(
 
     The vocabulary count is a plan-time probe (one aggregate job over
     the distinct-shingle table), the same class of decision as AQE's
-    broadcast-vs-shuffle switch."""
-    ex = _shingle_rows(docs, n)
+    broadcast-vs-shuffle switch.
+
+    ``shingle_rows`` lets callers that already materialized the distinct
+    (doc_id, shingle) table (see shingle_rows_materialized) pass it in
+    instead of re-shingling."""
+    ex = (
+        shingle_rows
+        if shingle_rows is not None
+        else shingle_rows_materialized(docs, n)
+    )
     # Plan-time vocabulary probe: collect the distinct shingles (bounded
     # by max_bitmap_bits+1 — LIMIT keeps a huge-vocab corpus from ever
     # pulling its dictionary to the driver). One action instead of a
@@ -177,7 +198,11 @@ def _jaccard_bitmap(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, n: int = 2, n_hashes: int = 8, bands: int = 4
+    docs: DataFrame,
+    n: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: signature of n_hashes md5-min values,
     split into ``bands`` bands; documents sharing any band become a
@@ -189,10 +214,18 @@ def minhash_lsh_candidates(
     (document, shingle) occurrence — the signature min then comes from a
     plain groupBy. Identical signatures (min over the same multiset),
     ~6× less hashing on repetitive corpora, and the dictionary join is
-    the scale-safe equi-join shape."""
+    the scale-safe equi-join shape.
+
+    The shingle table feeds BOTH the vocab subtree and the signature
+    join, so it arrives materialized (shingle_rows_materialized) — an
+    inline subtree would run the heaviest shuffle twice."""
     rows_per_band = n_hashes // bands
     # zero-shingle docs are naturally absent from the exploded rows
-    ex = _shingle_rows(docs, n)
+    ex = (
+        shingle_rows
+        if shingle_rows is not None
+        else shingle_rows_materialized(docs, n)
+    )
     hash_cols = [
         F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -245,12 +278,20 @@ def neardup_pipeline(
     composition a 100 TB dedup actually runs; ngram_jaccard_pairs is the
     exact-everything baseline it's measured against.
 
-    Returns (doc_a, doc_b, jaccard) for verified pairs."""
-    cand = minhash_lsh_candidates(docs, n=n, n_hashes=n_hashes, bands=bands)
-    toks = F.split(F.col("text"), " ")
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles(toks, n)).alias("sh")
+    Returns (doc_a, doc_b, jaccard) for verified pairs.
+
+    The materialized shingle table is computed ONCE and shared by the
+    candidate stage and both verify sides — re-shingling per stage would
+    run the explode+distinct shuffle three times (it did; measured in
+    BENCH_r01's 9.6 s)."""
+    ex = shingle_rows_materialized(docs, n)
+    cand = minhash_lsh_candidates(
+        docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex
     )
+    # ex is already distinct per (doc_id, shingle): collect_list gives
+    # exactly the per-doc distinct shingle set (order irrelevant to
+    # array_intersect/size below).
+    sh = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -327,6 +368,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without convergence means some component's
+        # diameter exceeds the iteration budget and the labels are WRONG
+        # (not just suboptimal) — fail loudly rather than return them.
+        # Min-label propagation needs at most diameter(G) rounds; raise
+        # max_iter (or square the graph / use large-star small-star) for
+        # long-chain graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter for graphs with long chains"
+        )
     return labels
 
 

@@ -225,13 +225,14 @@ def q_pairing_compat(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("event_id").cast("string"),
             ).alias("data")
         )
-        # Materialize the tiny listing once: build_catalog consumes its
-        # input several times (labels, spine, rows) and each use would
-        # otherwise rescan the full events table. A scene listing is
-        # driver-sized by nature (the reference's os.listdir is too).
-        return spark.createDataFrame(
-            [(r["data"],) for r in names.collect()], "data string"
-        )
+        # Materialize the tiny listing once WITHOUT leaving the cluster:
+        # build_catalog consumes its input several times (labels, spine,
+        # rows) and each use would otherwise rescan the full events
+        # table. This listing is derived from events, so it grows with
+        # the data — a driver-side collect() here would OOM at scale.
+        # localCheckpoint(eager=True) gives the same re-scan
+        # amortization with zero driver transfer.
+        return names.localCheckpoint(eager=True)
 
     s_cat = build_catalog(
         listing("click", 53), s2_date(F.col("data")), "S2", grid, keep_week=True

@@ -56,5 +56,9 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded drain: a stuck availableNow run becomes a recorded error,
+    # not a hang that kills the caller's whole batch of queries
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("weekly_counts_once drain did not finish within 300s")
     return spark.table(name).orderBy("week_start")

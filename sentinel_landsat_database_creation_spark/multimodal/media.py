@@ -79,19 +79,25 @@ def fake_features(media: DataFrame, n_features: int = 4) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = {"media_id": [], "kind": [], "n_bytes": [], "features": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+            n_bytes, features = [], []
+            for payload in pdf["payload"]:
+                payload = bytes(payload) if payload is not None else b""
                 digest = hashlib.md5(payload).digest()
-                feats = [
-                    int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
-                    for i in range(n_features)
-                ]
-                out["media_id"].append(row["media_id"])
-                out["kind"].append(row["kind"])
-                out["n_bytes"].append(len(payload))
-                out["features"].append(feats)
-            yield pd.DataFrame(out)
+                n_bytes.append(len(payload))
+                features.append(
+                    [
+                        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
+                        for i in range(n_features)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes,
+                    "features": features,
+                }
+            )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, FEATURE_SCHEMA

@@ -110,13 +110,24 @@ def slice_crop_pairs(
     hr_width, lr_bands, lr_width) with bands as arrays of flattened
     row-major float arrays. The scale precondition (hr_w // lr_w ==
     scale, the reference's assert at :91) becomes a validation filter.
+
+    Center matching: when ``pairs`` carries a ``mask_id`` column, each
+    pair meets ONLY its own mask's centers (broadcast equi-join —
+    without the key a second mask would silently hand every pair the
+    union of all masks' centers). Without the column, every pair shares
+    the one centerline mask — the reference's as-built shape
+    (fct_data_extraction.py:50,61 loads a single fixed mask) — and the
+    join is a broadcast cross join over the tiny centers table.
     """
     half = batch_size // 2
     lr_size = batch_size // scale
     valid = pairs.filter(
         (F.col("hr_width") / F.col("lr_width")).cast("int") == scale
     )
-    grid = valid.crossJoin(F.broadcast(centers))
+    if "mask_id" in pairs.columns:
+        grid = valid.join(F.broadcast(centers), "mask_id")
+    else:
+        grid = valid.crossJoin(F.broadcast(centers))
 
     r0 = F.col("r") - half
     c0 = F.col("c") - half

@@ -40,9 +40,13 @@ from ..sources.testdata import table
 # shared SQL fragments (DuckDB dialect)
 
 _WK = "(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)"
-_WEEK_START = (
-    "strftime(DATE '1970-01-01' + to_days(CAST(wk * 7 AS INTEGER)), '%Y-%m-%d')"
+# Template first, then the common instantiation: substituting via
+# {col} (not a bare-token string replace) stays correct even if a
+# future edit introduces another 'wk' substring in the expression.
+_WEEK_START_T = (
+    "strftime(DATE '1970-01-01' + to_days(CAST({col} * 7 AS INTEGER)), '%Y-%m-%d')"
 )
+_WEEK_START = _WEEK_START_T.format(col="wk")
 _CENTS = "CAST(round({expr} * 100) AS BIGINT)"
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
 
@@ -836,7 +840,7 @@ FROM (
 """
 
 
-def q_weekly_click_view_outer(spark: SparkSession, sf: str) -> DataFrame:
+def q_weekly_click_signup_outer(spark: SparkSession, sf: str) -> DataFrame:
     """Full outer join: weekly click vs signup counts, weeks missing on
     either side surfacing with zero (coalesced key + counts)."""
     clicks = _weekly_by_type(spark, sf, "click", "n_click")
@@ -849,9 +853,9 @@ def q_weekly_click_view_outer(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("week_start")
 
 
-SQL_WEEKLY_CLICK_VIEW_OUTER = f"""
+SQL_WEEKLY_CLICK_SIGNUP_OUTER = f"""
 WITH c AS ({_SQL_WEEKLY_TYPED.format(t="click")}), s AS ({_SQL_WEEKLY_TYPED.format(t="signup")})
-SELECT {_WEEK_START.replace("wk", "coalesce(c.wk, s.wk)")} AS week_start,
+SELECT {_WEEK_START_T.format(col="coalesce(c.wk, s.wk)")} AS week_start,
        CAST(coalesce(c.n, 0) AS BIGINT) AS n_click,
        CAST(coalesce(s.n, 0) AS BIGINT) AS n_signup
 FROM c FULL OUTER JOIN s ON c.wk = s.wk
@@ -1086,7 +1090,7 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "click_only_users": (q_click_only_users, SQL_CLICK_ONLY_USERS),
     "weekly_type_pivot": (q_weekly_type_pivot, SQL_WEEKLY_TYPE_PIVOT),
-    "weekly_click_view_outer": (q_weekly_click_view_outer, SQL_WEEKLY_CLICK_VIEW_OUTER),
+    "weekly_click_signup_outer": (q_weekly_click_signup_outer, SQL_WEEKLY_CLICK_SIGNUP_OUTER),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_moving_avg": (q_user_value_moving_avg, SQL_USER_VALUE_MOVING_AVG),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

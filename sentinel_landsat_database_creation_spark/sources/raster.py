@@ -1,16 +1,26 @@
-"""Raster sources: binary scene listings + GeoTIFF decode (SURVEY.md §2
-ops 1/2/4/8).
+"""Raster sources: binary scene listings + GeoTIFF decode/encode
+(SURVEY.md §2 ops 1/2/4/8).
 
 The decode step is the engine's one mandatory pandas-UDF boundary
-(SURVEY.md §2.10): GeoTIFF bytes -> flattened float pixels. rasterio is
-not available in this container, so the real decoder is gated behind an
-import-try; the Spark-side plumbing (binaryFile scan, schema, Arrow
-batching, partition shape) is real and exercised in tests through
-``decode_fake`` — a deterministic stand-in keyed on file path.
+(SURVEY.md §2.10): GeoTIFF bytes -> flattened float pixels. Two
+executable paths, chosen per worker at decode time:
+
+- rasterio (when installed): the production path, same call shape as the
+  reference (``rasterio.open(...).read(1)``,
+  data_pair/fct_data_extraction.py:21-26) — handles compressed / tiled /
+  exotic files.
+- pure-Python fallback (always available): ``tiffcodec.decode_gray``
+  for uncompressed TIFFs, which is what this container's tests
+  round-trip end-to-end through the real mapInPandas plumbing.
+
+``decode_fake`` remains the deterministic stand-in for tests that need
+pixels without caring about bytes.
 """
 
 from __future__ import annotations
 
+import io
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .._serde import register_self
 from ..schemas import BAND_RASTER_SCHEMA
+from . import tiffcodec
 
 register_self(__name__)
 
@@ -49,54 +60,106 @@ def scene_file_listing(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def _decode_batches(batches, decode_one) -> Iterator:
+def _decode_batches(batches, decode_one, value_col: str) -> Iterator:
+    """Shared mapInPandas body: per Arrow batch, decode one column's
+    values into (height, width, pixels) alongside the scene/band keys.
+    Columns iterate via zip — never pandas iterrows (row-boxing
+    overhead, and the pattern invites copy-paste into hot paths)."""
     import pandas as pd
 
     for pdf in batches:
-        out = {"scene": [], "band": [], "height": [], "width": [], "pixels": []}
-        for _, row in pdf.iterrows():
-            h, w, px = decode_one(row)
-            out["scene"].append(row["scene"])
-            out["band"].append(row["band"])
-            out["height"].append(h)
-            out["width"].append(w)
-            out["pixels"].append(px)
-        yield pd.DataFrame(out)
+        heights, widths, pixels = [], [], []
+        for v in pdf[value_col]:
+            h, w, px = decode_one(v)
+            heights.append(h)
+            widths.append(w)
+            pixels.append(px)
+        yield pd.DataFrame(
+            {
+                "scene": pdf["scene"],
+                "band": pdf["band"],
+                "height": heights,
+                "width": widths,
+                "pixels": pixels,
+            }
+        )
+
+
+def decode_tiff_bytes(content: bytes) -> tuple[int, int, list[float]]:
+    """Band-1 decode of one in-memory GeoTIFF: rasterio when available
+    (reference semantics: band 1, float32 —
+    data_pair/fct_data_extraction.py:21-26), else the pure-Python
+    uncompressed-TIFF fallback. Worker-side: called inside mapInPandas."""
+    if HAVE_RASTERIO:
+        with rasterio.open(io.BytesIO(bytes(content))) as src:
+            arr = src.read(1).astype("float32")
+        return int(arr.shape[0]), int(arr.shape[1]), arr.ravel().tolist()
+    return tiffcodec.decode_gray(bytes(content))
 
 
 def decode_rasters(band_files: DataFrame) -> DataFrame:
     """Op 4: GeoTIFF band-1 decode as mapInPandas over Arrow batches.
 
-    Requires rasterio (absent here): raises NotImplementedError at plan
-    build when unavailable, per the container contract."""
-    if not HAVE_RASTERIO:  # pragma: no cover
-        raise NotImplementedError(
-            "rasterio is not installed in this environment; use "
-            "decode_fake() for plumbing tests"
-        )
+    Input needs (scene, band, content) — e.g. scene_file_listing joined
+    to a band mapping. Executable with or without rasterio (see
+    decode_tiff_bytes)."""
 
-    def run(batches):  # pragma: no cover
-        def one(row):
-            import io
-
-            with rasterio.open(io.BytesIO(row["content"])) as src:
-                arr = src.read(1).astype("float32")
-            return arr.shape[0], arr.shape[1], arr.ravel().tolist()
-
-        return _decode_batches(batches, one)
+    def run(batches):
+        return _decode_batches(batches, decode_tiff_bytes, "content")
 
     cols = band_files.select("scene", "band", "content")
     return cols.mapInPandas(run, BAND_RASTER_SCHEMA)
 
 
-def encode_rasters(rasters: DataFrame, out_dir: str) -> None:
-    """Op 8 (``array2raster``): write 1-band float32 GeoTIFFs from pixel
-    array rows. Unused by the reference's main flow (SURVEY.md §2 op 8)
-    and requires rasterio — explicit stub in this container; the Parquet
-    sink is the engine-native raster output."""
-    raise NotImplementedError(
-        "GeoTIFF encode requires rasterio (absent here); persist rasters "
-        "with df.write.parquet — the engine-native sink"
+def encode_rasters(
+    rasters: DataFrame,
+    out_dir: str,
+    origin: tuple[float, float] | None = None,
+    pixel_size: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Op 8 (``array2raster``, reference
+    data_pair/fct_data_extraction.py:14-20): write one single-band
+    float32 GeoTIFF per raster row as ``{out_dir}/{scene}_{band}.tif``,
+    via the pure-Python encoder (uncompressed, optional
+    ModelPixelScale/ModelTiepoint geo-tags mirroring the reference's
+    geotransform args). Returns (scene, band, path, n_bytes) rows;
+    trigger with an action.
+
+    Files write from executors, so ``out_dir`` must be a filesystem all
+    executors share (local path on local[*], NFS/fuse mount on a
+    cluster). For engine-native analytics output prefer the partitioned
+    Parquet sink (plans/satellite.py) — this sink exists for GDAL
+    interop parity with the reference."""
+
+    def run(batches):
+        import pandas as pd
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            paths, sizes = [], []
+            for scene, band, h, w, px in zip(
+                pdf["scene"], pdf["band"], pdf["height"], pdf["width"], pdf["pixels"]
+            ):
+                data = tiffcodec.encode_gray(
+                    int(h), int(w), px, origin=origin, pixel_size=pixel_size
+                )
+                path = os.path.join(out_dir, f"{scene}_{band}.tif")
+                with open(path, "wb") as f:
+                    f.write(data)
+                paths.append(path)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "scene": pdf["scene"],
+                    "band": pdf["band"],
+                    "path": paths,
+                    "n_bytes": sizes,
+                }
+            )
+
+    cols = rasters.select("scene", "band", "height", "width", "pixels")
+    return cols.mapInPandas(
+        run, "scene string, band string, path string, n_bytes long"
     )
 
 
@@ -108,16 +171,16 @@ def decode_fake(band_files: DataFrame, height: int, width: int) -> DataFrame:
     def run(batches):
         import hashlib
 
-        def one(row):
-            seed_bytes = hashlib.md5(
-                f"{row['scene']}/{row['band']}".encode()
-            ).digest()
+        def one(key):
+            seed_bytes = hashlib.md5(key.encode()).digest()
             seed = int.from_bytes(seed_bytes[:4], "big")
             n = height * width
             px = [((seed + 2654435761 * i) % 1000) / 1000.0 + 0.001 for i in range(n)]
             return height, width, px
 
-        return _decode_batches(batches, one)
+        return _decode_batches(batches, one, "key")
 
-    cols = band_files.select("scene", "band")
+    cols = band_files.select(
+        "scene", "band", F.concat_ws("/", "scene", "band").alias("key")
+    )
     return cols.mapInPandas(run, BAND_RASTER_SCHEMA)

@@ -112,6 +112,25 @@ def test_catalog_csv_source_validates_header(spark, tmp_path):
         read_catalog_csv(spark, str(bad))
 
 
+def test_catalog_csv_source_validates_every_part_file(spark, tmp_path):
+    """Directory of part files (the natural Spark CSV layout): a valid
+    multi-file catalog reads fine; one bad part file is caught even when
+    it isn't the file .first() would land on (ADVICE r1: a single
+    first() over a directory may hit an arbitrary file)."""
+    d = tmp_path / "catalog_parts"
+    d.mkdir()
+    for i in range(4):
+        (d / f"part-{i:05d}.csv").write_text(
+            "class,path,data\n" + f"a,/root,scene{i}\n"
+        )
+    cat = read_catalog_csv(spark, str(d))
+    assert cat.count() == 4
+
+    (d / "part-00004.csv").write_text("data,path,class\nx,y,z\n")
+    with pytest.raises(ValueError, match="part-00004"):
+        read_catalog_csv(spark, str(d))
+
+
 def test_placeholder_rows_join_each_other_compat(spark):
     """Op 19: class='0' rows from both catalogs pair with each other in
     compat mode and are excluded in native mode."""

@@ -248,3 +248,70 @@ def test_shuffle_variant_deterministic(pipeline):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_mask_keyed_pairs_do_not_leak_centers(spark):
+    """Two masks, two pairs keyed by mask_id: each pair must meet ONLY
+    its own mask's centers (VERDICT r1 item 5 — unkeyed, a second mask
+    handed every pair the union of all centers)."""
+    # mask A: centerline at row 4; mask B: centerline at column 5
+    import numpy as np
+
+    def mask_pixels(kind):
+        m = np.zeros((HR_N, HR_N), dtype=int)
+        if kind == "row":
+            m[20, 10:50] = 1
+        else:
+            m[10:50, 25] = 1
+        return [int(v) for v in m.ravel()]
+
+    masks = spark.createDataFrame(
+        [
+            ("mA", HR_N, HR_N, mask_pixels("row")),
+            ("mB", HR_N, HR_N, mask_pixels("col")),
+        ],
+        "mask_id string, height int, width int, pixels array<int>",
+    )
+    hr, lr = _hr(), _lr()
+    pairs = spark.createDataFrame(
+        [
+            (
+                1,
+                "mA",
+                [hr[i].ravel().tolist() for i in range(N_BANDS)],
+                HR_N,
+                [lr[i].ravel().tolist() for i in range(N_BANDS)],
+                LR_N,
+            ),
+            (
+                2,
+                "mB",
+                [hr[i].ravel().tolist() for i in range(N_BANDS)],
+                HR_N,
+                [lr[i].ravel().tolist() for i in range(N_BANDS)],
+                LR_N,
+            ),
+        ],
+        "pair_id long, mask_id string, hr_bands array<array<float>>, "
+        "hr_width int, lr_bands array<array<float>>, lr_width int",
+    )
+    centers = candidate_centers(masks, BATCH, compat_bounds=False)
+    by_mask = {
+        mid: {(r["r"], r["c"]) for r in rows}
+        for mid, rows in (
+            ("mA", centers.filter(centers.mask_id == "mA").collect()),
+            ("mB", centers.filter(centers.mask_id == "mB").collect()),
+        )
+    }
+    assert by_mask["mA"] and by_mask["mB"] and by_mask["mA"] != by_mask["mB"]
+
+    sliced = slice_crop_pairs(pairs, centers, BATCH, SCALE)
+    got = {
+        pid: {(r["r"], r["c"]) for r in rows}
+        for pid, rows in (
+            (1, sliced.filter(sliced.pair_id == 1).collect()),
+            (2, sliced.filter(sliced.pair_id == 2).collect()),
+        )
+    }
+    assert got[1] == by_mask["mA"], "pair 1 must see only mask A centers"
+    assert got[2] == by_mask["mB"], "pair 2 must see only mask B centers"

@@ -267,19 +267,33 @@ def suppress_overlap_greedy(
 
 
 def suppress_overlap_grid(
-    flagged: DataFrame, batch_size: int, pct: float
+    flagged: DataFrame, batch_size: int, pct: float, keep_payload: bool = False
 ) -> DataFrame:
     """Native-mode alternative to op 33: order-free grid-bucket dedup.
     Quality-passing centers bucket into stride-sized cells; the minimum
     (r, c) per cell survives. Set-based, deterministic, shuffle-friendly
     — the documented divergence from the sequential reference semantics.
-    """
+
+    keep_payload=True returns the survivor's FULL input row (crop pixel
+    columns included) via a per-cell row_number window instead of the
+    groupBy-min + join-back the caller would otherwise need — one pass
+    over the flagged rows, so the expensive slice/flag subtree isn't
+    recomputed on the second side of a self-join (measured ~2x on the
+    crop pipeline at sf0.1)."""
+    from pyspark.sql.window import Window
+
     stride = max(int(batch_size * pct), 1)
     ok = flagged.filter(F.col("ok"))
-    cell = F.struct(
-        (F.col("r") / stride).cast("int").alias("gr"),
-        (F.col("c") / stride).cast("int").alias("gc"),
-    )
+    gr = (F.col("r") / stride).cast("int")
+    gc = (F.col("c") / stride).cast("int")
+    if keep_payload:
+        w = Window.partitionBy(F.col("pair_id"), gr, gc).orderBy("r", "c")
+        return (
+            ok.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    cell = F.struct(gr.alias("gr"), gc.alias("gc"))
     return (
         ok.groupBy("pair_id", cell.alias("cell"))
         .agg(F.min(F.struct("r", "c")).alias("rc"))

@@ -172,6 +172,15 @@ def _jaccard_bitmap(
         .select("doc_id", F.size("ids").cast("long").alias("n_sh"), *word_cols)
     )
     pairs = blocked_self_pairs(packed, "doc_id")
+    # Size-ratio prune BEFORE the popcount projection: J(A,B) <= min/max
+    # of the set sizes, so pairs failing min >= t*max can never reach
+    # the threshold — one comparison culls them ahead of the n_words
+    # bit_count ops per pair (the dominant per-pair cost when the
+    # vocabulary is near max_bitmap_bits).
+    pairs = pairs.filter(
+        F.least("a_n_sh", "b_n_sh").cast("double")
+        >= F.lit(threshold) * F.greatest("a_n_sh", "b_n_sh").cast("double")
+    )
     n_inter = F.bit_count(F.col("a_w0").bitwiseAND(F.col("b_w0")))
     for j in range(1, n_words):
         n_inter = n_inter + F.bit_count(

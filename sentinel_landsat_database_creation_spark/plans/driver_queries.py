@@ -93,7 +93,8 @@ def q_catalog_event_labels(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events").withColumn(
         "wk", epoch_week_index(F.to_date("ts"))
     )
-    weekly = label_weeks(table(spark, sf, "events"), F.to_date("ts"))
+    # one events scan feeds both the rows and the tiny label dimension
+    weekly = label_weeks(ev, F.to_date("ts"))
     return (
         ev.join(F.broadcast(weekly.select("wk", "class")), "wk")
         .select(F.col("event_id").cast("long"), F.col("class"))
@@ -1012,8 +1013,11 @@ def q_crop_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     flagged = sliced.withColumn(
         "ok", quality_flag(batch_size=4, scale=2, n_bands=1, compat=True)
     )
-    kept = suppress_overlap_grid(flagged, batch_size=4, pct=0.7)  # stride 2
-    out = kept.join(flagged, ["pair_id", "r", "c"])
+    # keep_payload: the survivor row carries its crops — no join back
+    # onto flagged (which would recompute the slice subtree)
+    out = suppress_overlap_grid(
+        flagged, batch_size=4, pct=0.7, keep_payload=True  # stride 2
+    )
     hr = F.element_at("hr_crop", 1)
     lr = F.element_at("lr_crop", 1)
     return out.select(

@@ -155,6 +155,11 @@ def build_crop_dataset(
         "ok", quality_flag(cfg.batch_size, cfg.scale, compat=cfg.compat)
     )
     if cfg.compat:
+        # the greedy walk sees centers only (pixels never enter Python),
+        # so its survivors join back onto the flagged rows for payloads;
+        # checkpoint flagged so the slice subtree isn't recomputed on
+        # both sides of that self-join
+        flagged = flagged.localCheckpoint(eager=True)
         kept = suppress_overlap_greedy(
             flagged,
             cfg.batch_size,
@@ -163,7 +168,19 @@ def build_crop_dataset(
             shuffle_seed=cfg.shuffle_seed,
         )
     else:
-        kept = suppress_overlap_grid(flagged, cfg.batch_size, cfg.pct_overlap)
+        # native path: the survivor row carries its own payload — one
+        # pass, no join back
+        return suppress_overlap_grid(
+            flagged, cfg.batch_size, cfg.pct_overlap, keep_payload=True
+        ).select(
+            "pair_id",
+            F.col("r").alias("center_r"),
+            F.col("c").alias("center_c"),
+            F.col("hr_crop").alias("hr_pixels"),
+            F.col("lr_crop").alias("lr_pixels"),
+            F.lit(cfg.batch_size).alias("hr_size"),
+            F.lit(cfg.batch_size // cfg.scale).alias("lr_size"),
+        )
     return kept.join(flagged, ["pair_id", "r", "c"]).select(
         "pair_id",
         F.col("r").alias("center_r"),

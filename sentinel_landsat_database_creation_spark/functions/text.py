@@ -25,11 +25,18 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Overlapping word n-grams joined with '_'; empty if < n tokens.
     (slice + array_join measures ~1.7x faster than per-position
     element_at + concat_ws — array-native ops beat string coercion in
-    the HOF interpreter.)"""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), "_"),
-    )
+    the HOF interpreter.)
+
+    The short-doc case needs the explicit ``when``: ``sequence(1, 0)``
+    is a DESCENDING [1, 0] in Spark (not empty), and slice(start=0)
+    throws at runtime."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), "_"),
+        ),
+    ).otherwise(F.array_repeat(F.lit(""), 0))
 
 
 def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:

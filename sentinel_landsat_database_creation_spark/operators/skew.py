@@ -45,3 +45,29 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return l.join(r, [key_col, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, "F.Column"]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for hot grouping keys: groupBy(key, salt)
+    computes bounded-size partials in parallel even when one key owns
+    most rows; a second tiny groupBy(key) merges them.
+
+    ``aggs`` maps output name -> (merge_fn_name, partial_agg_column);
+    merge_fn must be an algebraic combiner ('sum', 'max', 'min') so the
+    two-stage result equals the one-stage result exactly (count merges
+    with 'sum' — partial counts add)."""
+    salt = (F.rand(seed=0) * n_salts).cast("int").alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
+        *[col.alias(f"_p_{name}") for name, (_, col) in aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            getattr(F, merge_fn)(f"_p_{name}").alias(name)
+            for name, (merge_fn, _) in aggs.items()
+        ]
+    )

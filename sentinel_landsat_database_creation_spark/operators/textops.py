@@ -171,3 +171,50 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * ROLLING_BASE + tok_hash(t)) % ROLLING_MOD,
     )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Repetition quality signals, the standard LLM-corpus filters for
+    template/boilerplate spam (beyond the reference's scope; extends its
+    quality-predicate family, SURVEY.md §2 op 14):
+
+    - ``top_tok_ratio``: most-frequent-token count / total tokens —
+      catches single-token floods;
+    - ``rep_ngram_ratio``: fraction of n-gram OCCURRENCES that are
+      repeats of an earlier occurrence (1 - distinct/total) — catches
+      copy-pasted passages; 0.0 for docs shorter than n tokens.
+
+    Physical shape: one explode + two-level groupBy for the token mode
+    (map-side partial aggregation, no skew — keys are (doc_id, token)),
+    and a narrow per-row HOF pass for the n-gram ratio. Both ratios are
+    single IEEE divisions of exact int64 counts, so the DuckDB oracle
+    hash-matches bit-for-bit."""
+    from ..functions.text import shingles
+
+    toks = F.split(F.col("text"), " ")
+    sh = shingles(toks, n)
+    per_row = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(sh).cast("long").alias("total_ng"),
+        F.size(F.array_distinct(sh)).cast("long").alias("distinct_ng"),
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_tok"))
+    )
+    return per_row.join(tok_counts, "doc_id").select(
+        F.col("doc_id").cast("long"),
+        "n_tok",
+        (F.col("max_tok").cast("double") / F.col("n_tok").cast("double")).alias(
+            "top_tok_ratio"
+        ),
+        F.when(F.col("total_ng") > 0,
+               (F.col("total_ng") - F.col("distinct_ng")).cast("double")
+               / F.col("total_ng").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ngram_ratio"),
+    )

@@ -402,6 +402,35 @@ FROM e ORDER BY doc_id, chunk_idx
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signals (operators/textops.py:repetition_stats):
+    top-token frequency ratio + repeated-3-gram occurrence ratio, the
+    standard template/boilerplate spam filters for LLM corpora."""
+    from ..operators.textops import repetition_stats
+
+    return repetition_stats(table(spark, sf, "documents"), n=3).orderBy("doc_id")
+
+
+SQL_DOC_REPETITION = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, len(t) AS n_tok,
+              [t[i] || '_' || t[i+1] || '_' || t[i+2] for i in range(1, len(t)-1)] AS s
+       FROM base),
+tc AS (SELECT doc_id, tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS max_tok FROM tc GROUP BY 1)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(max_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_ratio,
+       CASE WHEN len(s) > 0
+            THEN CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                 / CAST(len(s) AS DOUBLE)
+            ELSE 0.0 END AS rep_ngram_ratio
+FROM sh JOIN mx ON sh.doc_id = mx.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     return docs.select(
@@ -841,6 +870,7 @@ REGISTRY_EXT = {
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),

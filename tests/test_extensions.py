@@ -181,3 +181,61 @@ def test_chunk_documents_short_and_exact_docs(spark):
     assert rows[(2, 1)] == (4, "t3 t4 t5 t6")
     assert rows[(2, 2)] == (2, "t6 t7")
     assert (2, 3) not in rows
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must converge on a path graph whose diameter far
+    exceeds max_iter (plain min-propagation would need ~n rounds and,
+    post-round-1, raises instead of returning wrong labels)."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 300  # path 0-1-2-...-299, diameter 299 >> max_iter 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs, max_iter=20).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}, "every node must label to the min id"
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_repetition_stats_semantics(spark):
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token flood
+            (2, "a b c a b c a b c"),            # repeated 3-gram cycle
+            (3, "all distinct words here now"),  # clean
+            (4, "x y"),                          # shorter than n: ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=3).collect()}
+    assert got[1]["top_tok_ratio"] == 1.0
+    # 4 tokens -> 2 trigrams, both "spam_spam_spam": 1 repeat / 2
+    assert got[1]["rep_ngram_ratio"] == 0.5
+    # 9 tokens -> 7 trigrams, 3 distinct (abc, bca, cab) -> 4/7 repeats
+    assert abs(got[2]["rep_ngram_ratio"] - 4 / 7) < 1e-12
+    assert got[2]["top_tok_ratio"] == 3 / 9
+    assert got[3]["rep_ngram_ratio"] == 0.0
+    assert got[3]["top_tok_ratio"] == 1 / 5
+    assert got[4]["rep_ngram_ratio"] == 0.0 and got[4]["n_tok"] == 2

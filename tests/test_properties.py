@@ -221,3 +221,41 @@ def test_time_range_join_matches_bruteforce(spark, lrows, rrows, tol):
         if lk == rk and abs((rts - lts).total_seconds()) <= tol
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+def test_tiffcodec_roundtrip_property(h, w, data):
+    """encode_gray -> decode_gray is the identity on any float32-exact
+    grid, including NaN/±inf payloads (nodata semantics travel through
+    the quality predicates) — no Spark needed, the codec is plain
+    Python."""
+    import math
+    import struct as _struct
+
+    from sentinel_landsat_database_creation_spark.sources.tiffcodec import (
+        decode_gray,
+        encode_gray,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.one_of(
+                st.floats(width=32, allow_nan=False),
+                st.sampled_from([float("inf"), float("-inf"), float("nan"), -9999.0]),
+            ),
+            min_size=h * w,
+            max_size=h * w,
+        )
+    )
+    # snap to float32 so equality is exact
+    vals = [_struct.unpack("<f", _struct.pack("<f", v))[0] for v in vals]
+    hh, ww, out = decode_gray(encode_gray(h, w, vals))
+    assert (hh, ww) == (h, w)
+    assert len(out) == len(vals)
+    for a, b in zip(out, vals):
+        assert (math.isnan(a) and math.isnan(b)) or a == b

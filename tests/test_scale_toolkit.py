@@ -1,0 +1,88 @@
+"""Bucketing + skew toolkit: results must be bit-identical to the plain
+plans, and the bucketed join's exchange-free property is plan-guarded."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_landsat_database_creation_spark.operators.bucketing import (
+    assert_no_shuffle_join,
+    bucketed_join,
+    write_bucketed,
+)
+from sentinel_landsat_database_creation_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events(spark):
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    return table(spark, SF, "events")
+
+
+def test_bucketed_join_is_exchange_free(spark, events):
+    left = events.select("user_id", "event_id", "value")
+    right = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    write_bucketed(left, "t_ev_bucketed", ["user_id"], 8)
+    write_bucketed(right, "t_users_bucketed", ["user_id"], 8)
+    try:
+        joined = bucketed_join(spark, "t_ev_bucketed", "t_users_bucketed", ["user_id"])
+        # the whole point: no shuffle on either side
+        assert_no_shuffle_join(joined.select("user_id", "event_id", "n"))
+        got = joined.count()
+        want = left.join(right, "user_id").count()
+        assert got == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_users_bucketed")
+
+
+def test_assert_no_shuffle_join_catches_plain_join(spark, events):
+    plain = events.join(
+        events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")), "user_id"
+    )
+    with pytest.raises(AssertionError, match="exchange-free"):
+        assert_no_shuffle_join(plain)
+
+
+def test_salted_agg_matches_plain(spark, events):
+    plain = {
+        (r["user_id"],): (r["n"], r["mx"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["n"], r["mx"])
+        for r in salted_agg(
+            events,
+            ["user_id"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "mx": ("max", F.max("event_id")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, events):
+    dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plain = sorted(
+        (r["user_id"], r["event_id"], r["n"])
+        for r in events.select("user_id", "event_id").join(dim, "user_id").collect()
+    )
+    salted = sorted(
+        (r["user_id"], r["event_id"], r["n"])
+        for r in salted_join(
+            events.select("user_id", "event_id"), dim, "user_id", n_salts=8
+        ).collect()
+    )
+    assert salted == plain and len(salted) > 0

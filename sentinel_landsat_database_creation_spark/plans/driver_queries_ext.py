@@ -822,6 +822,85 @@ ORDER BY user_id, session_start
 """
 
 
+def q_stream_sessions_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session_window streaming sessionization (JVM-only, no
+    Python in the stream): emits sessions sealed by the final watermark
+    (session_end + gap <= max event time), which IS SQL-expressible —
+    the batch sessionization with a sealing HAVING — so unlike the
+    custom stateful operator this streaming entry carries an exact
+    oracle. Values go through per-row cents pre-scaling (the
+    user_sessions trick) so per-session sums are exact."""
+    import uuid
+
+    from ..streaming.sessions import sessionize_native
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("value", F.round(F.col("value") * 100, 0))
+    out = sessionize_native(stream, gap_minutes=_SESSION_GAP_MIN)
+    name = f"stream_sessions_native_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            F.col("total_value").cast("long").alias("total_cents"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_STREAM_SESSIONS_NATIVE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+  FROM e
+),
+b AS (
+  SELECT *, CASE WHEN prev IS NULL
+                 OR tus - prev > {_SESSION_GAP_MIN * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM s GROUP BY user_id, sess
+HAVING max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE <= (SELECT max(ts) FROM events)
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming
 
@@ -854,6 +933,7 @@ REGISTRY_EXT = {
     # rows-only: custom stateful streaming (not SQL-expressible);
     # batch twin `user_sessions` carries the exact oracle
     "stream_sessions": (q_stream_sessions, None),
+    "stream_sessions_native": (q_stream_sessions_native, SQL_STREAM_SESSIONS_NATIVE),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),

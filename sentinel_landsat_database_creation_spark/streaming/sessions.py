@@ -173,3 +173,38 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize_native(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Third implementation: Spark's built-in ``session_window`` — the
+    whole operator stays JVM-side (no Python workers, no custom state
+    schema), which is the preferred production shape when the built-in
+    gap semantics suffice. Requires a watermark in append mode; emitted
+    sessions are those the watermark has sealed (session_end + gap <=
+    final watermark), so each user's trailing session stays in state —
+    the same visible-output contract as sessionize_stateful, gated by
+    event-time watermark instead of per-user arrival order.
+
+    tests pin its output against sessionize_batch filtered to
+    watermark-sealed sessions."""
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("long"),
+            "total_value",
+        )
+    )

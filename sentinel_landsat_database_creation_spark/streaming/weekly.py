@@ -49,13 +49,21 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = weekly_counts_stream(stream)
     name = f"weekly_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # streaming state-store count is fixed at query start from
+    # spark.sql.shuffle.partitions; 8 stores beat 32 on checkpoint
+    # overhead for drain-sized state (measured on the sessions ops)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # bounded drain: a stuck availableNow run becomes a recorded error,
     # not a hang that kills the caller's whole batch of queries
     if not q.awaitTermination(300):

@@ -239,3 +239,39 @@ def test_repetition_stats_semantics(spark):
     assert got[3]["rep_ngram_ratio"] == 0.0
     assert got[3]["top_tok_ratio"] == 1 / 5
     assert got[4]["rep_ngram_ratio"] == 0.0 and got[4]["n_tok"] == 2
+
+
+def test_textops_survive_edge_documents(spark):
+    """Degenerate docs (empty, single-token, shorter-than-shingle) must
+    flow through every text operator without runtime errors — the
+    shingles() sequence(1,0) trap (fixed this round) was only reachable
+    on exactly these shapes."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_docs,
+    )
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        chunk_documents,
+        language_id,
+        quality_stats,
+        regex_token_counts,
+        repetition_stats,
+        rolling_fingerprint,
+    )
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two tokens"), (4, "now three tokens")],
+        "doc_id long, text string",
+    )
+    assert quality_stats(docs).count() == 4
+    assert regex_token_counts(docs).count() == 4
+    assert repetition_stats(docs, n=3).count() == 4
+    assert docs.select(language_id(F2.col("text"))).count() == 4
+    assert docs.select(rolling_fingerprint(F2.col("text"))).count() == 4
+    assert chunk_documents(docs, chunk_tokens=4, stride=3).count() >= 4
+    assert simhash_docs(docs).count() == 4
+    # pair ops: no candidates among degenerate docs is fine; no throw is the point
+    ngram_jaccard_pairs(docs, n=2, threshold=0.1).count()
+    minhash_lsh_candidates(docs, n=2).count()

@@ -168,3 +168,51 @@ def test_crop_script_lines_sensor_rules(spark):
     assert line.endswith("/src/sceneA/meta.txt /dst/sceneA/meta.txt.tif")
     with pytest.raises(ValueError):
         crop_script_lines(listing, "/cut.gpkg", "/src", "/dst", "modis")
+
+
+def test_native_session_window_matches_batch_sealed_sessions(spark, tmp_path):
+    """sessionize_native (built-in session_window, JVM-only) must emit
+    exactly the batch twin's sessions that the final watermark sealed:
+    session_end + gap <= max event time. The max-ts holder's trailing
+    session stays in state — same visible-output contract as the
+    stateful operator, gated by event time instead of arrival order."""
+    from sentinel_landsat_database_creation_spark.streaming.sessions import (
+        sessionize_native,
+    )
+
+    events = (
+        table(spark, SF, "events")
+        .filter(F.col("user_id") < 8)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    stream_dir = str(tmp_path / "stream_native")
+    events.coalesce(1).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+
+    out = sessionize_native(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("native_sessions_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in spark.table("native_sessions_test").collect()
+    }
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sealed = sessionize_batch(events, gap_minutes=30).filter(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTES") <= F.lit(max_ts)
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in sealed.collect()
+    }
+    assert want, "fixture slice must produce sealed sessions"
+    assert got == want

@@ -151,3 +151,22 @@ def test_blocked_pairs_plan_shape(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_doc_queries_prune_documents_scan(spark):
+    """Column pruning: text-analysis scans read only (doc_id, text) —
+    a scan hauling unused columns at 100 TB is wrong even when the
+    answer is right."""
+    for name in ("doc_quality", "doc_repetition", "doc_fingerprint"):
+        plan = _plan(spark, name)
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scan, name
+        assert "ReadSchema" in scan[0] or "ReadSchema" in plan, name
+        # testdata documents carry no extra wide columns, so instead pin
+        # that the scan schema mentions only the two needed fields
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, name
+        fields = {f.split(":")[0] for f in m.group(1).split(",") if f}
+        assert fields <= {"doc_id", "text"}, (name, fields)

@@ -29,9 +29,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once on the smallest table so per-query times
-    # measure the plan, not first-job startup.
+    # Warm the JVM/codegen once on the smallest table, and the Python
+    # worker pool once with a no-op mapInPandas, so per-query times
+    # measure the plan — not first-job startup or first-worker spawn
+    # (which otherwise lands on an arbitrary pandas-UDF query).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, (fn, _) in REGISTRY.items():

@@ -175,7 +175,7 @@ def q_neardup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return neardup_pipeline(docs, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
-SQL_NEARDUP_PIPELINE = f"""
+_SQL_NEARDUP_BODY = f"""
 WITH sh AS ({_SH2}),
 sig AS (SELECT doc_id,
         {", ".join(f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}" for i in range(8))}
@@ -198,8 +198,10 @@ verified AS (
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
 FROM verified WHERE jaccard >= 0.5
-ORDER BY doc_a, doc_b
 """
+
+# ordered variant for the registry; the body embeds as a CTE elsewhere
+SQL_NEARDUP_PIPELINE = _SQL_NEARDUP_BODY + "ORDER BY doc_a, doc_b\n"
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -220,7 +222,8 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_dedup_clusters() -> str:
-    inner = SQL_NEARDUP_PIPELINE.replace("ORDER BY doc_a, doc_b", "")
+    # compose from the un-ordered body — no token string-replace on SQL
+    inner = _SQL_NEARDUP_BODY
     return f"""
 WITH pairs AS ({inner}),
 edges AS (

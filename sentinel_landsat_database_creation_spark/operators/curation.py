@@ -1,0 +1,123 @@
+"""Corpus-curation operators (north-star extension): eval-set
+decontamination, deterministic stratified sampling, vocabulary-coverage
+quality scoring.
+
+These are the corpus-level steps a training-data pipeline runs between
+raw ingestion and dedup/split (the reference pipeline stops at pairing —
+see SURVEY.md §6 for the extension rationale):
+
+- ``contaminated_docs``: GPT-3-style n-gram decontamination — drop any
+  training document sharing a long n-gram with the held-out eval set.
+  Physical shape: the eval side is small by construction (benchmarks are
+  thousands of docs), so its distinct n-gram set broadcasts; the train
+  side is a narrow explode feeding a broadcast semi-ish join + one
+  groupBy on doc_id. No shuffle touches the eval side; train-side
+  fan-out is bounded by document length. 100 TB-safe.
+- ``stratified_sample``: per-class downsampling by content-independent
+  hash bucket (md5 of the id), the same family as the 90/5/5 split in
+  ``q_doc_split`` — deterministic under reshuffles, repartitions, and
+  incremental reruns, which per-partition RNG sampling is not. A narrow
+  map + filter; no shuffle at all.
+- ``vocab_coverage``: two-pass dictionary filter — pass 1 aggregates the
+  corpus-wide top-K token vocabulary (tiny: K rows), pass 2 broadcasts
+  it back and scores each document by the fraction of its token
+  occurrences covered. The classic "word-list quality" heuristic (e.g.
+  C4's bad-words pass, Gopher's dictionary rules) expressed as two
+  aggregations and a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+# doc_split's bucket boundary (plans/driver_queries_ext.py:q_doc_split):
+# md5 first-byte < 230 -> train; the rest (val+test) is held out.
+TRAIN_BUCKET_BOUND = 230
+
+
+def _hash_bucket(id_col):
+    """First byte of md5(id) as an int in [0, 256) — the deterministic,
+    content-independent bucket both split and sampling key on."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10
+    ).cast("int")
+
+
+def contaminated_docs(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Training documents sharing at least one word n-gram with the eval
+    corpus; returns (doc_id, n_hits = distinct shared n-grams).
+
+    The eval n-gram dictionary is DISTINCT'd before the join (its size
+    is bounded by eval-corpus length, not train size) and broadcast, so
+    the only shuffle is the per-doc hit count groupBy. n=8 follows the
+    published 8-to-13-gram range for benchmark decontamination."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.explode(F.array_distinct(shingles(toks, n))).alias("s")
+    ev = eval_docs.select(grams).distinct()
+    tr = train.select("doc_id", grams)
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, class_col: str, rates: dict[str, float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-class downsampling: keep a row iff its hash
+    bucket falls under ceil(rate*256) for its class (unlisted classes
+    keep everything). Pure narrow filter — sampling decisions are a
+    function of (id, class) alone, so reruns and late-arriving
+    partitions sample identically, unlike ``df.sampleBy`` whose
+    per-partition RNG changes under repartitioning."""
+    bucket = _hash_bucket(F.col(id_col))
+    bound = None
+    for cls, rate in rates.items():
+        thresh = int(rate * 256 + 0.5)
+        branch = F.when(F.col(class_col) == cls, F.lit(thresh))
+        bound = branch if bound is None else bound.when(
+            F.col(class_col) == cls, F.lit(thresh)
+        )
+    bound = F.lit(256) if bound is None else bound.otherwise(F.lit(256))
+    return docs.filter(bucket < bound)
+
+
+def vocab_coverage(docs: DataFrame, k: int = 16) -> DataFrame:
+    """Per-document fraction of token OCCURRENCES covered by the
+    corpus-wide top-k token vocabulary (ties broken by token asc, so the
+    vocabulary — and the oracle — is deterministic).
+
+    Pass 1 (vocab) ends in k rows; Spark broadcasts it into pass 2's
+    join, so the expensive side runs explode -> broadcast-join ->
+    doc_id groupBy: one shuffle, partial aggregation map-side."""
+    tok_rows = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    )
+    vocab = counts.select("tok", rk.alias("rk")).filter(F.col("rk") <= k)
+    per_doc = (
+        tok_rows.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in_vocab"))
+    )
+    totals = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_in_vocab", F.lit(0)).cast("long").alias("n_in_vocab"),
+        (
+            F.coalesce("n_in_vocab", F.lit(0)).cast("double")
+            / F.col("n_toks").cast("double")
+        ).alias("coverage"),
+    )

@@ -227,7 +227,15 @@ def minhash_lsh_candidates(
 
     The shingle table feeds BOTH the vocab subtree and the signature
     join, so it arrives materialized (shingle_rows_materialized) — an
-    inline subtree would run the heaviest shuffle twice."""
+    inline subtree would run the heaviest shuffle twice.
+
+    Measured alternative (round 2): a fully narrow plan — per-doc
+    array_distinct shingle array, signatures via
+    array_min(transform(sh, md5)) with no shuffle before the band join —
+    is ~2x SLOWER at sf0.1 (8.1 s vs 4.2 s for candidates): it hashes
+    per (doc, shingle) occurrence in the HOF interpreter instead of per
+    distinct shingle in codegen. Shuffle-count is not the whole story
+    when the map-side work multiplies."""
     rows_per_band = n_hashes // bands
     # zero-shingle docs are naturally absent from the exploded rows
     ex = (

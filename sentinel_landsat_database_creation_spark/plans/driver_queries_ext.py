@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal.media import media_from_documents, media_stats
+from ..operators.curation import (
+    TRAIN_BUCKET_BOUND,
+    _hash_bucket,
+    contaminated_docs,
+    stratified_sample,
+    vocab_coverage,
+)
 from ..operators.dedup import (
     embedding_cosine_pairs,
     minhash_lsh_candidates,
@@ -483,6 +490,101 @@ WITH b AS (
 )
 SELECT source, split, CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY source, split ORDER BY source, split
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_split's train bucket)
+    sharing any distinct word 8-gram with the held-out val+test docs.
+    The eval n-gram dictionary broadcasts; see operators/curation.py."""
+    d = table(spark, sf, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    train = d.filter(bucket < TRAIN_BUCKET_BOUND)
+    held_out = d.filter(bucket >= TRAIN_BUCKET_BOUND)
+    return contaminated_docs(train, held_out, n=8).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER AS b
+  FROM documents
+),
+g AS (
+  SELECT doc_id, b, unnest(list_distinct(
+           CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                     i -> list_aggregate(toks[i:i+7], 'string_agg', '_'))
+                ELSE CAST([] AS VARCHAR[]) END)) AS s
+  FROM d
+),
+ev AS (SELECT DISTINCT s FROM g WHERE b >= {TRAIN_BUCKET_BOUND}),
+tr AS (SELECT doc_id, s FROM g WHERE b < {TRAIN_BUCKET_BOUND})
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id ORDER BY doc_id
+"""
+
+
+# Data-mixing rates for the sampling query: keep all English, half the
+# European langs, a quarter of zh. 256ths after the +0.5 rounding in
+# stratified_sample — mirrored literally in the oracle CASE.
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language downsampling (data mixing); emits the
+    per-language kept counts. Hash-bucket filter — reshuffle-stable,
+    unlike sampleBy's per-partition RNG."""
+    d = table(spark, sf, "documents")
+    kept = stratified_sample(d, "lang", _SAMPLE_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER AS bucket
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 128
+                         WHEN 'fr' THEN 128 WHEN 'es' THEN 128
+                         WHEN 'zh' THEN 64 ELSE 256 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary-based quality score: fraction of each document's token
+    occurrences inside the corpus top-16 vocabulary (two aggregation
+    passes + a broadcast semi join; see operators/curation.py)."""
+    d = table(spark, sf, "documents")
+    return vocab_coverage(d, k=16).orderBy("doc_id")
+
+
+SQL_VOCAB_COVERAGE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT 16),
+hits AS (
+  SELECT doc_id, count(*) AS n_in_vocab
+  FROM t WHERE tok IN (SELECT tok FROM v) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+)
+SELECT tot.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(coalesce(n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+       coalesce(n_in_vocab, 0)::DOUBLE / n_toks::DOUBLE AS coverage
+FROM tot LEFT JOIN hits USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -956,6 +1058,9 @@ REGISTRY_EXT = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -275,3 +275,85 @@ def test_textops_survive_edge_documents(spark):
     # pair ops: no candidates among degenerate docs is fine; no throw is the point
     ngram_jaccard_pairs(docs, n=2, threshold=0.1).count()
     minhash_lsh_candidates(docs, n=2).count()
+
+
+def test_contamination_edge_cases(spark):
+    """Short docs produce no n-grams (never NULL rows); an empty eval
+    side contaminates nothing; a doc sharing k distinct n-grams counts
+    each once."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        contaminated_docs,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shares 'a b c' and 'b c d' with eval
+            (2, "x y"),             # too short for n=3: no shingles
+            (3, "p q r s"),         # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d zz"), (11, "zz b c d qq")], "doc_id long, text string"
+    )
+    # eval's distinct 3-grams: a_b_c, b_c_d, c_d_zz, zz_b_c, c_d_qq;
+    # doc 1 contributes a_b_c + b_c_d (c_d_e is not in eval) -> 2 hits
+    out = {r["doc_id"]: r["n_hits"] for r in contaminated_docs(train, ev, n=3).collect()}
+    assert out == {1: 2}
+    empty = ev.filter(F.lit(False))
+    assert contaminated_docs(train, empty, n=3).count() == 0
+
+
+def test_stratified_sample_deterministic_and_classwise(spark):
+    """Same rows kept under repartitioning; unlisted classes keep all
+    rows; rate=0 keeps none."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "lang")
+    rates = {"en": 0.5, "zh": 0.0}
+    kept1 = {r["doc_id"] for r in stratified_sample(docs, "lang", rates).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), "lang", rates).collect()
+    }
+    assert kept1 == kept2
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_rows = stratified_sample(docs, "lang", rates)
+    kept_by_lang = {
+        r["lang"]: r["n"]
+        for r in kept_rows.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "zh" not in kept_by_lang  # rate 0 -> nothing survives
+    for lang in ("de", "fr", "es"):  # unlisted -> untouched
+        assert kept_by_lang[lang] == by_lang[lang]
+    assert 0 < kept_by_lang["en"] < by_lang["en"]
+
+
+def test_vocab_coverage_totals(spark):
+    """Coverage is in [0,1]; a doc made entirely of the top token has
+    coverage 1; n_in_vocab never exceeds n_toks."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t t t t t t"),   # 't' dominates the corpus
+            (2, "t u v"),
+            (3, "w w x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, k=2).collect()}
+    # top-2 vocab by count then token asc: t (7), w (2)
+    assert out[1]["coverage"] == 1.0
+    assert out[2]["n_in_vocab"] == 1 and out[2]["n_toks"] == 3
+    assert out[3]["n_in_vocab"] == 2
+    for r in out.values():
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["n_in_vocab"] <= r["n_toks"]

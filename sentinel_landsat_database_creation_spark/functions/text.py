@@ -23,20 +23,29 @@ def tokens(text: Column) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Overlapping word n-grams joined with '_'; empty if < n tokens.
-    (slice + array_join measures ~1.7x faster than per-position
-    element_at + concat_ws — array-native ops beat string coercion in
-    the HOF interpreter.)
 
-    The short-doc case needs the explicit ``when``: ``sequence(1, 0)``
-    is a DESCENDING [1, 0] in Spark (not empty), and slice(start=0)
-    throws at runtime."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), "_"),
-        ),
-    ).otherwise(F.array_repeat(F.lit(""), 0))
+    Implementation: a fold of zip_with over n shifted slices — the
+    shingle at position i is toks[i] '_' toks[i+1] '_' ... This costs n
+    slice calls + (n-1) zip_withs PER DOCUMENT, vs the transform
+    formulation's L slice + array_join calls per document (L = token
+    count). HOFs run in the interpreter, not codegen, so per-call count
+    dominates: measured 2.7x faster at sf0.1 (2.04 s -> 0.76 s for the
+    exploded-distinct shingle table), on top of the earlier 1.7x from
+    array-native ops over element_at + concat_ws.
+
+    The short-doc case needs the explicit ``when``: for size(toks) < n
+    the slice length L goes non-positive and slice throws at runtime."""
+    length = F.size(toks) - (n - 1)
+    out = F.slice(toks, 1, length)
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + k, length),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+    return F.when(F.size(toks) >= n, out).otherwise(
+        F.array_repeat(F.lit(""), 0)
+    )
 
 
 def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:

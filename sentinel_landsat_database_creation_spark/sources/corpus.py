@@ -1,0 +1,108 @@
+"""Document-corpus interchange: JSONL source and the partitioned
+Parquet corpus sink (north-star extension — the reference ingests CSV +
+rasters only; LLM corpora move as JSON Lines and land as partitioned
+parquet).
+
+Scale notes baked into both directions:
+
+- The JSONL reader takes an EXPLICIT schema. Schema inference is a full
+  extra pass over the data — at 100 TB that doubles the ingest read, and
+  a drifting field type in one shard silently retypes the whole column.
+  Malformed lines are quarantined into a corrupt-record column
+  (PERMISSIVE) rather than killing the job (a thousand-shard crawl
+  always contains a few broken lines) — callers split them off with
+  ``corrupt_split`` and decide drop-vs-alert.
+- The corpus writer partitions by low-cardinality columns only (e.g.
+  ``lang``: 5-30 dirs), never by high-cardinality keys (source at 20
+  values is already 100+ dirs crossed with lang), and bounds file size
+  with ``maxRecordsPerFile`` so a skewed partition (en is ~45% of the
+  corpus) becomes several well-sized files instead of one giant one —
+  the small-files AND giant-file problems are both layout choices made
+  here, at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# documents table shape (TESTDATA.md) + the quarantine column.
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """JSON Lines -> DataFrame with the given schema plus a
+    ``_corrupt_record`` quarantine column (NULL for clean rows)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def corrupt_split(
+    df: DataFrame, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): clean rows lose the quarantine column;
+    quarantined rows keep every column — partially-parsed fields plus
+    the raw line.
+
+    ``materialize`` caches the parsed scan first: Spark refuses any
+    query over a RAW json scan whose referenced columns (post-pruning —
+    a bare ``.count()`` qualifies) are only the corrupt-record column
+    [UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]; caching is
+    the documented escape hatch. At 100 TB don't cache an ingest batch:
+    land the parsed frame to parquet once (write_corpus) and split from
+    the landed table — same one-pass economics, durable quarantine."""
+    if materialize:
+        df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, bad
+
+
+def write_corpus(
+    docs: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    max_records_per_file: int = 1_000_000,
+    sort_within: tuple[str, ...] = ("source", "doc_id"),
+) -> None:
+    """Partitioned Parquet corpus layout.
+
+    ``repartition(*partition_by)`` aligns shuffle partitions with output
+    dirs so each dir is written by few tasks (without it, every task
+    holds a writer per partition value: memory pressure and #tasks ×
+    #dirs small files). ``sortWithinPartitions`` clusters rows for
+    run-length/dictionary encoding and row-group skipping on the sort
+    keys; ``maxRecordsPerFile`` re-splits skewed partition values."""
+    (
+        docs.repartition(*[F.col(c) for c in partition_by])
+        .sortWithinPartitions(*sort_within)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_documents_jsonl(docs: DataFrame, path: str) -> None:
+    """JSONL export (interchange with non-Spark tooling)."""
+    docs.write.mode("overwrite").json(path)

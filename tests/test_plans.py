@@ -170,3 +170,43 @@ def test_doc_queries_prune_documents_scan(spark):
         assert m, name
         fields = {f.split(":")[0] for f in m.group(1).split(",") if f}
         assert fields <= {"doc_id", "text"}, (name, fields)
+
+
+def test_decontaminate_broadcasts_eval_dictionary(spark):
+    """The eval n-gram dictionary must broadcast — shuffling the train
+    side against it is the difference between a map-side semi join and
+    a full repartition of the corpus at 100 TB."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        REGISTRY_EXT,
+    )
+
+    df = REGISTRY_EXT["decontaminate"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # only doc_id + text may reach the documents scan
+    assert "n_chars" not in plan and "source" not in plan
+
+
+def test_stratified_sample_is_shuffle_free_before_agg(spark):
+    """The sampling filter itself is a narrow map: exactly one exchange
+    in the whole plan (the final per-lang count), none for sampling."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        REGISTRY_EXT,
+    )
+
+    df = REGISTRY_EXT["stratified_sample"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one shuffle for the groupBy('lang'), one for the orderBy — the
+    # filter adds none
+    assert plan.count("Exchange") <= 2
+    assert "text#" not in plan  # sampling never reads the text column
+
+
+def test_vocab_coverage_broadcasts_vocabulary(spark):
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        REGISTRY_EXT,
+    )
+
+    df = REGISTRY_EXT["vocab_coverage"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -219,31 +219,38 @@ def q_pairing_compat(spark: SparkSession, sf: str) -> DataFrame:
     grid = WeekGrid.from_range("2024-01-01", "2025-01-15")
     ev = table(spark, sf, "events")
 
-    def listing(etype: str, sample_mod: int | None) -> DataFrame:
-        out = ev.filter(F.col("event_type") == etype)
-        if sample_mod is not None:
-            out = out.filter(F.col("event_id") % sample_mod == 0)
-        names = out.select(
+    # Materialize BOTH tiny listings from ONE events scan, WITHOUT
+    # leaving the cluster: build_catalog consumes each listing several
+    # times (labels, spine, rows) and each use would otherwise rescan
+    # the full events table — and a per-side checkpoint would scan it
+    # twice. The listings grow with the data (1-in-53 / 1-in-11 event
+    # samples), so a driver-side collect() here would OOM at scale;
+    # localCheckpoint(eager=True) gives the same re-scan amortization
+    # with zero driver transfer.
+    tagged = (
+        ev.filter(
+            ((F.col("event_type") == "click") & (F.col("event_id") % 53 == 0))
+            | ((F.col("event_type") == "view") & (F.col("event_id") % 11 == 0))
+        )
+        .select(
+            "event_type",
             F.concat(
                 F.date_format("ts", "yyyyMMdd"),
                 F.lit("T000000_E"),
                 F.col("event_id").cast("string"),
-            ).alias("data")
+            ).alias("data"),
         )
-        # Materialize the tiny listing once WITHOUT leaving the cluster:
-        # build_catalog consumes its input several times (labels, spine,
-        # rows) and each use would otherwise rescan the full events
-        # table. This listing is derived from events, so it grows with
-        # the data — a driver-side collect() here would OOM at scale.
-        # localCheckpoint(eager=True) gives the same re-scan
-        # amortization with zero driver transfer.
-        return names.localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
+
+    def listing(etype: str) -> DataFrame:
+        return tagged.filter(F.col("event_type") == etype).select("data")
 
     s_cat = build_catalog(
-        listing("click", 53), s2_date(F.col("data")), "S2", grid, keep_week=True
+        listing("click"), s2_date(F.col("data")), "S2", grid, keep_week=True
     )
     l_cat = build_catalog(
-        listing("view", 11), s2_date(F.col("data")), "L8", grid, keep_week=True
+        listing("view"), s2_date(F.col("data")), "L8", grid, keep_week=True
     )
     pairs = pair_catalogs(s_cat, l_cat)
     return pairs.select(

@@ -121,3 +121,84 @@ def vocab_coverage(docs: DataFrame, k: int = 16) -> DataFrame:
             / F.col("n_toks").cast("double")
         ).alias("coverage"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 512, n_shards: int = 32
+) -> DataFrame:
+    """Greedy contiguous sequence packing for LLM training batches:
+    assign documents, in deterministic id order, to fixed token-budget
+    training sequences; returns one row per packed sequence
+    ``(shard, seq_id, n_docs, n_toks_packed)``.
+
+    Packing needs an ordered running total, which is inherently
+    sequential — so it must NOT be a single global window (one task would
+    stream the whole corpus). Instead documents are sharded by
+    ``doc_id % n_shards`` and packed WITHIN each shard: the cumulative
+    sum parallelizes across shards, each sequence stays inside one
+    shard's ordered stream, and the result is still fully deterministic
+    (reshuffle- and rerun-stable, like ``stratified_sample``). At 100 TB
+    you raise ``n_shards`` to ~the executor count; packing quality is
+    unaffected because sequences never straddle shards anyway.
+
+    A document lands in the sequence its FIRST token falls into
+    (``floor(cum_before / budget)``), the streaming-fill rule: sequences
+    may overshoot the budget by at most one document's tokens, matching
+    how training-data packers chunk an ordered token stream.
+    """
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = F.floor(
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / F.lit(budget)
+    )
+    return (
+        sized.withColumn("seq_id", seq)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks_packed"),
+        )
+        .select(
+            F.col("shard").cast("long"),
+            F.col("seq_id").cast("long"),
+            "n_docs",
+            "n_toks_packed",
+        )
+    )
+
+
+def length_trim(
+    docs: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-language robust length trim: keep documents whose character
+    length sits inside the [lo, hi] percent-rank band of their language,
+    and report ``(lang, n_kept, min_chars, max_chars)`` for the band.
+
+    The C4/Gopher-style "too short / absurdly long" filter as rank
+    arithmetic: ``percent_rank() = (rank - 1) / (n - 1)`` is integers and
+    one division, so the band edges are cross-engine exact — no
+    approximate quantiles, no float summation. One shuffle (the per-lang
+    sort window); the aggregation reuses its partitioning.
+    """
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("n_chars")
+    )
+    kept = docs.select("lang", "n_chars", pr.alias("pr")).filter(
+        (F.col("pr") >= lo) & (F.col("pr") <= hi)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

@@ -218,3 +218,35 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rep_ngram_ratio"),
     )
+
+
+def top_tokens_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-language heavy hitters: the ``k`` most frequent tokens for
+    each language, ``(lang, rank, tok, n)``.
+
+    The frequency groupBy is the only corpus-size shuffle (map-side
+    partial counts); the ranking window runs over the tiny per-language
+    count table. Ties break on the token string, so the output is
+    cross-engine deterministic. At 100 TB the exact count table is still
+    small (vocabulary-bounded); if vocabulary itself explodes (raw
+    n-grams), swap the exact count for a count-min/topK sketch upstream
+    and keep this ranking stage unchanged.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "lang",
+            F.col("rank").cast("long"),
+            "tok",
+            F.col("n").cast("long"),
+        )
+    )

@@ -23,9 +23,12 @@ from ..operators.curation import (
     TRAIN_BUCKET_BOUND,
     _hash_bucket,
     contaminated_docs,
+    length_trim,
+    pack_sequences,
     stratified_sample,
     vocab_coverage,
 )
+from ..operators.scoring import tfidf_terms, unigram_surprisal
 from ..operators.dedup import (
     embedding_cosine_pairs,
     minhash_lsh_candidates,
@@ -39,6 +42,7 @@ from ..operators.textops import (
     quality_stats,
     regex_token_counts,
     rolling_fingerprint,
+    top_tokens_per_lang,
     ROLLING_BASE,
     ROLLING_MOD,
 )
@@ -1028,6 +1032,145 @@ FROM weekly ORDER BY week_start
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus scoring & packing (operators/scoring.py, operators/curation.py)
+
+
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; integer-micros idf keeps the
+    per-doc ranking cross-engine exact (operators/scoring.py)."""
+    return tfidf_terms(table(spark, sf, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+SQL_TFIDF_TERMS = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT tok,
+         CAST(round(ln(n_docs::DOUBLE / df::DOUBLE) * 1e6) AS BIGINT) AS idf_u
+  FROM dfreq, n
+),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * idf.idf_u AS score_u,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf_u DESC, tf.tok ASC) AS rank
+  FROM tf JOIN idf USING (tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank,
+       tok, CAST(score_u AS BIGINT) AS score_u
+FROM s WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram-LM surprisal quality score per document;
+    exact BIGINT accumulation (operators/scoring.py)."""
+    return unigram_surprisal(table(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_UNIGRAM_NLL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+c AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM c),
+m AS (
+  SELECT tok, CAST(round(-ln(c::DOUBLE / t::DOUBLE) * 1e6) AS BIGINT) AS sur_u
+  FROM c, tot
+),
+d AS (
+  SELECT doc_id, sum(tf) AS n_toks, sum(tf * sur_u) AS nll_u
+  FROM tf JOIN m USING (tok) GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(nll_u AS BIGINT) AS nll_u,
+       (CAST(nll_u AS DOUBLE) / CAST(n_toks AS DOUBLE)) / 1e6 AS mean_nll
+FROM d ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-local greedy sequence packing to a 512-token budget
+    (operators/curation.py:pack_sequences)."""
+    return pack_sequences(
+        table(spark, sf, "documents"), budget=512, n_shards=32
+    ).orderBy("shard", "seq_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH s AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT shard, n_toks,
+         coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM s
+),
+p AS (
+  SELECT shard, n_toks,
+         CAST(floor(cum::DOUBLE / 512) AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks_packed
+FROM p GROUP BY shard, seq_id ORDER BY shard, seq_id
+"""
+
+
+def q_length_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language percent-rank length band [0.05, 0.95]
+    (operators/curation.py:length_trim)."""
+    return length_trim(table(spark, sf, "documents")).orderBy("lang")
+
+
+SQL_LENGTH_TRIM = """
+WITH r AS (
+  SELECT lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM r WHERE pr >= 0.05 AND pr <= 0.95
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_top_tokens_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language heavy hitters (top-5 tokens)
+    (operators/textops.py:top_tokens_per_lang)."""
+    return top_tokens_per_lang(table(spark, sf, "documents"), k=5).orderBy(
+        "lang", "rank"
+    )
+
+
+SQL_TOP_TOKENS_PER_LANG = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),
+r AS (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank
+  FROM c
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, tok, CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
 REGISTRY_EXT = {
     # Streaming entries FIRST: the round-1 correctness record stopped at
     # exactly the last two insertion-order entries (these), suggesting
@@ -1061,6 +1204,11 @@ REGISTRY_EXT = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "unigram_nll": (q_unigram_nll, SQL_UNIGRAM_NLL),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "length_trim": (q_length_trim, SQL_LENGTH_TRIM),
+    "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

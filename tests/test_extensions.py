@@ -357,3 +357,122 @@ def test_vocab_coverage_totals(spark):
     for r in out.values():
         assert 0.0 <= r["coverage"] <= 1.0
         assert r["n_in_vocab"] <= r["n_toks"]
+
+
+def test_tfidf_terms_semantics(spark):
+    """A token present in every document has idf 0 and so can never
+    outrank a discriminative token; ranking ties break on token text."""
+    from sentinel_landsat_database_creation_spark.operators.scoring import (
+        tfidf_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common other"),
+            (3, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["tok"], r["score_u"])
+        for r in tfidf_terms(docs, k=2).collect()
+    }
+    # doc 1: "rare" (tf=2, df=1) beats "common" (idf 0).
+    assert rows[(1, 1)][0] == "rare"
+    assert rows[(1, 1)][1] > 0
+    # "common" appears in all 3 docs -> idf_u == 0 exactly.
+    assert rows[(1, 2)] == ("common", 0)
+    # doc 3 has only zero-score terms; ties broken by token asc.
+    assert rows[(3, 1)] == ("common", 0)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Tiny corpus where the unigram model is computable by hand."""
+    import math
+
+    from sentinel_landsat_database_creation_spark.operators.scoring import (
+        unigram_surprisal,
+    )
+
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    sur_a = round(-math.log(3 / 4) * 1e6)
+    sur_b = round(-math.log(1 / 4) * 1e6)
+    assert out[1]["n_toks"] == 3 and out[1]["nll_u"] == 3 * sur_a
+    assert out[2]["n_toks"] == 1 and out[2]["nll_u"] == sur_b
+    assert out[2]["mean_nll"] == (float(sur_b) / 1.0) / 1e6
+
+
+def test_pack_sequences_straddle_and_shards(spark):
+    """A document whose tokens straddle the budget boundary belongs to
+    the sequence its FIRST token falls into; shards pack independently."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    # one shard (n_shards=1): lengths 3, 3, 3 with budget 4:
+    #   doc 0 -> cum_before 0 -> seq 0
+    #   doc 1 -> cum_before 3 -> seq 0 (straddles: 3+3 > 4)
+    #   doc 2 -> cum_before 6 -> seq 1
+    docs = spark.createDataFrame(
+        [(0, "x x x"), (1, "x x x"), (2, "x x x")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["n_toks_packed"])
+        for r in pack_sequences(docs, budget=4, n_shards=1).collect()
+    }
+    assert rows == {(0, 0): (2, 6), (0, 1): (1, 3)}
+
+    # two shards: doc ids 0,2 -> shard 0; 1,3 -> shard 1; cumsums reset.
+    docs2 = spark.createDataFrame(
+        [(i, "x x x") for i in range(4)], ["doc_id", "text"]
+    )
+    rows2 = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["n_toks_packed"])
+        for r in pack_sequences(docs2, budget=4, n_shards=2).collect()
+    }
+    assert rows2 == {(0, 0): (2, 6), (1, 0): (2, 6)}
+
+
+def test_length_trim_band_edges(spark):
+    """percent_rank band keeps min-rank row only when lo == 0; a
+    singleton language has pr == 0 and is dropped by lo > 0 in BOTH
+    engines (pinned here so a tokenizer/engine change can't silently
+    diverge)."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        length_trim,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", 10), ("en", 20), ("en", 30), ("en", 40), ("zz", 5)],
+        ["lang", "n_chars"],
+    )
+    # en ranks: pr = 0, 1/3, 2/3, 1 -> [0.05, 0.95] keeps 20 and 30.
+    out = {r["lang"]: r for r in length_trim(docs).collect()}
+    assert out["en"]["n_kept"] == 2
+    assert (out["en"]["min_chars"], out["en"]["max_chars"]) == (20, 30)
+    assert "zz" not in out
+    # lo=0 keeps the minimum (and the singleton language).
+    out0 = {r["lang"]: r for r in length_trim(docs, lo=0.0).collect()}
+    assert out0["en"]["min_chars"] == 10 and out0["zz"]["n_kept"] == 1
+
+
+def test_top_tokens_per_lang_ties(spark):
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        top_tokens_per_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "b a b a"), ("de", "z")], ["lang", "text"]
+    )
+    rows = {
+        (r["lang"], r["rank"]): (r["tok"], r["n"])
+        for r in top_tokens_per_lang(docs, k=2).collect()
+    }
+    # equal counts -> token asc breaks the tie.
+    assert rows[("en", 1)] == ("a", 2) and rows[("en", 2)] == ("b", 2)
+    assert rows[("de", 1)] == ("z", 1)

@@ -1,0 +1,97 @@
+"""Z-order (Morton) data-layout operators.
+
+Extension beyond the reference pipeline (SURVEY.md §6): the reference
+reads scene tiles in whatever order the filesystem lists them
+(`data_pair/main_function.py` directory walk); at 100 TB the dominant
+cost of every spatial query is how many parquet files a 2-D predicate
+has to open. Z-ordering interleaves the bits of two sort keys so
+rows close in BOTH dimensions land in the same file, making parquet
+min/max (and Delta/Iceberg file-skipping) effective for 2-D range
+predicates — the standard lakehouse layout trick, here as a reusable
+operator.
+
+Everything is exact 64-bit integer arithmetic (`&`, `|`, `<<` on
+longs) with identical semantics in Spark and DuckDB, so the bucket
+summary query has a bit-exact oracle. The bit-spread uses the
+classic mask-and-shift doubling scheme: 4 steps for 16-bit inputs,
+constant work per row, fully inside whole-stage codegen — no UDF, no
+join, no shuffle for key computation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (shift, mask) steps spreading a 16-bit value onto the even bit
+# positions of a 32-bit lane: abcd -> 0a0b0c0d (shown for 4 bits).
+SPREAD16_STEPS: tuple[tuple[int, int], ...] = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread16(c: Column) -> Column:
+    """Spread the low 16 bits of ``c`` onto even bit positions.
+
+    Each step doubles the gap between occupied bit groups; 4 steps of
+    two bit-ops each, so the expression tree stays small (the unrolled
+    alternative — one term per bit — is the JIT-limit trap documented in
+    `operators/similarity.py:dot_cast`).
+    """
+    c = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in SPREAD16_STEPS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_key(x: Column, y: Column) -> Column:
+    """32-bit Morton key interleaving the low 16 bits of ``x`` (even
+    positions) and ``y`` (odd positions). Monotone per dimension when the
+    other is fixed; a 2-D range maps to O(log) contiguous key ranges."""
+    return spread16(x).bitwiseOR(F.shiftleft(spread16(y), 1))
+
+
+def zorder_frame(
+    df: DataFrame, x: str, y: str, n_partitions: int = 32
+) -> DataFrame:
+    """Lay ``df`` out in Z-order on ``(x, y)``: range-partition by the
+    Morton key, then sort within partitions — the exact shape a
+    partitioned parquet writer needs for tight per-file min/max on both
+    dimensions. One range shuffle; the sort is partition-local.
+    """
+    keyed = df.withColumn("zkey", zorder_key(F.col(x), F.col(y)))
+    return keyed.repartitionByRange(n_partitions, "zkey").sortWithinPartitions(
+        "zkey"
+    )
+
+
+def zorder_buckets(
+    df: DataFrame, x: str, y: str, n_buckets: int = 64
+) -> DataFrame:
+    """Layout diagnostic: bucket rows by the top ``log2(n_buckets)`` bits
+    of their Morton key and report ``(z_bucket, n_rows, min_z, max_z)``.
+
+    This is the file-skipping story made measurable: each bucket is one
+    would-be file, and ``min_z/max_z`` are the statistics a reader would
+    prune on. The aggregation is a plain hash groupBy on a derived
+    integer — map-side partial aggregation, one vocabulary-bounded
+    shuffle (``n_buckets`` groups), no window, no sort of the data.
+    ``n_buckets`` must be a power of two ≤ 2^32.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 32 - (n_buckets.bit_length() - 1)
+    z = zorder_key(F.col(x), F.col(y))
+    return (
+        df.select(F.shiftright(z, shift).alias("z_bucket"), z.alias("zkey"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("zkey").cast("long").alias("min_z"),
+            F.max("zkey").cast("long").alias("max_z"),
+        )
+        .select(F.col("z_bucket").cast("long"), "n_rows", "min_z", "max_z")
+    )

@@ -87,6 +87,86 @@ def tfidf_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg, w1, tf) — per-document bigram occurrence counts.
+
+    Bigrams are built array-native (two shifted slices through one
+    zip_with — the measured-fast shingle pattern, functions/text.py:24)
+    carrying the first token alongside the joined string in a struct, so
+    ``w1`` is exact even if tokens contain the separator. Docs with < 2
+    tokens contribute no rows (the ``when`` guard keeps slice lengths
+    positive, same hazard as ``shingles``).
+    """
+    toks = F.split(F.col("text"), " ")
+    length = F.size(toks) - 1
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, length),
+            F.slice(toks, 2, length),
+            lambda a, b: F.struct(
+                F.concat(a, F.lit("_"), b).alias("bg"), a.alias("w1")
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<bg:string,w1:string>>"))
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+        .groupBy("doc_id", "bg", "w1")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Bigram conditional-LM negative log-likelihood per document:
+    ``(doc_id, n_bigrams, nll2_u, mean_nll2)``.
+
+    The model is the corpus itself: ``p(w2 | w1) = c(w1,w2) / c(w1·)``
+    where ``c(w1·)`` sums bigram counts by first token — a proper
+    conditional distribution with no out-of-vocabulary mass, so no
+    backoff is needed. Like :func:`unigram_surprisal`, the only
+    transcendental is evaluated once per DISTINCT bigram and rounded to
+    integer micros; each document's NLL is then an exact BIGINT
+    ``Σ tf·sur_u``, bit-identical across engines.
+
+    Scale shape: one bigram explode+groupBy over the corpus (the
+    unavoidable shuffle), two vocabulary-bounded aggregations, and
+    broadcast joins of the tiny model tables. If the bigram vocabulary
+    outgrows broadcast (open-domain web text), drop the ``broadcast``
+    hints — the joins degrade to shuffle-hash on the already-partitioned
+    ``bg`` key; the plan is otherwise unchanged.
+    """
+    tfb = _doc_bigrams(docs)
+    c2 = tfb.groupBy("bg", "w1").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(F.broadcast(c1), "w1").select(
+        "bg",
+        F.round(
+            -F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("sur_u"),
+    )
+    per_doc = (
+        tfb.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("sur_u")).cast("long").alias("nll2_u"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("long"),
+        "n_bigrams",
+        "nll2_u",
+        (
+            (F.col("nll2_u").cast("double") / F.col("n_bigrams").cast("double"))
+            / F.lit(1e6)
+        ).alias("mean_nll2"),
+    )
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """Unigram-LM negative log-likelihood per document:
     ``(doc_id, n_toks, nll_u, mean_nll)``.

@@ -28,7 +28,8 @@ from ..operators.curation import (
     stratified_sample,
     vocab_coverage,
 )
-from ..operators.scoring import tfidf_terms, unigram_surprisal
+from ..operators.layout import zorder_buckets
+from ..operators.scoring import bigram_surprisal, tfidf_terms, unigram_surprisal
 from ..operators.dedup import (
     embedding_cosine_pairs,
     minhash_lsh_candidates,
@@ -1171,6 +1172,105 @@ FROM r WHERE rank <= 5 ORDER BY lang, rank
 """
 
 
+def q_bigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram conditional-LM surprisal per document; exact BIGINT
+    accumulation over an integer-micros model
+    (operators/scoring.py:bigram_surprisal)."""
+    return bigram_surprisal(table(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_BIGRAM_NLL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+b AS (
+  -- scalar generate_series returns a LIST, so no lateral join is
+  -- needed; parallel unnests zip positionally.
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || '_' || l[i + 1])) AS bg,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i])) AS w1
+  FROM toks
+),
+tfb AS (
+  SELECT doc_id, bg, w1, count(*) AS tf FROM b GROUP BY doc_id, bg, w1
+),
+c2 AS (SELECT bg, w1, sum(tf) AS c2 FROM tfb GROUP BY bg, w1),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+m AS (
+  SELECT bg,
+         CAST(round(-ln(c2::DOUBLE / c1::DOUBLE) * 1e6) AS BIGINT) AS sur_u
+  FROM c2 JOIN c1 USING (w1)
+),
+d AS (
+  SELECT doc_id, sum(tf) AS n_bigrams, sum(tf * sur_u) AS nll2_u
+  FROM tfb JOIN m USING (bg) GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(nll2_u AS BIGINT) AS nll2_u,
+       (CAST(nll2_u AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e6 AS mean_nll2
+FROM d ORDER BY doc_id
+"""
+
+
+def q_zorder_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout diagnostic over lineitem (part x supplier): 64
+    Morton-key buckets with the min/max statistics a file-skipping
+    reader would prune on (operators/layout.py:zorder_buckets)."""
+    return zorder_buckets(
+        table(spark, sf, "lineitem"), "l_partkey", "l_suppkey", n_buckets=64
+    ).orderBy("z_bucket")
+
+
+SQL_ZORDER_BUCKETS = """
+WITH s0 AS (
+  SELECT CAST(l_partkey AS BIGINT) & 65535 AS x,
+         CAST(l_suppkey AS BIGINT) & 65535 AS y
+  FROM lineitem
+),
+s1 AS (SELECT (x | (x << 8)) & 16711935 AS x,
+              (y | (y << 8)) & 16711935 AS y FROM s0),
+s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+              (y | (y << 4)) & 252645135 AS y FROM s1),
+s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+              (y | (y << 2)) & 858993459 AS y FROM s2),
+s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+              (y | (y << 1)) & 1431655765 AS y FROM s3),
+z AS (SELECT x | (y << 1) AS zkey FROM s4)
+SELECT CAST(zkey >> 26 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zkey) AS BIGINT) AS min_z,
+       CAST(max(zkey) AS BIGINT) AS max_z
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
+def q_stream_click_signup(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join: signups within 6 hours
+    of a click by the same user (streaming/joins.py). Inner-join append
+    output equals the batch interval join row-for-row."""
+    from ..streaming.joins import click_signup_join_once
+
+    return click_signup_join_once(spark, sf, horizon_hours=6)
+
+
+SQL_STREAM_CLICK_SIGNUP = """
+SELECT CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(s.event_id AS BIGINT) AS signup_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+       CAST(epoch_us(s.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events c JOIN events s
+  ON c.user_id = s.user_id
+ AND c.event_type = 'click' AND s.event_type = 'signup'
+ AND s.ts >= c.ts AND s.ts <= c.ts + INTERVAL 6 HOURS
+ORDER BY click_id, signup_id
+"""
+
+
 REGISTRY_EXT = {
     # Streaming entries FIRST: the round-1 correctness record stopped at
     # exactly the last two insertion-order entries (these), suggesting
@@ -1182,6 +1282,7 @@ REGISTRY_EXT = {
     # batch twin `user_sessions` carries the exact oracle
     "stream_sessions": (q_stream_sessions, None),
     "stream_sessions_native": (q_stream_sessions_native, SQL_STREAM_SESSIONS_NATIVE),
+    "stream_click_signup": (q_stream_click_signup, SQL_STREAM_CLICK_SIGNUP),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
@@ -1209,6 +1310,8 @@ REGISTRY_EXT = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "length_trim": (q_length_trim, SQL_LENGTH_TRIM),
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
+    "bigram_nll": (q_bigram_nll, SQL_BIGRAM_NLL),
+    "zorder_buckets": (q_zorder_buckets, SQL_ZORDER_BUCKETS),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

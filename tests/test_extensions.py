@@ -461,6 +461,86 @@ def test_length_trim_band_edges(spark):
     assert out0["en"]["min_chars"] == 10 and out0["zz"]["n_kept"] == 1
 
 
+def test_bigram_surprisal_hand_computed(spark):
+    """Tiny corpus where the bigram conditional model is computable by
+    hand; single-token documents contribute no rows."""
+    import math
+
+    from sentinel_landsat_database_creation_spark.operators.scoring import (
+        bigram_surprisal,
+    )
+
+    # bigrams: doc1 a_b, doc2 a_c, doc3 a_b  ->  c(a_b)=2, c(a_c)=1,
+    # c(a.)=3  ->  p(b|a)=2/3, p(c|a)=1/3.
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b"), (4, "z")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    sur_ab = round(-math.log(2 / 3) * 1e6)
+    sur_ac = round(-math.log(1 / 3) * 1e6)
+    assert out[1]["n_bigrams"] == 1 and out[1]["nll2_u"] == sur_ab
+    assert out[2]["n_bigrams"] == 1 and out[2]["nll2_u"] == sur_ac
+    assert out[1]["mean_nll2"] == (float(sur_ab) / 1.0) / 1e6
+    assert 4 not in out  # no bigrams -> no row
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Pinned Morton values plus the defining property: bit i of x lands
+    at position 2i, bit i of y at 2i+1."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.layout import (
+        zorder_buckets,
+        zorder_key,
+    )
+
+    def morton(x, y):
+        return sum(
+            ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+            for i in range(16)
+        )
+
+    cases = [(0, 0), (3, 5), (65535, 0), (0, 65535), (12345, 54321)]
+    df = spark.createDataFrame(cases, ["x", "y"]).select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_buckets(df, "x", "y", n_buckets=48)
+
+
+def test_zorder_frame_partition_ranges_disjoint(spark):
+    """repartitionByRange + sortWithinPartitions yields non-overlapping,
+    internally sorted zkey ranges — the per-file min/max tightness the
+    layout exists for."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.layout import (
+        zorder_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 251, (i * 7) % 241) for i in range(2000)], ["x", "y"]
+    )
+    out = zorder_frame(df, "x", "y", n_partitions=8).select(
+        F.spark_partition_id().alias("pid"), "zkey"
+    )
+    rows = out.collect()  # collect preserves partition-then-row order
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["zkey"])
+    for keys in by_pid.values():
+        assert keys == sorted(keys)
+    spans = sorted((min(k), max(k)) for k in by_pid.values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+
+
 def test_top_tokens_per_lang_ties(spark):
     from sentinel_landsat_database_creation_spark.operators.textops import (
         top_tokens_per_lang,

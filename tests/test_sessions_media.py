@@ -216,3 +216,66 @@ def test_native_session_window_matches_batch_sealed_sessions(spark, tmp_path):
     }
     assert want, "fixture slice must produce sealed sessions"
     assert got == want
+
+
+def test_stream_stream_join_matches_batch_across_microbatches(spark, tmp_path):
+    """A click in micro-batch 0 must still match a signup arriving in
+    micro-batch 1: the interval-join state survives the batch boundary
+    (watermark far wider than the data span, so nothing is evicted)."""
+    import datetime as dt2
+
+    from sentinel_landsat_database_creation_spark.streaming.joins import (
+        click_signup_join_stream,
+    )
+
+    base = dt2.datetime(2001, 1, 1)
+    clicks = [
+        (i, base + dt2.timedelta(hours=i), 100 + i % 3, "click")
+        for i in range(6)
+    ]
+    signups = [
+        (100 + j, base + dt2.timedelta(hours=j, minutes=30), 100 + j % 3,
+         "signup")
+        for j in range(6)
+    ]
+    schema_str = "event_id long, ts timestamp, user_id long, event_type string"
+    d = str(tmp_path / "ssj")
+    spark.createDataFrame(clicks, schema_str).coalesce(1).write.parquet(
+        f"{d}/b=0"
+    )
+    spark.createDataFrame(signups, schema_str).coalesce(1).write.parquet(
+        f"{d}/b=1"
+    )
+    schema = spark.read.parquet(f"{d}/b=0").schema
+
+    def side(event_type):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        return s.filter(F.col("event_type") == event_type)
+
+    out = click_signup_join_stream(side("click"), side("signup"), horizon_hours=6)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["click_id"], r["signup_id"], r["lag_us"])
+        for r in spark.table("ssj_test").collect()
+    }
+    # expected: same user (i % 3 == j % 3), 0 <= lag <= 6h
+    want = set()
+    for i in range(6):
+        for j in range(6):
+            lag_us = ((j - i) * 3600 + 1800) * 1_000_000
+            if i % 3 == j % 3 and 0 <= lag_us <= 6 * 3600 * 1_000_000:
+                want.add((i, 100 + j, lag_us))
+    assert want, "fixture must produce matches"
+    assert got == want

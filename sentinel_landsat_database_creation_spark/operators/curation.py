@@ -95,15 +95,22 @@ def vocab_coverage(docs: DataFrame, k: int = 16) -> DataFrame:
 
     Pass 1 (vocab) ends in k rows; Spark broadcasts it into pass 2's
     join, so the expensive side runs explode -> broadcast-join ->
-    doc_id groupBy: one shuffle, partial aggregation map-side."""
+    doc_id groupBy: one shuffle, partial aggregation map-side.
+
+    The top-k itself is ``orderBy(...).limit(k)``, which Spark plans as
+    TakeOrderedAndProject — per-partition bounded top-k heaps merged on
+    the driver. At web scale the distinct-token table is hundreds of
+    millions of rows; the earlier ``row_number() OVER (ORDER BY ...)``
+    formulation funneled ALL of it through one unpartitioned-window task
+    (the classic hidden scale-killer), while TakeOrderedAndProject never
+    materializes more than k rows per partition. (tok, n) is a total
+    order (tok is unique), so the k-th-place tie-break is deterministic
+    and the oracle still hash-matches."""
     tok_rows = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    rk = F.row_number().over(
-        Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    )
-    vocab = counts.select("tok", rk.alias("rk")).filter(F.col("rk") <= k)
+    vocab = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(k)
     per_doc = (
         tok_rows.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
         .groupBy("doc_id")
@@ -185,19 +192,43 @@ def length_trim(
     The C4/Gopher-style "too short / absurdly long" filter as rank
     arithmetic: ``percent_rank() = (rank - 1) / (n - 1)`` is integers and
     one division, so the band edges are cross-engine exact — no
-    approximate quantiles, no float summation. One shuffle (the per-lang
-    sort window); the aggregation reuses its partitioning.
+    approximate quantiles, no float summation.
+
+    Skew design: a direct ``percent_rank() OVER (PARTITION BY lang ORDER
+    BY n_chars)`` sorts each language's ENTIRE corpus in one window task
+    — at 100 TB the dominant language is ~45% of the corpus (see
+    sources/corpus.py), i.e. one task sorting ~45 TB. Since rank() ties
+    share a rank, percent_rank is a function of the VALUE, not the row:
+    pr(v) = (#rows < v) / (n_lang - 1). So aggregate to per-(lang,
+    n_chars) counts first (a map-side-combining groupBy bounded by
+    #distinct lengths x #languages, NOT by corpus size), then run the
+    cumulative window over that bounded table. Per-language sequential
+    work drops from O(docs) to O(distinct lengths) — the same exact
+    output, hash-identical to the oracle.
     """
-    pr = F.percent_rank().over(
-        Window.partitionBy("lang").orderBy("n_chars")
+    g = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    kept = docs.select("lang", "n_chars", pr.alias("pr")).filter(
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lang = Window.partitionBy("lang")
+    n_before = F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
+    n_lang = F.sum("cnt").over(w_lang)
+    # rank(first row of value group) - 1 == #rows with a smaller value;
+    # Spark defines percent_rank = 0 for a single-row partition.
+    pr = F.when(
+        n_lang > 1, n_before.cast("double") / (n_lang - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    kept = g.withColumn("pr", pr).filter(
         (F.col("pr") >= lo) & (F.col("pr") <= hi)
     )
     return (
         kept.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("cnt").cast("long").alias("n_kept"),
             F.min("n_chars").cast("long").alias("min_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
         )

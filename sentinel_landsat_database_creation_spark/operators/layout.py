@@ -68,6 +68,72 @@ def zorder_frame(
     )
 
 
+def zorder_partitioned_write(
+    df: DataFrame, x: str, y: str, path: str, n_buckets: int = 64
+) -> None:
+    """Write ``df`` as a Z-ordered parquet layout with EXACTLY one file
+    per non-empty Morton bucket (bucket = top ``log2(n_buckets)`` bits
+    of the 32-bit key — the deterministic cousin of ``zorder_frame``'s
+    sampled range bounds, so the written layout is bit-reproducible
+    across sessions and oracle-checkable).
+
+    One-file-per-bucket holds by construction: ``repartition(n,
+    "z_bucket")`` puts every row of a bucket in one task, and
+    ``partitionBy`` writes one file per (task, partition-value), so each
+    ``z_bucket=N`` directory gets a single part file. Rows inside each
+    file are zkey-sorted, so parquet row-group min/max are tight in BOTH
+    source dimensions — the file-skipping property the whole operator
+    exists for. At 100 TB, raise ``n_buckets`` so each bucket is
+    file-sized (~1 GB); the plan shape (one hash shuffle + local sort)
+    is unchanged."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 32 - (n_buckets.bit_length() - 1)
+    keyed = df.withColumn("zkey", zorder_key(F.col(x), F.col(y))).withColumn(
+        "z_bucket", F.shiftright(F.col("zkey"), shift)
+    )
+    (
+        keyed.repartition(n_buckets, "z_bucket")
+        .sortWithinPartitions("z_bucket", "zkey")
+        .write.mode("overwrite")
+        .partitionBy("z_bucket")
+        .parquet(path)
+    )
+
+
+def written_file_stats(spark, path: str, x: str, y: str) -> DataFrame:
+    """Read back a ``zorder_partitioned_write`` layout and report, per
+    bucket, the statistics a file-skipping reader would prune on —
+    computed from the ACTUAL files (``input_file_name``), not from the
+    logical plan, so a writer bug that scatters a bucket across files or
+    files across buckets shows up as extra ``n_files`` / widened min-max
+    and breaks the oracle hash.
+
+    Returns (z_bucket, n_files, n_rows, min_x, max_x, min_y, max_y)."""
+    df = spark.read.parquet(path)
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("z_bucket")
+        .agg(
+            F.count_distinct(F.col("_file")).cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(x).cast("long").alias("min_x"),
+            F.max(x).cast("long").alias("max_x"),
+            F.min(y).cast("long").alias("min_y"),
+            F.max(y).cast("long").alias("max_y"),
+        )
+        .select(
+            F.col("z_bucket").cast("long"),
+            "n_files",
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+        )
+    )
+
+
 def zorder_buckets(
     df: DataFrame, x: str, y: str, n_buckets: int = 64
 ) -> DataFrame:

@@ -267,6 +267,47 @@ def ivf_topk(
     )
 
 
+def topk_recall(exact: DataFrame, approxes: dict[str, DataFrame]) -> DataFrame:
+    """recall@k of approximate top-k results against the brute-force
+    baseline — the number a 100 TB user tunes LSH bits / IVF cell counts
+    by. One row per method: (method, n_queries, n_possible, n_hits,
+    recall), where n_hits counts (qid, cid) pairs the approximate result
+    shares with the exact one — integer-exact, so the oracle hash-matches
+    and only the final recall ratio is a (bit-deterministic) division.
+
+    Scale shape: recall is always measured over a SAMPLED query set (the
+    exact baseline is O(N) per query by definition), so every input here
+    is k·|queries| rows; the semi joins and 1-row aggregates are
+    broadcast-sized by construction."""
+    from functools import reduce
+
+    tot = exact.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )
+    outs = []
+    for method in sorted(approxes):
+        hits = (
+            approxes[method]
+            .select("qid", "cid")
+            .join(exact.select("qid", "cid"), ["qid", "cid"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        outs.append(
+            tot.crossJoin(hits).select(
+                F.lit(method).alias("method"),
+                F.col("n_queries").cast("long"),
+                F.col("n_possible").cast("long"),
+                F.col("n_hits").cast("long"),
+                (
+                    F.col("n_hits").cast("double")
+                    / F.col("n_possible").cast("double")
+                ).alias("recall"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
 def bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8
 ) -> DataFrame:

@@ -31,15 +31,23 @@ def salted_join(
     """Equi-join ``skewed`` x ``small`` on ``key_col`` with the skewed
     side's rows spread over ``n_salts`` sub-keys.
 
-    ``salt_source`` names a column whose hash spreads rows (defaults to
-    the whole row via monotonically varying partition/offset — pass an
-    id column for determinism). Output columns = skewed's + small's
-    (minus the duplicate key), same as a plain join.
+    ``salt_source`` names a column whose hash spreads rows; by default
+    the salt is ``xxhash64`` over EVERY column of the skewed row — a
+    pure function of row content, so a retried or re-shuffled task
+    assigns the same salt and can never double- or zero-match (the
+    earlier ``spark_partition_id + monotonically_increasing_id`` default
+    changed under retries/repartition). Identical rows share a salt,
+    which only matters if one key's rows are also byte-identical — pass
+    ``salt_source`` (a distinct-ish column) for that corner. Output
+    columns = skewed's + small's (minus the duplicate key), same as a
+    plain join.
     """
     if salt_source is not None:
         salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
     else:
-        salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+        )
     l = skewed.withColumn("_salt", salt.cast("int"))
     r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

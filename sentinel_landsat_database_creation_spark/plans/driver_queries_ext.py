@@ -47,7 +47,7 @@ from ..operators.textops import (
     ROLLING_BASE,
     ROLLING_MOD,
 )
-from ..sources.testdata import table
+from ..sources.testdata import normalize_event_ts, table
 
 import contextlib
 
@@ -805,8 +805,7 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     out = sessionize_stateful(stream, gap_minutes=30)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, 8):
@@ -952,8 +951,7 @@ def q_stream_sessions_native(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     stream = stream.withColumn("value", F.round(F.col("value") * 100, 0))
     out = sessionize_native(stream, gap_minutes=_SESSION_GAP_MIN)
     name = f"stream_sessions_native_{uuid.uuid4().hex[:8]}"

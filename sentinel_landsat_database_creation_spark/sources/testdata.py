@@ -28,14 +28,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects; read nanos as long and
-        # truncate to micros (matching DuckDB's ns->us view of the same
-        # file).
-        from pyspark.sql import functions as F
+        # events.parquet's ts physical type has varied across testdata
+        # generations: INT64 TIMESTAMP(NANOS) (which the vectorized
+        # reader rejects -> read nanos as long, truncate to micros) or
+        # plain TIMESTAMP micros without timezone (-> TIMESTAMP_NTZ,
+        # which unix_micros/window functions reject). Normalize both to
+        # session-UTC TIMESTAMP so every downstream operator — and the
+        # DuckDB oracle's naive reading of the same file — sees the same
+        # instants.
+        df = normalize_event_ts(df)
+    return df
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a session-UTC TIMESTAMP regardless of the
+    testdata generation's physical type: INT64 TIMESTAMP(NANOS) arrives
+    as bigint under nanosAsLong (truncate to micros), plain micros
+    without timezone arrives as TIMESTAMP_NTZ (cast keeps the wall-clock
+    digits under the UTC session — the same absolute instant DuckDB's
+    naive reader sees). Streaming sources that must readStream the raw
+    file share this too."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

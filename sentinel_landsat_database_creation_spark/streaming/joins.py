@@ -93,10 +93,9 @@ def click_signup_join_once(
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        if dict(stream.dtypes).get("ts") == "bigint":
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        from ..sources.testdata import normalize_event_ts
+
+        stream = normalize_event_ts(stream)
         return stream.filter(F.col("event_type") == event_type)
 
     out = click_signup_join_stream(

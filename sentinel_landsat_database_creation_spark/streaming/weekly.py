@@ -45,8 +45,9 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.testdata import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
     out = weekly_counts_stream(stream)
     name = f"weekly_counts_{uuid.uuid4().hex[:8]}"
     # streaming state-store count is fixed at query start from

@@ -461,6 +461,44 @@ def test_length_trim_band_edges(spark):
     assert out0["en"]["min_chars"] == 10 and out0["zz"]["n_kept"] == 1
 
 
+def test_length_trim_matches_direct_percent_rank_under_skew(spark):
+    """The grouped-counts formulation must equal the textbook per-row
+    percent_rank() — including with one dominant language (the skew case
+    the rewrite exists for) and with heavy ties."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        length_trim,
+    )
+
+    rng = random.Random(7)
+    rows = [("en", rng.randint(1, 40)) for _ in range(900)] + [
+        (lang, rng.randint(1, 40)) for lang in ("fr", "de") for _ in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["lang", "n_chars"])
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_chars"))
+    direct = {
+        r["lang"]: (r["n_kept"], r["min_chars"], r["max_chars"])
+        for r in docs.select("lang", "n_chars", pr.alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .collect()
+    }
+    got = {
+        r["lang"]: (r["n_kept"], r["min_chars"], r["max_chars"])
+        for r in length_trim(docs).collect()
+    }
+    assert got == direct and set(got) == {"en", "fr", "de"}
+
+
 def test_bigram_surprisal_hand_computed(spark):
     """Tiny corpus where the bigram conditional model is computable by
     hand; single-token documents contribute no rows."""

@@ -210,3 +210,37 @@ def test_vocab_coverage_broadcasts_vocabulary(spark):
     df = REGISTRY_EXT["vocab_coverage"][0](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_topk_is_bounded(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject
+    (per-partition bounded heaps), NEVER as a window over the full
+    distinct-token table — an unpartitioned row_number() window funnels
+    hundreds of millions of token counts through one task at web scale."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        vocab_coverage,
+    )
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    df = vocab_coverage(table(spark, SF, "documents"), k=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_length_trim_window_is_over_grouped_lengths(spark):
+    """length_trim's per-lang window must run over the per-(lang,
+    n_chars) COUNT table, not over raw documents — otherwise one task
+    sorts the dominant language's whole corpus. The plan therefore shows
+    a partial_count hash-aggregate BELOW the Window's sort."""
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        length_trim,
+    )
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    df = length_trim(table(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    w = plan.index("Window")
+    assert "partial_count" in plan[w:], (
+        "window input is not pre-aggregated - it sorts raw documents"
+    )

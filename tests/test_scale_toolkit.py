@@ -73,6 +73,27 @@ def test_salted_agg_matches_plain(spark, events):
     assert salted == plain
 
 
+def test_salted_join_salt_deterministic_under_repartition(spark, events):
+    """The default salt must be a pure function of row content: the same
+    input re-partitioned arbitrarily yields the exact same joined
+    multiset (a partition-/offset-derived salt would re-deal the salts
+    and, under speculative retries, could double- or zero-match)."""
+    left = events.select("user_id", "event_id")
+    dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    base = sorted(
+        (r["user_id"], r["event_id"], r["n"])
+        for r in salted_join(left, dim, "user_id", n_salts=8).collect()
+    )
+    for n_parts in (1, 7):
+        redealt = sorted(
+            (r["user_id"], r["event_id"], r["n"])
+            for r in salted_join(
+                left.repartition(n_parts), dim, "user_id", n_salts=8
+            ).collect()
+        )
+        assert redealt == base and len(base) > 0
+
+
 def test_salted_join_matches_plain(spark, events):
     dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     plain = sorted(

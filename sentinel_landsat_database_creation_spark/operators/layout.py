@@ -85,13 +85,23 @@ def zorder_partitioned_write(
     source dimensions — the file-skipping property the whole operator
     exists for. At 100 TB, raise ``n_buckets`` so each bucket is
     file-sized (~1 GB); the plan shape (one hash shuffle + local sort)
-    is unchanged."""
+    is unchanged.
+
+    The bucket is the top ``log2(n_buckets)`` bits of the OCCUPIED key
+    range, not of the fixed 32-bit lane: small-domain keys (e.g. a few
+    thousand part ids) occupy only the low Morton bits, and a fixed
+    ``>> 26`` would collapse every row into bucket 0 — one giant file.
+    The occupied range comes from a plan-time ``max(zkey)`` probe (one
+    aggregate job, the same AQE-style decision class as
+    ``dedup._jaccard_bitmap``'s vocabulary probe); the shift is
+    ``max(bit_length(max_zkey) - log2(n_buckets), 0)``, integer-exact
+    and reproducible in any engine."""
     if n_buckets & (n_buckets - 1):
         raise ValueError("n_buckets must be a power of two")
-    shift = 32 - (n_buckets.bit_length() - 1)
-    keyed = df.withColumn("zkey", zorder_key(F.col(x), F.col(y))).withColumn(
-        "z_bucket", F.shiftright(F.col("zkey"), shift)
-    )
+    keyed = df.withColumn("zkey", zorder_key(F.col(x), F.col(y)))
+    max_z = keyed.agg(F.max("zkey")).first()[0] or 0
+    shift = max(int(max_z).bit_length() - (n_buckets.bit_length() - 1), 0)
+    keyed = keyed.withColumn("z_bucket", F.shiftright(F.col("zkey"), shift))
     (
         keyed.repartition(n_buckets, "z_bucket")
         .sortWithinPartitions("z_bucket", "zkey")

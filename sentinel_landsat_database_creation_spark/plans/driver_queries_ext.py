@@ -48,6 +48,7 @@ from ..operators.textops import (
     ROLLING_MOD,
 )
 from ..sources.testdata import normalize_event_ts, table
+from ..streaming.drain import drain_checkpoint_dir
 
 import contextlib
 
@@ -61,6 +62,30 @@ def _drain(q, timeout_s: int = 300) -> None:
         raise RuntimeError(
             f"streaming drain did not finish within {timeout_s}s"
         )
+
+
+def _memory_drain(
+    spark: SparkSession, out: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Start out -> memory sink under ``name`` with a tmpfs checkpoint,
+    drain with availableNow, clean the checkpoint up, and return the
+    sink table."""
+    import shutil
+
+    ckpt = drain_checkpoint_dir(name)
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
 
 
 @contextlib.contextmanager
@@ -724,6 +749,57 @@ FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """recall@k of the two approximate ANN paths (IVF nprobe=1, sign-LSH
+    buckets) against the brute-force baseline — the tuning number a real
+    100 TB user watches when trading candidate-set size for recall
+    (operators/similarity.py:topk_recall). Integer hit counts, so the
+    oracle is exact."""
+    from ..operators.similarity import bucketed_topk, ivf_topk, topk_recall
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(e, q, k=3)
+    return topk_recall(
+        bf,
+        {
+            "ivf": ivf_topk(e, q, k=3, n_centroids=16),
+            "lsh": bucketed_topk(e, q, k=3, n_bits=8),
+        },
+    ).orderBy("method")
+
+
+def _sql_ann_recall() -> str:
+    """Compose the recall oracle from the three already-verified top-k
+    oracles as CTE subqueries (single source of truth — a drift in any
+    of them shows up here too)."""
+    return f"""
+WITH bf AS ({SQL_COSINE_TOPK}),
+ivf AS ({SQL_IVF_TOPK}),
+lshr AS ({SQL_LSH_TOPK}),
+tot AS (SELECT count(DISTINCT qid) AS nq, count(*) AS np FROM bf)
+SELECT 'ivf' AS method, CAST(nq AS BIGINT) AS n_queries,
+       CAST(np AS BIGINT) AS n_possible,
+       CAST((SELECT count(*) FROM ivf JOIN bf USING (qid, cid)) AS BIGINT)
+         AS n_hits,
+       (SELECT count(*) FROM ivf JOIN bf USING (qid, cid))::DOUBLE
+         / np::DOUBLE AS recall
+FROM tot
+UNION ALL
+SELECT 'lsh' AS method, CAST(nq AS BIGINT) AS n_queries,
+       CAST(np AS BIGINT) AS n_possible,
+       CAST((SELECT count(*) FROM lshr JOIN bf USING (qid, cid)) AS BIGINT)
+         AS n_hits,
+       (SELECT count(*) FROM lshr JOIN bf USING (qid, cid))::DOUBLE
+         / np::DOUBLE AS recall
+FROM tot
+ORDER BY method
+"""
+
+
+SQL_ANN_RECALL = _sql_ann_recall()
+
+
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plumbing over mapInPandas (row explosion:
     one output row per sampled frame). The documents' text bytes are
@@ -809,14 +885,7 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     out = sessionize_stateful(stream, gap_minutes=30)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, 8):
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        _memory_drain(spark, out, name)
     return (
         spark.table(name)
         .select(
@@ -852,14 +921,7 @@ def q_stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, 8):
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        _memory_drain(spark, deduped, name)
     return (
         spark.table(name)
         .select(F.col("user_id").cast("long"), "event_type")
@@ -956,14 +1018,7 @@ def q_stream_sessions_native(spark: SparkSession, sf: str) -> DataFrame:
     out = sessionize_native(stream, gap_minutes=_SESSION_GAP_MIN)
     name = f"stream_sessions_native_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, 8):
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        _memory_drain(spark, out, name)
     return (
         spark.table(name)
         .select(
@@ -1245,6 +1300,71 @@ FROM z GROUP BY z_bucket ORDER BY z_bucket
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """The WRITTEN Z-order layout, end to end: write lineitem as one
+    parquet file per Morton bucket (operators/layout.py:
+    zorder_partitioned_write — repartition on bucket + local sort +
+    partitionBy), then read the files back and report per-file min/max
+    on both source dimensions from the actual file contents
+    (written_file_stats, grouped by input_file_name). The oracle
+    computes the same statistics logically in DuckDB, so any writer bug
+    that scatters a bucket across files (n_files > 1) or leaks rows
+    into the wrong file (widened min/max) breaks the hash."""
+    import os
+    import tempfile
+
+    from ..operators.layout import written_file_stats, zorder_partitioned_write
+
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    tag = sf.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"slc_zorder_layout_{tag}")
+    zorder_partitioned_write(li, "l_partkey", "l_suppkey", path, n_buckets=64)
+    return written_file_stats(spark, path, "l_partkey", "l_suppkey").orderBy(
+        "z_bucket"
+    )
+
+
+def _sql_zorder_layout(n_buckets: int = 64) -> str:
+    """Oracle twin of zorder_partitioned_write + written_file_stats:
+    the adaptive shift (bit_length(max zkey) - log2(n_buckets), floored
+    at 0) is computed INSIDE the SQL with an integer CASE chain — no
+    floats, so it equals Python's int.bit_length on every engine."""
+    bucket_bits = n_buckets.bit_length() - 1
+    bit_len = " ".join(
+        f"WHEN maxz >= {1 << (b - 1)} THEN {b}" for b in range(33, 0, -1)
+    )
+    return f"""
+WITH s0 AS (
+  SELECT CAST(l_partkey AS BIGINT) AS ox, CAST(l_suppkey AS BIGINT) AS oy,
+         CAST(l_partkey AS BIGINT) & 65535 AS x,
+         CAST(l_suppkey AS BIGINT) & 65535 AS y
+  FROM lineitem
+),
+s1 AS (SELECT ox, oy, (x | (x << 8)) & 16711935 AS x,
+              (y | (y << 8)) & 16711935 AS y FROM s0),
+s2 AS (SELECT ox, oy, (x | (x << 4)) & 252645135 AS x,
+              (y | (y << 4)) & 252645135 AS y FROM s1),
+s3 AS (SELECT ox, oy, (x | (x << 2)) & 858993459 AS x,
+              (y | (y << 2)) & 858993459 AS y FROM s2),
+s4 AS (SELECT ox, oy, (x | (x << 1)) & 1431655765 AS x,
+              (y | (y << 1)) & 1431655765 AS y FROM s3),
+z AS (SELECT ox, oy, x | (y << 1) AS zkey FROM s4),
+sh AS (
+  SELECT greatest((CASE {bit_len} ELSE 0 END) - {bucket_bits}, 0) AS shift
+  FROM (SELECT max(zkey) AS maxz FROM z)
+)
+SELECT CAST(zkey >> shift AS BIGINT) AS z_bucket,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ox) AS BIGINT) AS min_x, CAST(max(ox) AS BIGINT) AS max_x,
+       CAST(min(oy) AS BIGINT) AS min_y, CAST(max(oy) AS BIGINT) AS max_y
+FROM z CROSS JOIN sh GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+
+
 def q_stream_click_signup(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stream-stream interval join: signups within 6 hours
     of a click by the same user (streaming/joins.py). Inner-join append
@@ -1310,6 +1430,8 @@ REGISTRY_EXT = {
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "bigram_nll": (q_bigram_nll, SQL_BIGRAM_NLL),
     "zorder_buckets": (q_zorder_buckets, SQL_ZORDER_BUCKETS),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -22,7 +22,10 @@ forever).
 
 from __future__ import annotations
 
+import shutil
 import uuid
+
+from .drain import drain_checkpoint_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,6 +105,7 @@ def click_signup_join_once(
         side("click"), side("signup"), horizon_hours=horizon_hours
     )
     name = f"click_signup_{uuid.uuid4().hex[:8]}"
+    ckpt = drain_checkpoint_dir(name)
     # state-store count fixed at query start; 8 stores beat 32 on
     # checkpoint overhead for drain-sized state (measured, weekly.py)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -111,15 +115,19 @@ def click_signup_join_once(
             out.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # bounded drain: a stuck run becomes a recorded error, not a hang
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "click_signup_join_once drain did not finish within 300s"
-        )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "click_signup_join_once drain did not finish within 300s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("click_id", "signup_id")

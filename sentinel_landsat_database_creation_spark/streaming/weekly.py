@@ -53,6 +53,9 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming state-store count is fixed at query start from
     # spark.sql.shuffle.partitions; 8 stores beat 32 on checkpoint
     # overhead for drain-sized state (measured on the sessions ops)
+    from .drain import drain_checkpoint_dir
+
+    ckpt = drain_checkpoint_dir(name)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -60,6 +63,7 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -67,7 +71,14 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # bounded drain: a stuck availableNow run becomes a recorded error,
     # not a hang that kills the caller's whole batch of queries
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("weekly_counts_once drain did not finish within 300s")
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "weekly_counts_once drain did not finish within 300s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("week_start")

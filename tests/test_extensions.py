@@ -579,6 +579,76 @@ def test_zorder_frame_partition_ranges_disjoint(spark):
         assert hi <= lo
 
 
+def test_zorder_written_layout_tighter_than_unsorted(spark, tmp_path):
+    """End-to-end through real parquet files: a zorder_partitioned_write
+    layout must (a) put each bucket in exactly one file and (b) yield
+    strictly smaller summed per-file (x, y) bounding boxes than the same
+    data written in row order — the file-skipping win, measured on the
+    files themselves rather than the logical plan."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.layout import (
+        written_file_stats,
+        zorder_partitioned_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 251, (i * 7) % 241) for i in range(4000)], ["x", "y"]
+    )
+    zpath = str(tmp_path / "zordered")
+    zorder_partitioned_write(df, "x", "y", zpath, n_buckets=16)
+    stats = written_file_stats(spark, zpath, "x", "y").collect()
+    assert len(stats) > 1
+    assert all(r["n_files"] == 1 for r in stats)
+    assert sum(r["n_rows"] for r in stats) == 4000
+
+    upath = str(tmp_path / "unsorted")
+    df.repartition(len(stats)).write.parquet(upath)
+    base = (
+        spark.read.parquet(upath)
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+        .collect()
+    )
+
+    def area(rows):
+        return sum(
+            (r["max_x"] - r["min_x"] + 1) * (r["max_y"] - r["min_y"] + 1)
+            for r in rows
+        )
+
+    assert area(stats) < area(base)
+
+
+def test_topk_recall_hand_computed(spark):
+    """2 queries x k=2 baseline; one method agrees on 3 of 4 pairs, the
+    other on none."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        topk_recall,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["qid", "cid"]
+    )
+    good = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)], ["qid", "cid"]
+    )
+    bad = spark.createDataFrame([(1, 98), (2, 99)], ["qid", "cid"])
+    out = {
+        r["method"]: r
+        for r in topk_recall(exact, {"good": good, "bad": bad}).collect()
+    }
+    assert out["good"]["n_hits"] == 3 and out["good"]["recall"] == 0.75
+    assert out["bad"]["n_hits"] == 0 and out["bad"]["recall"] == 0.0
+    assert all(
+        (r["n_queries"], r["n_possible"]) == (2, 4) for r in out.values()
+    )
+
+
 def test_top_tokens_per_lang_ties(spark):
     from sentinel_landsat_database_creation_spark.operators.textops import (
         top_tokens_per_lang,

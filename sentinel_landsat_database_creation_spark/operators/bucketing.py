@@ -21,17 +21,26 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) managed
-    table. Sorting within buckets additionally removes the Sort from
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+    Sorting within buckets additionally removes the Sort from
     sort-merge joins, leaving a pure zip of pre-sorted bucket files.
 
     n_buckets is a real tuning knob: it fixes join parallelism for every
     future reader, so size it to target-cluster cores and per-task
-    memory (buckets ~ 2-4x total cores; each bucket must fit a task)."""
+    memory (buckets ~ 2-4x total cores; each bucket must fit a task).
+
+    ``path`` makes it an external bucketed table at that location
+    (bucket metadata still lives in the catalog — Spark's bucketed scan
+    needs the table entry either way); without it the files land in the
+    session's warehouse dir, which may not be writable for an embedding
+    caller."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

@@ -278,9 +278,14 @@ def topk_recall(exact: DataFrame, approxes: dict[str, DataFrame]) -> DataFrame:
     Scale shape: recall is always measured over a SAMPLED query set (the
     exact baseline is O(N) per query by definition), so every input here
     is k·|queries| rows; the semi joins and 1-row aggregates are
-    broadcast-sized by construction."""
+    broadcast-sized by construction. The exact baseline is materialized
+    once (localCheckpoint): its RESULT is k·|queries| rows but its
+    SUBTREE is the full brute-force scan, and it feeds the total count
+    plus one semi join per method — left inline, the O(N) scoring would
+    re-run len(approxes)+1 times (measured 8.1 s -> ~3 s at sf0.1)."""
     from functools import reduce
 
+    exact = exact.localCheckpoint(eager=True)
     tot = exact.agg(
         F.count_distinct("qid").alias("n_queries"),
         F.count(F.lit(1)).alias("n_possible"),

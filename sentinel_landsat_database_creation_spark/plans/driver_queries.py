@@ -1151,6 +1151,8 @@ _PROVEN_TAIL = [
     "doc_repetition",
     "decontaminate",
     "tfidf_terms",
+    "minhash_lsh",
+    "simhash_docs",
 ]
 
 

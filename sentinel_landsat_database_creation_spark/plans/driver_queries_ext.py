@@ -1365,6 +1365,111 @@ FROM z CROSS JOIN sh GROUP BY z_bucket ORDER BY z_bucket
 SQL_ZORDER_LAYOUT = _sql_zorder_layout()
 
 
+def q_bucketed_join_check(spark: SparkSession, sf: str) -> DataFrame:
+    """The WRITTEN bucketed layout, end to end: persist events (fact)
+    and per-user counts (dim) as same-bucketed external tables
+    (operators/bucketing.py:write_bucketed), join them through the
+    bucket metadata, and HARD-FAIL inside the query if the join plans
+    any shuffle Exchange (assert_no_shuffle_join) — so this row turning
+    red in CORRECTNESS is also how a bucketing plan-regression would
+    surface. The returned per-user counts have a trivial exact oracle;
+    n_rows == n per user doubles as a self-check that the zip of bucket
+    files lost no rows."""
+    import os
+    import tempfile
+
+    from ..operators.bucketing import (
+        assert_no_shuffle_join,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    ev = table(spark, sf, "events").select("user_id", "event_id")
+    per_user = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"slc_bucketed_{tag}")
+    write_bucketed(
+        ev, f"slc_ev_{tag}", ["user_id"], 8,
+        sort_cols=["user_id"], path=os.path.join(base, "ev"),
+    )
+    write_bucketed(
+        per_user, f"slc_users_{tag}", ["user_id"], 8,
+        sort_cols=["user_id"], path=os.path.join(base, "users"),
+    )
+    j = bucketed_join(spark, f"slc_ev_{tag}", f"slc_users_{tag}", ["user_id"])
+    out = (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("n").cast("long").alias("n"),
+        )
+        .select(F.col("user_id").cast("long"), "n_rows", "n")
+        .orderBy("user_id")
+    )
+    assert_no_shuffle_join(j.select("user_id", "event_id", "n"))
+    return out
+
+
+SQL_BUCKETED_JOIN_CHECK = """
+WITH r AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(n) AS BIGINT) AS n
+FROM events e JOIN r USING (user_id)
+GROUP BY e.user_id ORDER BY user_id
+"""
+
+
+def q_corpus_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The WRITTEN corpus layout, end to end: land documents as a
+    lang-partitioned parquet corpus (sources/corpus.py:write_corpus —
+    partition-aligned repartition + maxRecordsPerFile), read the files
+    back, and report per-language file counts and content aggregates
+    from the ACTUAL files. File counts are deterministic because each
+    lang lands in exactly one task (repartition on the partition column)
+    and the writer rolls files every max_records rows — so the oracle
+    can state n_files = ceil(n/max_records) in integer arithmetic, and
+    a skew or writer regression (tasks x dirs small-files explosion)
+    breaks the hash."""
+    import os
+    import tempfile
+
+    from ..sources.corpus import write_corpus
+
+    docs = table(spark, sf, "documents")
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"slc_corpus_{tag}")
+    write_corpus(docs, path, partition_by=("lang",), max_records_per_file=1000)
+    back = spark.read.parquet(path)
+    return (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("lang")
+        .agg(
+            F.count_distinct(F.col("_f")).cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_ROUNDTRIP = """
+SELECT lang,
+       CAST((count(*) + 999) // 1000 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_stream_click_signup(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stream-stream interval join: signups within 6 hours
     of a click by the same user (streaming/joins.py). Inner-join append
@@ -1432,6 +1537,8 @@ REGISTRY_EXT = {
     "zorder_buckets": (q_zorder_buckets, SQL_ZORDER_BUCKETS),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "bucketed_join_check": (q_bucketed_join_check, SQL_BUCKETED_JOIN_CHECK),
+    "corpus_roundtrip": (q_corpus_roundtrip, SQL_CORPUS_ROUNDTRIP),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

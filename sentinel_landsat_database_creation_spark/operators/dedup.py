@@ -79,6 +79,17 @@ def ngram_jaccard_pairs(
     the distinct-shingle table), the same class of decision as AQE's
     broadcast-vs-shuffle switch.
 
+    The bitmap dictionary holds only shingles with document frequency
+    >= 2: a df=1 shingle can never contribute to any intersection, so
+    dropping it changes NO pair's n_inter, and set sizes (hence unions)
+    are carried separately from the full shingle table. Docs left with
+    zero df>=2 shingles intersect nothing and are excluded from the
+    pair space outright (output pairs require n_inter >= 1 either way)
+    — on natural text the singleton tail is large, so this both shrinks
+    every bitmap and cuts N before the quadratic stage, and it widens
+    bitmap-path eligibility to corpora whose RAW vocabulary exceeds
+    max_bitmap_bits.
+
     ``shingle_rows`` lets callers that already materialized the distinct
     (doc_id, shingle) table (see shingle_rows_materialized) pass it in
     instead of re-shingling."""
@@ -87,11 +98,18 @@ def ngram_jaccard_pairs(
         if shingle_rows is not None
         else shingle_rows_materialized(docs, n)
     )
-    # Plan-time vocabulary probe: collect the distinct shingles (bounded
+    # Plan-time vocabulary probe: collect the df>=2 shingles (bounded
     # by max_bitmap_bits+1 — LIMIT keeps a huge-vocab corpus from ever
-    # pulling its dictionary to the driver). One action instead of a
-    # count + a window pass over a recomputed shingling.
-    vocab_rows = ex.select("s").distinct().limit(max_bitmap_bits + 1).collect()
+    # pulling its dictionary to the driver). ex is distinct per
+    # (doc_id, s), so count(*) per s IS document frequency.
+    vocab_rows = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("s")
+        .limit(max_bitmap_bits + 1)
+        .collect()
+    )
     n_vocab = len(vocab_rows)
     if 0 < n_vocab <= max_bitmap_bits:
         vocab_ids = docs.sparkSession.createDataFrame(
@@ -151,6 +169,12 @@ def _jaccard_bitmap(
     12.5M-pair stream at sf0.1 previously crossed two more broadcast
     joins just to fetch sizes).
 
+    The dictionary covers df>=2 shingles only (see ngram_jaccard_pairs),
+    so ``n_sh`` — the TRUE set size including singletons — comes from a
+    separate aggregate over the full shingle table, joined back onto the
+    packed rows; the inner dictionary join also drops docs with no
+    shareable shingle before the quadratic stage.
+
     Negative result, measured: packing the words into ONE array<long>
     column (element_at per term instead of scalar columns) is ~7x
     SLOWER (50 s vs 7 s warm) — per-pair array handling through the
@@ -165,11 +189,15 @@ def _jaccard_bitmap(
         ).alias(f"w{j}")
         for j in range(n_words)
     ]
+    sizes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
     packed = (
         ex.join(vocab_ids, "s")
         .groupBy("doc_id")
         .agg(F.collect_list("sid").alias("ids"))
-        .select("doc_id", F.size("ids").cast("long").alias("n_sh"), *word_cols)
+        .join(sizes, "doc_id")
+        .select("doc_id", "n_sh", *word_cols)
     )
     pairs = blocked_self_pairs(packed, "doc_id")
     # Size-ratio prune BEFORE the popcount projection: J(A,B) <= min/max

@@ -39,23 +39,29 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, (fn, _) in REGISTRY.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # void the whole round's benchmark record; the failure is
+            # surfaced in the JSON (and the correctness gate catches the
+            # wrong-answer case independently).
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -130,6 +130,76 @@ def vocab_coverage(docs: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    class_col: str,
+    weights: dict[str, int],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic data-mixing: plan per-class downsampling rates that
+    hit a target mixture (integer ``weights``) with maximal retention,
+    execute them with the hash-bucket sampler, and report plan vs
+    achievement — the step that turns "train on 40% en / 15% each of the
+    rest" into reproducible per-class keep decisions.
+
+    Arithmetic is all integer, so the plan is cross-engine exact: the
+    retention-maximal post-mix total is T = min_c floor(n_c * W / w_c)
+    (the binding class is kept whole), per-class keep targets are
+    floor(T * w_c / W) capped at n_c, and the sampler threshold is
+    floor(keep * n_buckets / n) — the quantization the bucket sampler
+    imposes anyway, reported honestly as ``achieved`` (count after the
+    actual ``stratified_sample`` filter) next to ``keep_target``.
+    Classes without a weight are dropped (that is what a mixture means);
+    classes weighted but absent contribute nothing.
+
+    Scale shape: the per-class count probe collects #classes rows (a
+    mixture spec is dozens of classes at most — plan-time metadata, same
+    class of decision as dedup's vocabulary probe); the sampling filter
+    is narrow (stratified_sample), and the achieved count is one
+    map-side-combining groupBy. Raise ``n_buckets`` for tighter
+    quantization; 256 matches the md5-first-byte sampler."""
+    counts = {
+        r[class_col]: r["n"]
+        for r in docs.groupBy(class_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_w = sum(weights.values())
+    present = {c: w for c, w in weights.items() if counts.get(c, 0) > 0}
+    if not present:
+        raise ValueError("no weighted class present in the corpus")
+    t_max = min(counts[c] * total_w // w for c, w in present.items())
+    rows = []
+    rates: dict[str, float] = {}
+    for c, w in sorted(present.items()):
+        n = counts[c]
+        keep = min(t_max * w // total_w, n)
+        thresh = keep * n_buckets // n
+        rates[c] = thresh / n_buckets
+        rows.append((c, n, w, keep, thresh))
+    plan = docs.sparkSession.createDataFrame(
+        rows,
+        f"{class_col} string, n_docs long, weight long, "
+        "keep_target long, thresh long",
+    )
+    weighted_docs = docs.join(
+        F.broadcast(plan.select(class_col)), class_col, "left_semi"
+    )
+    achieved = (
+        stratified_sample(weighted_docs, class_col, rates)
+        .groupBy(class_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("achieved"))
+    )
+    return plan.join(achieved, class_col, "left").select(
+        class_col,
+        "n_docs",
+        "weight",
+        "keep_target",
+        "thresh",
+        F.coalesce("achieved", F.lit(0)).cast("long").alias("achieved"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame, budget: int = 512, n_shards: int = 32
 ) -> DataFrame:

@@ -1153,6 +1153,8 @@ _PROVEN_TAIL = [
     "tfidf_terms",
     "minhash_lsh",
     "simhash_docs",
+    "lsh_topk",
+    "ivf_topk",
 ]
 
 

@@ -935,6 +935,45 @@ FROM events ORDER BY user_id, event_type
 """
 
 
+def q_stream_dedup_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes its event time
+    plus the delay, which is what makes streaming dedup runnable forever
+    at 100 TB/day (plain dropDuplicates' seen-key set grows without
+    bound — q_stream_dedup_keys demonstrates the semantics, this one the
+    production shape). The fixture's drain uses a watermark wider than
+    the event-time span, so no state expires mid-drain and the emitted
+    key set equals batch DISTINCT exactly — same oracle, bounded-state
+    plan."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    stream = normalize_event_ts(stream)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name = f"stream_dedup_ttl_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, 8):
+        _memory_drain(spark, deduped, name)
+    return (
+        spark.table(name)
+        .select(F.col("user_id").cast("long"), "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+SQL_STREAM_DEDUP_TTL = SQL_STREAM_DEDUP_KEYS
+
+
 # ---------------------------------------------------------------------------
 # stateful sessionization (batch twin of streaming/sessions.py)
 
@@ -1365,6 +1404,47 @@ FROM z CROSS JOIN sh GROUP BY z_bucket ORDER BY z_bucket
 SQL_ZORDER_LAYOUT = _sql_zorder_layout()
 
 
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-mixture downsampling plan + execution over documents:
+    40% en / 15% each of de, es, fr, zh, retention-maximal, with the
+    achieved post-sampling counts (operators/curation.py:mixture_plan).
+    All-integer plan arithmetic -> exact oracle."""
+    from ..operators.curation import mixture_plan
+
+    return mixture_plan(
+        table(spark, sf, "documents"),
+        "lang",
+        {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15},
+    ).orderBy("lang")
+
+
+SQL_MIXTURE_PLAN = """
+WITH w(lang, wt) AS (
+  VALUES ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)
+),
+c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang) WHERE c.n > 0),
+t AS (SELECT min(n * 100 // wt) AS tmax FROM j),
+k AS (
+  SELECT lang, n, wt, least(tmax * wt // 100, n) AS keep
+  FROM j CROSS JOIN t
+),
+th AS (SELECT lang, n, wt, keep, keep * 256 // n AS thresh FROM k),
+a AS (
+  SELECT d.lang, count(*) AS achieved
+  FROM documents d JOIN th ON d.lang = th.lang
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+        < th.thresh
+  GROUP BY d.lang
+)
+SELECT th.lang, CAST(n AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
+       CAST(keep AS BIGINT) AS keep_target,
+       CAST(thresh AS BIGINT) AS thresh,
+       CAST(coalesce(achieved, 0) AS BIGINT) AS achieved
+FROM th LEFT JOIN a USING (lang) ORDER BY lang
+"""
+
+
 def q_bucketed_join_check(spark: SparkSession, sf: str) -> DataFrame:
     """The WRITTEN bucketed layout, end to end: persist events (fact)
     and per-user counts (dim) as same-bucketed external tables
@@ -1539,6 +1619,8 @@ REGISTRY_EXT = {
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "bucketed_join_check": (q_bucketed_join_check, SQL_BUCKETED_JOIN_CHECK),
     "corpus_roundtrip": (q_corpus_roundtrip, SQL_CORPUS_ROUNDTRIP),
+    "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
+    "stream_dedup_ttl": (q_stream_dedup_ttl, SQL_STREAM_DEDUP_TTL),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -438,6 +438,40 @@ def test_pack_sequences_straddle_and_shards(spark):
     assert rows2 == {(0, 0): (2, 6), (1, 0): (2, 6)}
 
 
+def test_mixture_plan_hand_computed(spark):
+    """counts en=30, fr=10 with equal weights: retention-maximal total
+    is bound by fr (T=20), so en downsamples to 10 and fr is kept whole;
+    achieved counts must equal the md5-bucket filter computed here in
+    pure Python; unweighted classes are dropped."""
+    import hashlib
+
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        mixture_plan,
+    )
+
+    rows = (
+        [(i, "en") for i in range(30)]
+        + [(100 + i, "fr") for i in range(10)]
+        + [(200, "zz")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {
+        r["lang"]: r
+        for r in mixture_plan(docs, "lang", {"en": 1, "fr": 1}).collect()
+    }
+    assert set(out) == {"en", "fr"}
+    assert (out["en"]["keep_target"], out["fr"]["keep_target"]) == (10, 10)
+    assert out["en"]["thresh"] == 10 * 256 // 30
+    assert out["fr"]["thresh"] == 256
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16)
+
+    want_en = sum(1 for i in range(30) if bucket(i) < out["en"]["thresh"])
+    assert out["en"]["achieved"] == want_en
+    assert out["fr"]["achieved"] == 10
+
+
 def test_length_trim_band_edges(spark):
     """percent_rank band keeps min-rank row only when lo == 0; a
     singleton language has pr == 0 and is dropped by lo > 0 in BOTH

@@ -352,6 +352,95 @@ def neardup_pipeline(
     )
 
 
+def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
+    """Cross-document span-level duplication (the memorization-risk
+    metric): for every rolling ``span_tokens``-token window, find spans
+    that appear in MORE THAN ONE document, and report per document how
+    much of it is such shared text —
+    (doc_id, n_spans, n_dup_spans, dup_ratio).
+
+    This is sub-document dedup in the sense of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better": exact
+    doc-level dedup misses boilerplate spans pasted across otherwise
+    distinct pages. Their suffix-array approach is inherently
+    single-machine; the Spark-scale shape is the same rolling-window
+    explode the n-gram Jaccard path uses (functions/text.py:shingles),
+    with the span dictionary built by ONE map-side-combining groupBy:
+
+    - occurrences: one row per (doc, window position) — explode, narrow.
+    - shared spans: groupBy(span) keeping count(distinct doc) >= 2; at
+      web scale this dictionary is frequency-bounded exactly like the
+      Jaccard vocabulary (hot boilerplate is rare relative to the
+      occurrence stream).
+    - per-doc stats: semi-join occurrences against the shared-span set,
+      one groupBy(doc_id). Both joins are bounded-fanout equi-joins —
+      no pair space ever forms, so this survives 100 TB where the
+      pairwise operators need candidate pruning.
+
+    A document consisting entirely of spans seen elsewhere has
+    dup_ratio 1.0 — the "drop or strip" signal."""
+    toks = F.split(F.col("text"), " ")
+    occ = docs.select(
+        "doc_id", F.explode(shingles(toks, span_tokens)).alias("s")
+    )
+    shared = (
+        occ.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("s")
+    )
+    per_doc = (
+        occ.join(shared, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+    totals = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.col("text"), " ")) - (span_tokens - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        F.col("doc_id").cast("long"),
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+            / F.col("n_spans").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
+def delta_dedup(
+    corpus: DataFrame, batch: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental ingest dedup: which documents of an incoming batch
+    are exact-text duplicates of the EXISTING corpus (content hash anti
+    semantics), the decision every periodic crawl append runs before
+    landing. Returns (doc_id, is_dup) for the batch.
+
+    Shape: both sides reduce to (md5(text)) before the join — the
+    corpus side as a distinct hash set (at 100 TB this lives as a
+    bucketed hash table landed once, not recomputed; the plan is the
+    same equi-join either way), the batch side joins against it
+    left_semi-style via a left join on the hash. No text ever crosses
+    the shuffle — only 32-byte hashes."""
+    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    return (
+        batch.select(id_col, F.md5("text").alias("h"))
+        .join(ch.withColumn("_hit", F.lit(1)), "h", "left")
+        .select(
+            F.col(id_col).cast("long"),
+            F.col("_hit").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over an undirected pair list
     (doc_a, doc_b): iterative min-label propagation, the Pregel-style

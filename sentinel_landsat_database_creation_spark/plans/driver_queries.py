@@ -1155,6 +1155,8 @@ _PROVEN_TAIL = [
     "simhash_docs",
     "lsh_topk",
     "ivf_topk",
+    "revenue_rollup",
+    "crop_pipeline",
 ]
 
 

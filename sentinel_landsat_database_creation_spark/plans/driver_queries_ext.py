@@ -523,6 +523,70 @@ FROM b GROUP BY source, split ORDER BY source, split
 """
 
 
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans, per-doc coverage
+    (operators/dedup.py:span_dedup) — sub-document dedup in the
+    Lee et al. sense, as bounded equi-joins instead of suffix arrays."""
+    from ..operators.dedup import span_dedup
+
+    return span_dedup(table(spark, sf, "documents"), span_tokens=8).orderBy(
+        "doc_id"
+    )
+
+
+SQL_SPAN_DEDUP = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                     i -> list_aggregate(toks[i:i+7], 'string_agg', '_'))
+                ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM d
+),
+shared AS (SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+pd AS (
+  SELECT doc_id, count(*) AS nd FROM occ
+  WHERE s IN (SELECT s FROM shared) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, greatest(len(toks) - 7, 0) AS n_spans FROM d)
+SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN n_spans > 0
+            THEN coalesce(nd, 0)::DOUBLE / n_spans::DOUBLE
+            ELSE 0.0 END AS dup_ratio
+FROM tot LEFT JOIN pd USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_delta_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: the held-out bucket (doc_split's
+    val+test) arrives as a new batch and is checked for exact-text
+    duplicates of the train-bucket corpus by content hash
+    (operators/dedup.py:delta_dedup)."""
+    from ..operators.dedup import delta_dedup
+
+    d = table(spark, sf, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    corpus = d.filter(bucket < TRAIN_BUCKET_BOUND)
+    batch = d.filter(bucket >= TRAIN_BUCKET_BOUND)
+    return delta_dedup(corpus, batch).orderBy("doc_id")
+
+
+SQL_DELTA_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER AS b
+  FROM documents
+),
+corpus AS (SELECT DISTINCT h FROM d WHERE b < {TRAIN_BUCKET_BOUND})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       h IN (SELECT h FROM corpus) AS is_dup
+FROM d WHERE b >= {TRAIN_BUCKET_BOUND} ORDER BY doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_split's train bucket)
     sharing any distinct word 8-gram with the held-out val+test docs.
@@ -1621,6 +1685,8 @@ REGISTRY_EXT = {
     "corpus_roundtrip": (q_corpus_roundtrip, SQL_CORPUS_ROUNDTRIP),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "stream_dedup_ttl": (q_stream_dedup_ttl, SQL_STREAM_DEDUP_TTL),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "delta_dedup": (q_delta_dedup, SQL_DELTA_DEDUP),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

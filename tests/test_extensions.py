@@ -438,6 +438,46 @@ def test_pack_sequences_straddle_and_shards(spark):
     assert rows2 == {(0, 0): (2, 6), (1, 0): (2, 6)}
 
 
+def test_span_dedup_hand_computed(spark):
+    """3-token spans: docs 1 and 2 share 'a b c'; doc 3 shares nothing;
+    doc 4 is too short for any span."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # spans: a_b_c, b_c_d
+            (2, "x a b c"),   # spans: x_a_b, a_b_c
+            (3, "p q r s"),   # spans: p_q_r, q_r_s
+            (4, "u v"),       # no span
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=3).collect()}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (2, 1)
+    assert out[1]["dup_ratio"] == 0.5
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (2, 1)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (2, 0)
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (0, 0)
+    assert out[4]["dup_ratio"] == 0.0
+
+
+def test_delta_dedup_flags_existing_content(spark):
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        delta_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seen text"), (2, "other text")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "seen text"), (11, "brand new")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["is_dup"] for r in delta_dedup(corpus, batch).collect()}
+    assert out == {10: True, 11: False}
+
+
 def test_mixture_plan_hand_computed(spark):
     """counts en=30, fr=10 with equal weights: retention-maximal total
     is bound by fr (T=20), so en downsamples to 10 and fr is kept whole;

@@ -534,6 +534,116 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def connected_components_lss(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the canonical shuffle-bounded CC algorithm at cluster
+    scale, here as a second engine with output identical to
+    ``connected_components`` (min-label propagation) and the same
+    recursive-CTE oracle.
+
+    Why a second algorithm: min-label propagation shuffles the FULL edge
+    list every round and converges in O(log diameter) rounds only with
+    the pointer-jump assist; large-star/small-star provably converges in
+    O(log^2 n) rounds while MONOTONICALLY SHRINKING the edge set toward
+    one star per component — at 100 TB the per-round shuffle volume
+    decays instead of staying constant, which is why it is the published
+    choice for web-graph-sized inputs.
+
+    - large-star: every node links its LARGER neighbors to its minimum
+      neighborhood node — long chains fold toward small ids in parallel.
+    - small-star: every node links its smaller-or-equal neighbors (and
+      itself) to the neighborhood minimum — stars flatten.
+
+    Each op is one groupBy + one equi-join on node id (no windows, no
+    driver data). Convergence = the canonical edge set reaches a fixed
+    point, detected by (count, order-independent xxhash64 XOR-fold)
+    staying equal across a round — an exact set invariant up to 64-bit
+    collision (XOR, not SUM: an ANSI-mode long sum overflows on real
+    hash values), which the oracle equivalence gate independently
+    covers.
+    Exhausting max_iter raises, like connected_components.
+
+    Returns (doc_id, cluster) for every node in ``pairs``."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def canon_sig(e: DataFrame) -> tuple[int, int]:
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(least(u, v), greatest(u, v)))"
+            ).alias("h"),
+        ).first()
+        return (row["n"] or 0, row["h"] or 0)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return linked
+
+    sig = canon_sig(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_sig = canon_sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_iter} "
+            "alternation rounds; raise max_iter"
+        )
+    # fixed point: edges are stars (v -> component min). Labels: every
+    # left side maps to its root; roots and any node only ever seen as a
+    # root map to themselves.
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return (
+        nodes.join(
+            edges.select(F.col("u").alias("doc_id"), F.col("v").alias("c")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("c", F.col("doc_id")).alias("cluster")
+        )
+    )
+
+
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash over the token stream (frequency-
     weighted). Near-dups collide or differ in few bits; grouping by the

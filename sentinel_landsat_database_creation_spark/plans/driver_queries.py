@@ -1157,6 +1157,7 @@ _PROVEN_TAIL = [
     "ivf_topk",
     "revenue_rollup",
     "crop_pipeline",
+    "top_tokens_per_lang",
 ]
 
 

@@ -285,6 +285,26 @@ FROM reach ORDER BY doc_id
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 
+def q_dedup_clusters_lss(spark: SparkSession, sf: str) -> DataFrame:
+    """Same clustering decision as dedup_clusters, computed by the
+    second engine: alternating large-star/small-star (the
+    shuffle-shrinking MapReduce-canonical CC), pinned to the identical
+    recursive-CTE oracle (operators/dedup.py:connected_components_lss)."""
+    from ..operators.dedup import connected_components_lss, neardup_pipeline
+
+    docs = table(spark, sf, "documents")
+    pairs = neardup_pipeline(docs, threshold=0.5)
+    cc = connected_components_lss(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster").cast("long"),
+        (F.col("doc_id") == F.col("cluster")).cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS_LSS = SQL_DEDUP_CLUSTERS
+
+
 def q_embed_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     return embedding_cosine_pairs(e, threshold=0.35).orderBy("vec_a", "vec_b")
@@ -1687,6 +1707,7 @@ REGISTRY_EXT = {
     "stream_dedup_ttl": (q_stream_dedup_ttl, SQL_STREAM_DEDUP_TTL),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "delta_dedup": (q_delta_dedup, SQL_DELTA_DEDUP),
+    "dedup_clusters_lss": (q_dedup_clusters_lss, SQL_DEDUP_CLUSTERS_LSS),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

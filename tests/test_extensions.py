@@ -438,6 +438,26 @@ def test_pack_sequences_straddle_and_shards(spark):
     assert rows2 == {(0, 0): (2, 6), (1, 0): (2, 6)}
 
 
+def test_lss_components_match_min_label(spark):
+    """Both CC engines must agree — on a long chain (the propagation
+    stress case), a star, a 2-cycle component, and random extra edges."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        connected_components,
+        connected_components_lss,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    star = [(0, i) for i in range(1, 6)]
+    pairs = chain + star + [(200, 201), (201, 202), (202, 200), (300, 301)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    a = {r["doc_id"]: r["cluster"] for r in connected_components(df).collect()}
+    b = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components_lss(df).collect()
+    }
+    assert a == b and b[139] == 100 and b[5] == 0 and b[202] == 200
+
+
 def test_span_dedup_hand_computed(spark):
     """3-token spans: docs 1 and 2 share 'a b c'; doc 3 shares nothing;
     doc 4 is too short for any span."""

@@ -271,16 +271,7 @@ def minhash_lsh_candidates(
         if shingle_rows is not None
         else shingle_rows_materialized(docs, n)
     )
-    hash_cols = [
-        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    vocab = ex.select("s").distinct().select("s", *hash_cols)
-    sig = (
-        ex.join(vocab, "s")
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
-    )
+    sig = minhash_signatures(ex, n_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -306,6 +297,85 @@ def minhash_lsh_candidates(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
         .distinct()
+    )
+
+
+def minhash_signatures(ex: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """Per-document MinHash signature (h0..h{n-1}) from the distinct
+    (doc_id, shingle) table: the salted md5 family evaluated once per
+    DISTINCT shingle (dictionary join), min per doc — see
+    minhash_lsh_candidates for the measured physical-shape rationale."""
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    vocab = ex.select("s").distinct().select("s", *hash_cols)
+    return (
+        ex.join(vocab, "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
+    )
+
+
+def minhash_estimate(
+    docs: DataFrame,
+    n: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash calibration: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (n_match / n_hashes) next to
+    the EXACT Jaccard — the table a 100 TB user reads to decide whether
+    n_hashes/bands are tight enough to skip exact verification (the
+    estimator's error bound is what the two-stage pipeline's verify
+    stage insures against). Same shape as ann_recall for the ANN paths.
+
+    Returns (doc_a, doc_b, n_match, est_jaccard, jaccard, abs_err) per
+    candidate pair. Everything is exact: n_match is an integer, both
+    ratios are single IEEE divisions, so the oracle hash-matches.
+
+    Scale shape: candidates come from the banded equi-join (bounded
+    fan-out); signatures re-attach by doc id; the exact side re-uses the
+    one materialized shingle table. Work scales with candidate count —
+    never N²."""
+    ex = shingle_rows_materialized(docs, n)
+    sig = minhash_signatures(ex, n_hashes)
+    cand = minhash_lsh_candidates(
+        docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(n_hashes)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(n_hashes)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    sh = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = F.col("n_match").cast("double") / F.lit(float(n_hashes))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("n_match", n_match.cast("long"))
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            est.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.abs(est - jac).alias("abs_err"),
+        )
     )
 
 

@@ -1158,6 +1158,7 @@ _PROVEN_TAIL = [
     "revenue_rollup",
     "crop_pipeline",
     "top_tokens_per_lang",
+    "unigram_nll",
 ]
 
 

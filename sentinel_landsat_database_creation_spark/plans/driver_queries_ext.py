@@ -175,6 +175,66 @@ ORDER BY doc_a, doc_b
 SQL_MINHASH_LSH = _sql_minhash()
 
 
+def q_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate vs exact Jaccard per LSH
+    candidate pair — the n_hashes/bands calibration table
+    (operators/dedup.py:minhash_estimate)."""
+    from ..operators.dedup import minhash_estimate
+
+    return minhash_estimate(table(spark, sf, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_minhash_estimate(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    buckets = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH sh AS ({_SH2}),
+sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
+banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         {matches} AS n_match,
+         CAST(len(list_intersect(ha.s, hb.s)) AS DOUBLE)
+         / CAST(len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s))
+                AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN sh ha ON ha.doc_id = c.doc_a
+  JOIN sh hb ON hb.doc_id = c.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_match AS BIGINT) AS n_match,
+       n_match::DOUBLE / {float(n_hashes)} AS est_jaccard,
+       jaccard,
+       abs(n_match::DOUBLE / {float(n_hashes)} - jaccard) AS abs_err
+FROM scored ORDER BY doc_a, doc_b
+"""
+
+
+SQL_MINHASH_ESTIMATE = _sql_minhash_estimate()
+
+
 def q_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     return simhash_docs(docs).select(
@@ -1708,6 +1768,7 @@ REGISTRY_EXT = {
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "delta_dedup": (q_delta_dedup, SQL_DELTA_DEDUP),
     "dedup_clusters_lss": (q_dedup_clusters_lss, SQL_DEDUP_CLUSTERS_LSS),
+    "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

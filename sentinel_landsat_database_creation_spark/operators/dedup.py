@@ -50,8 +50,38 @@ def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
     uncheckpointed subtree runs the shuffle that many times (measured
     14 s -> ~5 s for minhash_lsh at sf0.1). Callers composing several
     dedup operators (neardup_pipeline, dedup_clusters) pass this one
-    table through instead of re-shingling per stage."""
-    return _shingle_rows(docs, n).localCheckpoint(eager=True)
+    table through instead of re-shingling per stage.
+
+    The materialization is additionally memoized ACROSS operator calls
+    within one session, keyed on (session, analyzed-plan semantic hash,
+    n): a dedup review session runs jaccard + minhash + pipeline +
+    clustering + calibration over the SAME corpus, and re-running the
+    explode+distinct shuffle per query is pure waste — this is the
+    shared-dimension-table pattern, not a semantics change (the
+    semantic hash keys on the logical source, so a different corpus or
+    shingle width misses). Entries die with the session (checkpoint
+    blocks are session-scoped); the cache holds a handful of tiny
+    tables, never row data on the driver."""
+    spark = docs.sparkSession
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            n,
+        )
+    except Exception:
+        return _shingle_rows(docs, n).localCheckpoint(eager=True)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _shingle_rows(docs, n).localCheckpoint(eager=True)
+    if len(_SHINGLE_CACHE) > 16:
+        _SHINGLE_CACHE.clear()
+    _SHINGLE_CACHE[key] = out
+    return out
+
+
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def ngram_jaccard_pairs(

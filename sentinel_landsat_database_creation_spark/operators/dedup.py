@@ -690,12 +690,15 @@ def connected_components_lss(
         m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no .distinct() here: duplicate (v, m) edges are collapsed by
+        # small_star's output distinct in the same round, and the extra
+        # rows they add to its groupBy/join are bounded by the dup count
+        # — dropping the shuffle is a measured win per round.
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:

@@ -228,6 +228,21 @@ def test_vocab_coverage_topk_is_bounded(spark):
     assert "Window" not in plan
 
 
+def test_span_and_delta_dedup_form_no_pair_space(spark):
+    """Sub-document and incremental dedup must stay bounded equi-joins:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in either
+    plan (the N² trap these operators exist to avoid)."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        REGISTRY_EXT,
+    )
+
+    for name in ("span_dedup", "delta_dedup"):
+        df = REGISTRY_EXT[name][0](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_length_trim_window_is_over_grouped_lengths(spark):
     """length_trim's per-lang window must run over the per-(lang,
     n_chars) COUNT table, not over raw documents — otherwise one task

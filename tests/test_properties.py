@@ -32,6 +32,46 @@ def _label(k: int) -> str:
     return out
 
 
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edge_lists)
+def test_lss_matches_union_find_on_random_graphs(spark, edges):
+    """Large-star/small-star labels == a driver-side union-find oracle
+    on arbitrary small graphs (multi-edges, cycles, any density)."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        connected_components_lss,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components_lss(df).collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None)
 @given(_dates)
 def test_catalog_invariants(spark, dates):

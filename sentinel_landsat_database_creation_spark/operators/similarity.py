@@ -187,14 +187,22 @@ def sign_lsh_buckets(
 
 
 def assign_cells(
-    vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (ties -> lowest
-    centroid id). Centroids broadcast (K is small by construction); the
-    N×K scoring is a narrow map over the corpus — no shuffle of the big
-    side until the final per-vector argmax, which partial-aggregates.
+    """IVF cell assignment: the ``nprobe`` nearest centroids by cosine
+    (ties -> lowest centroid id). Centroids broadcast (K is small by
+    construction); the N×K scoring is a narrow map over the corpus.
 
-    Returns (id_col, cell)."""
+    nprobe=1 (the indexing side) aggregates with a struct-max — partial
+    map-side aggregation, no window, the only shape safe for the FULL
+    corpus. nprobe>1 (the query side: probe several cells to trade work
+    for recall) ranks per vector with a window — the query set is
+    sampled/small by construction, so the per-id window is bounded.
+
+    Returns (id_col, cell); one row per (vector, probed cell)."""
     v = vectors.select(
         F.col(id_col), F.col("embedding").alias("ev")
     ).withColumn("en", norm_cast(F.col("ev")))
@@ -204,11 +212,20 @@ def assign_cells(
     scored = v.join(F.broadcast(c)).withColumn(
         "ccos", dot_cast(F.col("ev"), F.col("cv")) / (F.col("en") * F.col("cn"))
     )
-    best = F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid")))
+    if nprobe == 1:
+        best = F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid")))
+        return (
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(F.col(id_col), (-F.col("b.nid")).alias("cell"))
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("cent_id")
+    )
     return (
-        scored.groupBy(id_col)
-        .agg(best.alias("b"))
-        .select(F.col(id_col), (-F.col("b.nid")).alias("cell"))
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(F.col(id_col), F.col("cent_id").alias("cell"))
     )
 
 
@@ -218,12 +235,16 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 16,
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partition-pruned ANN
     scale path: vectors index into the cell of their nearest centroid;
-    a query scores ONLY its own cell's inverted list, so per-query work
-    drops from O(N) to O(N/K). Recall < 1 by design (nprobe=1);
-    brute_force_topk is the oracle to measure recall against.
+    a query scores ONLY its probed cells' inverted lists, so per-query
+    work drops from O(N) to O(nprobe·N/K). Recall < 1 by design and
+    rises with ``nprobe`` (the standard IVF work/recall dial — a probed
+    candidate lives in exactly one cell, so multi-probe never
+    duplicates pairs); brute_force_topk is the oracle to measure recall
+    against, ann_recall the query that reports it.
 
     Centroid choice here is the deterministic stand-in "first K corpus
     vectors" (id < n_centroids) so the whole operator is reproducible
@@ -235,7 +256,7 @@ def ivf_topk(
         F.col(id_col).alias("cent_id"), "embedding"
     )
     cells_c = assign_cells(embeddings, centroids, id_col)
-    cells_q = assign_cells(queries, centroids, id_col)
+    cells_q = assign_cells(queries, centroids, id_col, nprobe=nprobe)
     c = (
         embeddings.select(F.col(id_col).alias("cid"), F.col("embedding").alias("cv"))
         .join(cells_c.select(F.col(id_col).alias("cid"), "cell"), "cid")

@@ -1159,6 +1159,7 @@ _PROVEN_TAIL = [
     "crop_pipeline",
     "top_tokens_per_lang",
     "unigram_nll",
+    "pack_sequences",
 ]
 
 

@@ -944,6 +944,50 @@ ORDER BY method
 SQL_ANN_RECALL = _sql_ann_recall()
 
 
+def q_ivf_probe2(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k with nprobe=2 — the work/recall dial one notch up:
+    each query scores its two nearest cells' inverted lists
+    (operators/similarity.py:ivf_topk). Compared with ivf_topk
+    (nprobe=1) and ann_recall, this pins the recall-vs-candidates
+    trade-off end to end."""
+    from ..operators.similarity import ivf_topk
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=3, n_centroids=16, nprobe=2).orderBy("qid", "rnk")
+
+
+SQL_IVF_PROBE2 = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < 16),
+a AS (
+  SELECT v.vec_id, cent_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_cosine_similarity(v.ev, cent.cv) DESC,
+                                     cent_id) AS rn
+  FROM v CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1),
+qcells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn <= 2),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(qv.ev, cv2.ev) AS cos
+  FROM qcells q
+  JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  JOIN v qv ON qv.vec_id = q.vec_id
+  JOIN v cv2 ON cv2.vec_id = c.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cid AS BIGINT) AS cid, cos
+FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plumbing over mapInPandas (row explosion:
     one output row per sampled frame). The documents' text bytes are
@@ -1769,6 +1813,7 @@ REGISTRY_EXT = {
     "delta_dedup": (q_delta_dedup, SQL_DELTA_DEDUP),
     "dedup_clusters_lss": (q_dedup_clusters_lss, SQL_DEDUP_CLUSTERS_LSS),
     "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
+    "ivf_probe2": (q_ivf_probe2, SQL_IVF_PROBE2),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

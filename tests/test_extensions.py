@@ -718,6 +718,34 @@ def test_zorder_written_layout_tighter_than_unsorted(spark, tmp_path):
     assert area(stats) < area(base)
 
 
+def test_ivf_multiprobe_recall_monotone(spark):
+    """Probing more cells can only add candidates, so recall@k vs brute
+    force is monotone in nprobe (and pair sets never duplicate)."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    from pyspark.sql import functions as F
+
+    q = e.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["qid"], r["cid"])
+        for r in brute_force_topk(e, q, k=3).collect()
+    }
+    hits = []
+    for nprobe in (1, 2, 4):
+        got = {
+            (r["qid"], r["cid"])
+            for r in ivf_topk(e, q, k=3, n_centroids=16, nprobe=nprobe).collect()
+        }
+        assert len(got) <= 15  # k per query, no duplicated pairs
+        hits.append(len(got & bf))
+    assert hits[0] <= hits[1] <= hits[2]
+
+
 def test_topk_recall_hand_computed(spark):
     """2 queries x k=2 baseline; one method agrees on 3 of 4 pairs, the
     other on none."""

@@ -670,6 +670,103 @@ ORDER BY vec_id, pos
 """
 
 
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> signup -> purchase:
+    a user advances to a stage only with an event strictly after their
+    previous-stage time. Four filtered min-aggregations chained by
+    equi-joins on user_id — each stage's table shrinks, every join is
+    key-aligned, no window over the event stream; the standard funnel
+    shape at any scale."""
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def stage(event_type: str, prev):
+        s = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("_t"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("_t"))
+
+    stages = []
+    prev = None
+    for et in ("view", "click", "signup", "purchase"):
+        prev = stage(et, prev)
+        stages.append((et, prev))
+    outs = [
+        s.agg(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(et).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        for i, (et, s) in enumerate(stages)
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, outs).orderBy("step")
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'signup' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL SELECT 3, 'signup', CAST((SELECT count(*) FROM s3) AS BIGINT)
+  UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)
+) ORDER BY step
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention matrix: cohort = a user's first active
+    epoch-week; each (cohort, offset) cell counts users active
+    offset weeks after their first week. Two hash aggregations and one
+    key-aligned join — integer epoch-week arithmetic end to end, the
+    classic cohort query with no window and no date rendering."""
+    wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000))
+    uw = (
+        table(spark, sf, "events")
+        .select("user_id", wk.alias("wk"))
+        .distinct()
+    )
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(fw, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("long"),
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("offset_wk"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_wk", "offset_wk")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+fw AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+       CAST(wk - cohort_wk AS BIGINT) AS offset_wk,
+       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN fw USING (user_id)
+GROUP BY cohort_wk, offset_wk ORDER BY cohort_wk, offset_wk
+"""
+
+
 def q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
     """Op 18's richer variant, the scale path: click->error pairs of the
     same user within 10 minutes via temporal bucketing + equi-join
@@ -1098,6 +1195,8 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
     "pairing_compat": (q_pairing_compat, SQL_PAIRING_COMPAT),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "click_only_users": (q_click_only_users, SQL_CLICK_ONLY_USERS),
     "weekly_type_pivot": (q_weekly_type_pivot, SQL_WEEKLY_TYPE_PIVOT),
@@ -1160,6 +1259,8 @@ _PROVEN_TAIL = [
     "top_tokens_per_lang",
     "unigram_nll",
     "pack_sequences",
+    "weekly_type_pivot",
+    "user_value_moving_avg",
 ]
 
 

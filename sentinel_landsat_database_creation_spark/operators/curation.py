@@ -130,6 +130,39 @@ def vocab_coverage(docs: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_toks: int = 20,
+    max_toks: int = 500,
+    min_coverage: float = 0.2,
+    k: int = 16,
+) -> DataFrame:
+    """The composed keep/drop decision a C4/Gopher-style cleaning pass
+    actually emits: per document, the signals plus one boolean per
+    rejection rule and the final ``keep`` — so downstream can both
+    filter and audit WHY documents fell out (rule attribution is what
+    you tune the thresholds by).
+
+    Rules: token-count band [min_toks, max_toks] and top-k-vocabulary
+    coverage >= min_coverage. All signals come from one
+    ``vocab_coverage`` pass (explode -> broadcast semi join -> one
+    groupBy), so the gate costs what the coverage score costs; flags
+    are pure column arithmetic on top."""
+    cov = vocab_coverage(docs, k=k)
+    too_short = F.col("n_toks") < min_toks
+    too_long = F.col("n_toks") > max_toks
+    low_cov = F.col("coverage") < min_coverage
+    return cov.select(
+        "doc_id",
+        "n_toks",
+        "coverage",
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        low_cov.alias("low_coverage"),
+        (~(too_short | too_long | low_cov)).alias("keep"),
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     class_col: str,

@@ -1261,6 +1261,7 @@ _PROVEN_TAIL = [
     "pack_sequences",
     "weekly_type_pivot",
     "user_value_moving_avg",
+    "user_sessions",
 ]
 
 

@@ -762,6 +762,44 @@ FROM tot LEFT JOIN hits USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed C4-style keep/drop decision with per-rule attribution
+    (operators/curation.py:quality_gate)."""
+    from ..operators.curation import quality_gate
+
+    return quality_gate(
+        table(spark, sf, "documents"), min_toks=20, max_toks=120,
+        min_coverage=0.2,
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_GATE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT 16),
+hits AS (
+  SELECT doc_id, count(*) AS n_in_vocab
+  FROM t WHERE tok IN (SELECT tok FROM v) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+sc AS (
+  SELECT tot.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         coalesce(n_in_vocab, 0)::DOUBLE / n_toks::DOUBLE AS coverage
+  FROM tot LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id, n_toks, coverage,
+       n_toks < 20 AS too_short,
+       n_toks > 120 AS too_long,
+       coverage < 0.2 AS low_coverage,
+       NOT (n_toks < 20 OR n_toks > 120 OR coverage < 0.2) AS keep
+FROM sc ORDER BY doc_id
+"""
+
+
 def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unit-norm projection of the embedding column (the preprocessing
     step before cosine search reduces to dot product). Norm is the exact
@@ -1814,6 +1852,7 @@ REGISTRY_EXT = {
     "dedup_clusters_lss": (q_dedup_clusters_lss, SQL_DEDUP_CLUSTERS_LSS),
     "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
     "ivf_probe2": (q_ivf_probe2, SQL_IVF_PROBE2),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -1262,6 +1262,8 @@ _PROVEN_TAIL = [
     "weekly_type_pivot",
     "user_value_moving_avg",
     "user_sessions",
+    "asof_last_click",
+    "range_join_events",
 ]
 
 

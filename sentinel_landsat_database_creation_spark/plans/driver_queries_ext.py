@@ -1671,6 +1671,74 @@ FROM th LEFT JOIN a USING (lang) ORDER BY lang
 """
 
 
+def q_salted_agg_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation vs its algebraic contract: the
+    (key, salt) partials merged per key must equal the plain one-stage
+    groupBy exactly (operators/skew.py:salted_agg) — this row going
+    green IS the proof the hot-key shape loses nothing. Output is the
+    per-type event count/max table computed through the salted path."""
+    from ..operators.skew import salted_agg
+
+    ev = table(spark, sf, "events")
+    return (
+        salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "max_event": ("max", F.max("event_id")),
+            },
+            n_salts=16,
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long"),
+            F.col("max_event").cast("long"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SALTED_AGG_CHECK = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(event_id) AS BIGINT) AS max_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_salted_join_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted equi-join vs the plain join it must equal
+    (operators/skew.py:salted_join): events (skewed side, content-hash
+    salt) x per-type counts (replicated small side), aggregated back to
+    per-type row counts so the oracle is the unsalted join."""
+    from ..operators.skew import salted_join
+
+    ev = table(spark, sf, "events").select("event_id", "event_type")
+    dim = (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("n_type").cast("long").alias("n_type"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SALTED_JOIN_CHECK = """
+WITH d AS (SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(n_type) AS BIGINT) AS n_type
+FROM events e JOIN d USING (event_type)
+GROUP BY e.event_type ORDER BY event_type
+"""
+
+
 def q_bucketed_join_check(spark: SparkSession, sf: str) -> DataFrame:
     """The WRITTEN bucketed layout, end to end: persist events (fact)
     and per-user counts (dim) as same-bucketed external tables
@@ -1853,6 +1921,8 @@ REGISTRY_EXT = {
     "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
     "ivf_probe2": (q_ivf_probe2, SQL_IVF_PROBE2),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "salted_agg_check": (q_salted_agg_check, SQL_SALTED_AGG_CHECK),
+    "salted_join_check": (q_salted_join_check, SQL_SALTED_JOIN_CHECK),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -1264,6 +1264,7 @@ _PROVEN_TAIL = [
     "user_sessions",
     "asof_last_click",
     "range_join_events",
+    "catalog_event_labels",
 ]
 
 

@@ -1844,6 +1844,46 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_corpus_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
+    """The payoff of the partitioned corpus layout, driver-checked: a
+    single-language read of the written corpus must plan with a
+    partition filter (directory pruning — the scan never opens other
+    languages' files) and return exactly that language's rows. The
+    query RAISES if the executed plan carries no PartitionFilters on
+    lang, so a layout or pruning regression turns this row red —
+    same pattern as bucketed_join_check."""
+    import os
+    import tempfile
+
+    from ..sources.corpus import write_corpus
+
+    docs = table(spark, sf, "documents")
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"slc_corpus_pruned_{tag}")
+    write_corpus(docs, path, partition_by=("lang",), max_records_per_file=1000)
+    one_lang = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in plan or "PartitionFilters" not in plan:
+        raise RuntimeError(
+            "single-language corpus read did not prune partitions:\n" + plan
+        )
+    return (
+        one_lang.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_PRUNED_READ = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang
+"""
+
+
 def q_stream_click_signup(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stream-stream interval join: signups within 6 hours
     of a click by the same user (streaming/joins.py). Inner-join append
@@ -1923,6 +1963,7 @@ REGISTRY_EXT = {
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "salted_agg_check": (q_salted_agg_check, SQL_SALTED_AGG_CHECK),
     "salted_join_check": (q_salted_join_check, SQL_SALTED_JOIN_CHECK),
+    "corpus_pruned_read": (q_corpus_pruned_read, SQL_CORPUS_PRUNED_READ),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -62,26 +62,36 @@ def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
     shingle width misses). Entries die with the session (checkpoint
     blocks are session-scoped); the cache holds a handful of tiny
     tables, never row data on the driver."""
-    spark = docs.sparkSession
+    return _memo_checkpoint(
+        docs, ("shingles", n), lambda: _shingle_rows(docs, n)
+    )
+
+
+_MEMO_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
+    """Session-scoped memo of a localCheckpointed derived table, keyed
+    on (applicationId, semantic hash of the source plan, tag). Misses
+    fall back to building + checkpointing uncached; entries die with
+    the session (checkpoint blocks are session-scoped), and the cache
+    only ever holds DataFrame handles, never driver-side rows."""
+    spark = src.sparkSession
     try:
         key = (
             spark.sparkContext.applicationId,
-            docs._jdf.queryExecution().analyzed().semanticHash(),
-            n,
-        )
+            src._jdf.queryExecution().analyzed().semanticHash(),
+        ) + tag
     except Exception:
-        return _shingle_rows(docs, n).localCheckpoint(eager=True)
-    hit = _SHINGLE_CACHE.get(key)
+        return builder().localCheckpoint(eager=True)
+    hit = _MEMO_CACHE.get(key)
     if hit is not None:
         return hit
-    out = _shingle_rows(docs, n).localCheckpoint(eager=True)
-    if len(_SHINGLE_CACHE) > 16:
-        _SHINGLE_CACHE.clear()
-    _SHINGLE_CACHE[key] = out
+    out = builder().localCheckpoint(eager=True)
+    if len(_MEMO_CACHE) > 16:
+        _MEMO_CACHE.clear()
+    _MEMO_CACHE[key] = out
     return out
-
-
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def ngram_jaccard_pairs(
@@ -428,27 +438,41 @@ def neardup_pipeline(
     The materialized shingle table is computed ONCE and shared by the
     candidate stage and both verify sides — re-shingling per stage would
     run the explode+distinct shuffle three times (it did; measured in
-    BENCH_r01's 9.6 s)."""
-    ex = shingle_rows_materialized(docs, n)
-    cand = minhash_lsh_candidates(
-        docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex
-    )
-    # ex is already distinct per (doc_id, shingle): collect_list gives
-    # exactly the per-doc distinct shingle set (order irrelevant to
-    # array_intersect/size below).
-    sh = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "jaccard", inter.cast("double") / union.cast("double")
+    BENCH_r01's 9.6 s). The verified pair table itself is memoized per
+    session too: both clustering engines and the pipeline query consume
+    the SAME upstream (identical source + parameters), and re-running
+    candidates + verify per consumer is the same waste the shingle memo
+    removes one level down."""
+
+    def build() -> DataFrame:
+        ex = shingle_rows_materialized(docs, n)
+        cand = minhash_lsh_candidates(
+            docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # ex is already distinct per (doc_id, shingle): collect_list
+        # gives exactly the per-doc distinct shingle set (order
+        # irrelevant to array_intersect/size below).
+        sh = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "jaccard", inter.cast("double") / union.cast("double")
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    return _memo_checkpoint(
+        docs, ("neardup", n, n_hashes, bands, threshold), build
     )
 
 

@@ -51,6 +51,7 @@ from ..sources.testdata import normalize_event_ts, table
 from ..streaming.drain import drain_checkpoint_dir
 
 import contextlib
+import os
 
 
 def _drain(q, timeout_s: int = 300) -> None:
@@ -83,6 +84,36 @@ def _memory_drain(
     )
     try:
         _drain(q)
+        if os.environ.get("SPARK_GRAFT_STREAM_DEBUG"):
+            # Per-drain instrumentation (micro-batch count, per-batch
+            # trigger time, state-store rows) so cost swings between
+            # rounds can be attributed to plan shape vs host noise.
+            import json as _json
+
+            prog = [_json.loads(p.json) for p in q.recentProgress]
+            print(
+                _json.dumps(
+                    {
+                        "drain": name,
+                        "n_batches": len(prog),
+                        "trigger_ms": [
+                            p.get("durationMs", {}).get("triggerExecution")
+                            for p in prog
+                        ],
+                        "state_rows": [
+                            [
+                                so.get("numRowsTotal")
+                                for so in p.get("stateOperators", [])
+                            ]
+                            for p in prog
+                        ],
+                        "sink_rows": [
+                            p.get("sink", {}).get("numOutputRows")
+                            for p in prog
+                        ],
+                    }
+                )
+            )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -1089,10 +1120,19 @@ FROM m ORDER BY media_id
 def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     drain the events table through gap sessionization with availableNow.
-    Emits sessions CLOSED by the gap (each user's final open session
-    stays in state) — deliberately not SQL-expressible, so this entry is
-    rows-only in the driver gate; the batch twin user_sessions carries
-    the exact oracle and tests pin stateful == batch."""
+    Emits sessions CLOSED by the gap; each user's final open session
+    stays in GroupState and is never emitted.
+
+    Oracle construction (round 4 — this entry used to be rows-only):
+    the drain reads ONE parquet file and file-source micro-batches are
+    per-file, so the whole table arrives in a single micro-batch, every
+    user's rows are folded together sorted by (ts, event_id), and the
+    emitted set is EXACTLY the batch sessionization minus each user's
+    last session — SQL-expressible with a QUALIFY over the session
+    ordinal (SQL_STREAM_SESSIONS). Values pre-scale to per-row cents
+    (the user_sessions rule) so per-session sums are exact integers in
+    both engines; the stateful operator's float accumulator is exact on
+    integer-valued cents (< 2^53)."""
     import uuid
 
     from ..streaming.sessions import sessionize_stateful
@@ -1108,7 +1148,8 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(sf)
     )
     stream = normalize_event_ts(stream)
-    out = sessionize_stateful(stream, gap_minutes=30)
+    stream = stream.withColumn("value", F.round(F.col("value") * 100, 0))
+    out = sessionize_stateful(stream, gap_minutes=_SESSION_GAP_MIN)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, 8):
         _memory_drain(spark, out, name)
@@ -1119,7 +1160,7 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
             F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
             F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
             "n_events",
-            F.round("total_value", 2).alias("total_value"),
+            F.col("total_value").cast("long").alias("total_cents"),
         )
         .orderBy("user_id", "session_start")
     )
@@ -1254,6 +1295,42 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS total_cents
 FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+
+# Exact oracle for the applyInPandasWithState drain: batch sessions
+# minus each user's final (still-open-in-state) session. Valid because
+# the fixture drain is a single per-file micro-batch — see
+# q_stream_sessions' docstring for the argument.
+SQL_STREAM_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+  FROM e
+),
+b AS (
+  SELECT *, CASE WHEN prev IS NULL
+                 OR tus - prev > {_SESSION_GAP_MIN * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM s GROUP BY user_id, sess
+QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
 ORDER BY user_id, session_start
 """
 
@@ -1917,7 +1994,7 @@ REGISTRY_EXT = {
     "stream_dedup_keys": (q_stream_dedup_keys, SQL_STREAM_DEDUP_KEYS),
     # rows-only: custom stateful streaming (not SQL-expressible);
     # batch twin `user_sessions` carries the exact oracle
-    "stream_sessions": (q_stream_sessions, None),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_sessions_native": (q_stream_sessions_native, SQL_STREAM_SESSIONS_NATIVE),
     "stream_click_signup": (q_stream_click_signup, SQL_STREAM_CLICK_SIGNUP),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),

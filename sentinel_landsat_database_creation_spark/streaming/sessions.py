@@ -103,29 +103,62 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     """Per-user state transition: fold this batch's rows (sorted by
     ts, event_id) into the open session, emitting sessions closed by
-    the gap. Pandas-side work is O(rows in batch) per user."""
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    the gap. Vectorized — segment boundaries, counts and sums are
+    numpy ops (bincount accumulates in row order, so within-batch float
+    sums match the sequential fold bit-for-bit; a carried-over state sum
+    is added after its segment's batch rows, which is exact whenever
+    values are integer-valued — the registry pre-scales to cents);
+    Python cost is O(segments), not O(rows)."""
+    import numpy as np
+
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
     ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-    vals = rows["value"].to_numpy()
+    vals = rows["value"].to_numpy(dtype="float64")
 
     if state.exists:
         start, last, n, s = state.get
     else:
         start, last, n, s = (int(ts_us[0]), int(ts_us[0]), 0, 0.0)
 
-    closed: list[tuple[int, int, int, float]] = []
-    for t, v in zip(ts_us, vals):
-        t = int(t)
-        if n > 0 and t - last > gap_us:
-            closed.append((start, last, n, s))
-            start, n, s = t, 0, 0.0
-        last = t
-        n += 1
-        s += float(v)
-    state.update((start, last, n, s))
+    # Does the batch's first row close the carried-over open session?
+    head_closed = n > 0 and int(ts_us[0]) - last > gap_us
+    if head_closed:
+        head = (start, last, n, s)
+        n, s = 0, 0.0
+    # Segment the batch rows at intra-batch gaps; row 0 never breaks
+    # (it either continues the open session — checked above — or
+    # starts a fresh one).
+    brk = np.empty(len(ts_us), dtype=bool)
+    brk[0] = False
+    np.greater(np.diff(ts_us), gap_us, out=brk[1:])
+    seg = np.cumsum(brk)
+    nseg = int(seg[-1]) + 1
+    counts = np.bincount(seg, minlength=nseg)
+    sums = np.bincount(seg, weights=vals, minlength=nseg)
+    first_idx = np.concatenate(([0], np.flatnonzero(brk)))
+    starts = ts_us[first_idx]
+    ends = ts_us[np.concatenate((first_idx[1:] - 1, [len(ts_us) - 1]))]
+    # Merge the still-open carried session into segment 0.
+    if n > 0:
+        starts[0] = start
+        counts[0] += n
+        sums[0] += s
+    state.update(
+        (int(starts[-1]), int(ts_us[-1]), int(counts[-1]), float(sums[-1]))
+    )
 
-    if not closed:
+    # Emit closed sessions (all segments but the last, plus the
+    # head-of-batch closure) straight from numpy — no python lists.
+    o_start, o_end = starts[: nseg - 1], ends[: nseg - 1]
+    o_n, o_s = counts[: nseg - 1], sums[: nseg - 1]
+    if head_closed:
+        o_start = np.concatenate(([head[0]], o_start))
+        o_end = np.concatenate(([head[1]], o_end))
+        o_n = np.concatenate(([head[2]], o_n))
+        o_s = np.concatenate(([head[3]], o_s))
+    if len(o_start) == 0:
         yield pd.DataFrame(
             {
                 "user_id": pd.Series(dtype="int64"),
@@ -136,14 +169,13 @@ def _sessionize_group(
             }
         )
         return
-    uid = int(key[0])
     yield pd.DataFrame(
         {
-            "user_id": [uid] * len(closed),
-            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
-            "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
-            "n_events": [c[2] for c in closed],
-            "total_value": [c[3] for c in closed],
+            "user_id": np.full(len(o_start), int(key[0]), dtype="int64"),
+            "session_start": o_start.astype("datetime64[us]"),
+            "session_end": o_end.astype("datetime64[us]"),
+            "n_events": o_n.astype("int64"),
+            "total_value": o_s.astype("float64"),
         }
     )
 

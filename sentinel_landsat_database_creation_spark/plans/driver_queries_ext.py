@@ -1057,6 +1057,197 @@ FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 
+def _sql_kmeans_ctes(n_centroids: int = 16, n_iters: int = 2, d: int = 64) -> str:
+    """The WITH-body of the exact k-means recurrence (see
+    operators/similarity.py:train_centroids for the determinism design:
+    quantized BIGINT grid, sum-vector centroids, integer-exact dot
+    numerator, sequential-fold double denominator). Ends with CTE ``cf``
+    = (cell, s BIGINT[], n) after ``n_iters`` Lloyd iterations."""
+    sqnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, x) -> a + x))"
+    )
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 65536) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, qv AS s, 1 AS n FROM q WHERE vec_id < {n_centroids})"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        parts.append(
+            f"""sc{it} AS (
+  SELECT q.vec_id, c.cell,
+         (SELECT sum(q.qv[i] * c.s[i]) FROM range(1, {d + 1}) t(i))::DOUBLE
+           / {sqnorm} AS score
+  FROM q CROSS JOIN {prev} c
+),
+a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM sc{it}) WHERE rn = 1
+),
+s{it} AS (
+  SELECT a{it}.cell, i AS pos, sum(q.qv[i]) AS s, count(*) AS n
+  FROM a{it} JOIN q USING (vec_id), range(1, {d + 1}) t(i)
+  GROUP BY a{it}.cell, i
+),
+c{it} AS (
+  SELECT p.cell, coalesce(nn.s, p.s) AS s, coalesce(nn.n, 0) AS n
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list(s ORDER BY pos) AS s, max(n) AS n
+    FROM s{it} GROUP BY cell) nn USING (cell)
+)"""
+        )
+        prev = f"c{it}"
+    parts.append(f"cf AS (SELECT cell, s, n FROM {prev})")
+    return ",\n".join(parts)
+
+
+def q_ivf_train_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained IVF centroids (seeded Lloyd's k-means, 2 iterations, K=16)
+    emitted as the raw (cell, pos, sum, n) integers — every value is an
+    exact BIGINT, so the driver hash pins the whole training recurrence
+    cross-engine, not a rounded summary of it."""
+    from ..operators.similarity import train_centroids
+
+    e = table(spark, sf, "embeddings")
+    cents = train_centroids(e, n_centroids=16, n_iters=2)
+    rows = [
+        (c, p, s[p], n) for c, s, n in cents for p in range(len(s))
+    ]
+    return spark.createDataFrame(
+        rows, "cell long, pos long, s long, n long"
+    ).orderBy("cell", "pos")
+
+
+SQL_IVF_TRAIN_CENTROIDS = f"""
+WITH {_sql_kmeans_ctes()}
+SELECT CAST(cell AS BIGINT) AS cell, CAST(i - 1 AS BIGINT) AS pos,
+       CAST(s[i] AS BIGINT) AS s, CAST(n AS BIGINT) AS n
+FROM cf, range(1, 65) t(i)
+ORDER BY cell, pos
+"""
+
+
+def _sql_ivf_trained_topk(nprobe: int = 1) -> str:
+    """IVF top-k with the TRAINED centroids: the k-means CTEs feed the
+    cell assignment (corpus nprobe=1; query side probes ``nprobe``
+    cells); within-cell scoring is the plain float cosine, exactly like
+    SQL_IVF_TOPK."""
+    score = (
+        "(SELECT sum(q.qv[i] * c.s[i]) FROM range(1, 65) t(i))::DOUBLE"
+        " / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+        " (a, x) -> a + x))"
+    )
+    return f"""
+WITH {_sql_kmeans_ctes()},
+ranked_cells AS (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {score} DESC, c.cell) AS rn
+  FROM q CROSS JOIN cf c
+),
+cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+qcells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT qq.vec_id AS qid, cc.vec_id AS cid,
+         list_cosine_similarity(qv.ev, cv2.ev) AS cos
+  FROM qcells qq
+  JOIN cells cc ON qq.cell = cc.cell AND qq.vec_id != cc.vec_id
+  JOIN v qv ON qv.vec_id = qq.vec_id
+  JOIN v cv2 ON cv2.vec_id = cc.vec_id
+  WHERE qq.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cid AS BIGINT) AS cid, cos
+FROM ranked WHERE rnk <= {3} ORDER BY qid, rnk
+"""
+
+
+SQL_IVF_TRAINED_TOPK = _sql_ivf_trained_topk(1)
+
+
+def q_ann_recall_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """recall@k of trained-centroid IVF (nprobe=1 and nprobe=2) vs the
+    first-K stand-in, all against the brute-force baseline (round-3
+    verdict item 3). Integer hit counts -> exact oracle.
+
+    Honest finding, measured before this query was frozen (nq 5/20/50 ×
+    sf 0.01/0.1 × iters 2/4): the synthetic embeddings are isotropic
+    random vectors, so k-means finds no cluster structure and trained
+    centroids at EQUAL nprobe sit a few hits below first-K (tighter
+    cells = smaller candidate lists = less lucky overlap), while cell
+    balance improves (max cell 148->139, stddev 11.8->8.9 at sf0.1 —
+    the property that matters for tail latency at 100 TB). nprobe is
+    the recall dial that works regardless: ivf_trained_p2 recovers most
+    of the equal-probe gap at sf0.01 (12 -> 13 hits vs first-K's 14)
+    and all three methods reach 1.0 at the sf0.1 anchor; on a real
+    clustered corpus trained centroids win at equal probes too."""
+    from ..operators.similarity import (
+        ivf_topk,
+        ivf_topk_trained,
+        topk_recall,
+        train_centroids,
+    )
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(e, q, k=3)
+    cents = train_centroids(e, n_centroids=16, n_iters=2)
+    return topk_recall(
+        bf,
+        {
+            "ivf_firstk": ivf_topk(e, q, k=3, n_centroids=16),
+            "ivf_trained": ivf_topk_trained(e, q, cents, k=3),
+            "ivf_trained_p2": ivf_topk_trained(e, q, cents, k=3, nprobe=2),
+        },
+    ).orderBy("method")
+
+
+def _sql_ann_recall_trained() -> str:
+    rows = []
+    for method, cte in (
+        ("ivf_firstk", "ivf0"),
+        ("ivf_trained", "ivft"),
+        ("ivf_trained_p2", "ivft2"),
+    ):
+        rows.append(
+            f"""SELECT '{method}' AS method, CAST(nq AS BIGINT) AS n_queries,
+       CAST(np AS BIGINT) AS n_possible,
+       CAST((SELECT count(*) FROM {cte} JOIN bf USING (qid, cid)) AS BIGINT)
+         AS n_hits,
+       (SELECT count(*) FROM {cte} JOIN bf USING (qid, cid))::DOUBLE
+         / np::DOUBLE AS recall
+FROM tot"""
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH bf AS ({SQL_COSINE_TOPK}),
+ivf0 AS ({SQL_IVF_TOPK}),
+ivft AS ({_sql_ivf_trained_topk(1)}),
+ivft2 AS ({_sql_ivf_trained_topk(2)}),
+tot AS (SELECT count(DISTINCT qid) AS nq, count(*) AS np FROM bf)
+{body}
+ORDER BY method
+"""
+
+
+SQL_ANN_RECALL_TRAINED = _sql_ann_recall_trained()
+
+
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plumbing over mapInPandas (row explosion:
     one output row per sampled frame). The documents' text bytes are
@@ -1921,6 +2112,70 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_corpus_dedup_write(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup deliverable, file-checked: dedup_write_corpus
+    lands the survivor corpus partitioned by lang; the result is read
+    back FROM THE WRITTEN FILES and summarized per lang with exact
+    integers — row count, distinct file count, doc_id span, and a
+    content fingerprint (sum of each survivor's md5-prefix as BIGINT,
+    order-free) so the driver hash pins WHICH documents survived, not
+    just how many. Oracle = the recursive-CTE connected components over
+    the verified-pair SQL, anti-joined the same way."""
+    import os
+    import tempfile
+
+    from ..sources.corpus import dedup_write_corpus
+
+    docs = table(spark, sf, "documents")
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"slc_corpus_dedup_{tag}")
+    dedup_write_corpus(docs, path, threshold=0.5, max_records_per_file=1000)
+    back = spark.read.parquet(path)
+    fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("_f")).cast("long").alias("n_files"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum(fp).cast("long").alias("content_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_DEDUP_WRITE = f"""
+WITH pairs AS ({_SQL_NEARDUP_BODY}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, min(lab) AS cluster FROM r GROUP BY node
+),
+losers AS (SELECT node AS doc_id FROM reach WHERE node != cluster),
+kept AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((count(*) + 999) // 1000 AS BIGINT) AS n_files,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+         AS content_fp
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def q_corpus_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
     """The payoff of the partitioned corpus layout, driver-checked: a
     single-language read of the written corpus must plan with a
@@ -2037,10 +2292,13 @@ REGISTRY_EXT = {
     "dedup_clusters_lss": (q_dedup_clusters_lss, SQL_DEDUP_CLUSTERS_LSS),
     "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
     "ivf_probe2": (q_ivf_probe2, SQL_IVF_PROBE2),
+    "ivf_train_centroids": (q_ivf_train_centroids, SQL_IVF_TRAIN_CENTROIDS),
+    "ann_recall_trained": (q_ann_recall_trained, SQL_ANN_RECALL_TRAINED),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "salted_agg_check": (q_salted_agg_check, SQL_SALTED_AGG_CHECK),
     "salted_join_check": (q_salted_join_check, SQL_SALTED_JOIN_CHECK),
     "corpus_pruned_read": (q_corpus_pruned_read, SQL_CORPUS_PRUNED_READ),
+    "corpus_dedup_write": (q_corpus_dedup_write, SQL_CORPUS_DEDUP_WRITE),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),

@@ -786,3 +786,94 @@ def test_top_tokens_per_lang_ties(spark):
     # equal counts -> token asc breaks the tie.
     assert rows[("en", 1)] == ("a", 2) and rows[("en", 2)] == ("b", 2)
     assert rows[("de", 1)] == ("z", 1)
+
+
+def test_train_centroids_hand_computed(spark):
+    """Two obvious clusters on a 2-D-ish fixture: after one iteration the
+    sum vectors are exactly the element-wise sums of each cluster's
+    quantized members, empty cells carry their previous sum with n=0,
+    and a second run is bit-identical (pure function of the input)."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        QUANT_SCALE,
+        train_centroids,
+    )
+
+    # vec 0 ~ +x axis, vec 1 ~ +y axis seed the two cells; vectors 2-4
+    # hug +x, vector 5 hugs +y. Pad to 4 dims.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.8, 0.0, 0.1, 0.0]),
+        (4, [0.7, 0.1, 0.1, 0.0]),
+        (5, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = train_centroids(e, n_centroids=2, n_iters=1)
+    assert [c for c, _s, _n in cents] == [0, 1]
+    qs = {
+        i: [round(x * QUANT_SCALE) for x in v] for i, v in vecs
+    }
+    want0 = [sum(qs[i][p] for i in (0, 2, 3, 4)) for p in range(4)]
+    want1 = [sum(qs[i][p] for i in (1, 5)) for p in range(4)]
+    assert cents[0] == (0, want0, 4)
+    assert cents[1] == (1, want1, 2)
+    assert train_centroids(e, n_centroids=2, n_iters=1) == cents
+
+
+def test_train_centroids_empty_cell_carries(spark):
+    """A centroid that attracts nothing keeps its previous sum and
+    reports n=0 (the oracle's LEFT JOIN does the same)."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        QUANT_SCALE,
+        train_centroids,
+    )
+
+    # every vector (including seed 1 itself) hugs +x, so cell 0 absorbs
+    # the corpus and cell 1 can end up empty after an iteration
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [1.0, 0.05]),
+        (3, [0.95, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = train_centroids(e, n_centroids=2, n_iters=2)
+    by_cell = {c: (s, n) for c, s, n in cents}
+    assert set(by_cell) == {0, 1}
+    # every vector is assigned somewhere each iteration
+    assert sum(n for _s, n in by_cell.values()) in (3, 4)
+    # any empty cell must carry a non-degenerate previous sum
+    for c, (s, n) in by_cell.items():
+        if n == 0:
+            assert any(x != 0 for x in s)
+
+
+def test_ivf_trained_matches_bruteforce_on_separable_data(spark):
+    """On clearly clustered data, trained-centroid IVF at nprobe=1
+    recovers the exact top-k (all true neighbors share the query's
+    cell)."""
+    from pyspark.sql import functions as F
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+        train_centroids,
+    )
+
+    rows = []
+    for g in range(2):
+        base = [0.0] * 8
+        base[g * 4] = 1.0
+        for j in range(8):
+            v = list(base)
+            v[g * 4 + 1] = 0.01 * j
+            rows.append((g * 8 + j, v))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id").isin(0, 8))
+    cents = train_centroids(e, n_centroids=2, n_iters=2)
+    bf = {(r["qid"], r["cid"]) for r in brute_force_topk(e, q, k=3).collect()}
+    ivf = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk_trained(e, q, cents, k=3).collect()
+    }
+    assert ivf == bf

@@ -67,7 +67,34 @@ def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-_MEMO_CACHE: dict[tuple, DataFrame] = {}
+# key -> (DataFrame handle, checkpoint-RDD ids captured at creation).
+# RLock, not Lock: builders nest (the verified-pair-table memo's
+# builder calls shingle_rows_materialized, itself a memo) — a plain
+# Lock self-deadlocks on that re-entry.
+_MEMO_CACHE: dict[tuple, tuple[DataFrame, frozenset]] = {}
+_MEMO_LOCK = __import__("threading").RLock()
+
+
+def _persistent_ids(spark) -> set:
+    """Driver-side ids of currently-registered persistent RDDs (the
+    registry localCheckpoint blocks live in)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return set(jmap.keySet().toArray())
+
+
+def _release_checkpoint(spark, ids: frozenset) -> None:
+    """Best-effort free of a memo entry's checkpoint blocks. Verified
+    mechanism (probe, round 4): unpersisting the JVM handle from
+    getPersistentRDDs removes the rdd_N_* blocks — a later scan of the
+    handle fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, so release
+    only runs on eviction, never on live entries."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist(False)
+    except Exception:
+        pass
 
 
 def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
@@ -75,7 +102,20 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
     on (applicationId, semantic hash of the source plan, tag). Misses
     fall back to building + checkpointing uncached; entries die with
     the session (checkpoint blocks are session-scoped), and the cache
-    only ever holds DataFrame handles, never driver-side rows."""
+    only ever holds DataFrame handles, never driver-side rows.
+
+    localCheckpoint is non-reliable: lineage is truncated, so a handle
+    whose blocks were unpersisted or lost with an executor can never
+    recompute. Guards (round-4 ADVICE): each hit is validated against
+    the driver's persistent-RDD registry (the checkpoint ids captured
+    at creation must still be registered — a dropped id means the
+    blocks are gone and the entry is rebuilt); evicted entries get
+    their blocks released via ``_release_checkpoint`` instead of
+    leaking until session end; and the cache is lock-serialized so the
+    id-diff capture can't interleave across threads. With nested memos
+    (RLock re-entry) the outer entry's id-diff also captures the inner
+    entry's checkpoint id — harmless: releasing the outer entry then
+    merely fails the inner entry's validity probe, which rebuilds."""
     spark = src.sparkSession
     try:
         key = (
@@ -84,13 +124,33 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
         ) + tag
     except Exception:
         return builder().localCheckpoint(eager=True)
-    hit = _MEMO_CACHE.get(key)
-    if hit is not None:
-        return hit
-    out = builder().localCheckpoint(eager=True)
-    if len(_MEMO_CACHE) > 16:
-        _MEMO_CACHE.clear()
-    _MEMO_CACHE[key] = out
+    with _MEMO_LOCK:
+        hit = _MEMO_CACHE.get(key)
+        if hit is not None:
+            df, ck_ids = hit
+            try:
+                alive = ck_ids <= _persistent_ids(spark)
+            except Exception:
+                alive = False
+            if alive:
+                return df
+            del _MEMO_CACHE[key]  # blocks gone — rebuild below
+        try:
+            before = _persistent_ids(spark)
+        except Exception:
+            before = None
+        out = builder().localCheckpoint(eager=True)
+        if before is None:
+            return out
+        try:
+            ck_ids = frozenset(_persistent_ids(spark) - before)
+        except Exception:
+            return out
+        if len(_MEMO_CACHE) > 16:
+            for _, (_, old_ids) in _MEMO_CACHE.items():
+                _release_checkpoint(spark, old_ids)
+            _MEMO_CACHE.clear()
+        _MEMO_CACHE[key] = (out, ck_ids)
     return out
 
 

@@ -1,12 +1,13 @@
 """Multimodal payload columns: image/audio/video as opaque binary with
 typed metadata (MEDIA_SCHEMA), processed behind mapInPandas.
 
-The container has no image/audio codecs, so the real decoders raise
-NotImplementedError per the environment contract; ``fake_features``
-exercises the identical Spark plumbing (binary column in Arrow batches,
-schema, partitioning, batch shape) with a deterministic md5-based
-feature extractor — swap ``decode_image``'s body for PIL/libvips on a
-real cluster and nothing else changes.
+``decode_image`` guard-imports PIL: when present it decodes through the
+real mapInPandas path; when absent (this container) it raises
+NotImplementedError at plan time unless a ``decoder=`` callable is
+injected. ``fake_features``/``fake_thumbnails`` exercise the identical
+Spark plumbing (binary column in Arrow batches, schema, partitioning,
+batch shape) with deterministic md5-based bodies, and stay the oracle
+queries either way.
 """
 
 from __future__ import annotations
@@ -58,14 +59,74 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Real image decode + resize — requires a codec library that is not
-    installed in this container."""
-    raise NotImplementedError(
-        "image codecs are unavailable in this environment; use "
-        "fake_features()/fake_thumbnails() for plumbing tests and swap in "
-        "PIL/libvips on a real cluster"
-    )
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_decode_resize(payload: bytes, width: int, height: int) -> list:
+    """Default decoder: PIL grayscale decode + resize, [0,1] row-major.
+    Runs executor-side inside mapInPandas workers."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — worker-side import by design
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
+    return [p / 255.0 for p in img.getdata()]
+
+
+def decode_image(
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    decoder=None,
+) -> DataFrame:
+    """Real image decode + resize to a width×height grayscale thumbnail
+    (THUMB_SCHEMA, pixels row-major in [0,1]) through the same
+    mapInPandas path as ``fake_thumbnails`` — identical schema,
+    batching, and partition behavior, only the per-payload body
+    differs.
+
+    Codec availability is guarded at plan time: the default decoder
+    needs PIL, which this container does not ship, so the driver checks
+    ``importlib.util.find_spec`` and raises NotImplementedError before
+    any job starts (never an executor-side ImportError storm). A
+    custom ``decoder(payload, width, height) -> list[float]`` callable
+    is serialized into the task closure instead — that is also how the
+    unit test exercises this exact path without PIL, and how libvips
+    or torchvision drop in on a real cluster. Undecodable payloads
+    (truncated, wrong magic) yield no row rather than failing the task,
+    matching how a 100 TB media scan must treat corrupt objects."""
+    if decoder is None:
+        if not _pil_available():
+            raise NotImplementedError(
+                "image codecs are unavailable in this environment: PIL "
+                "not importable and no decoder= callable given; use "
+                "fake_thumbnails() for plumbing tests or pass a decoder"
+            )
+        decoder = _pil_decode_resize
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    pixels = decoder(payload, width, height)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue  # corrupt payload: skip, don't fail the scan
+                out["media_id"].append(media_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["pixels"].append(list(pixels))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, THUMB_SCHEMA)
 
 
 def fake_features(media: DataFrame, n_features: int = 4) -> DataFrame:

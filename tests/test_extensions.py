@@ -149,10 +149,67 @@ def test_media_fake_features_plumbing(spark):
     assert {r["media_id"]: r["features"] for r in rows} == again
 
 
-def test_decode_image_is_explicit_stub(spark):
+def test_decode_image_raises_only_without_codec(spark, monkeypatch):
+    """decode_image is NotImplementedError ONLY when PIL is truly
+    absent AND no decoder is injected; the guard fires at plan time,
+    driver-side."""
+    import sentinel_landsat_database_creation_spark.multimodal.media as media_mod
+
     docs = table(spark, SF, "documents").limit(1)
+    monkeypatch.setattr(media_mod, "_pil_available", lambda: False)
     with pytest.raises(NotImplementedError):
         decode_image(media_from_documents(docs))
+
+
+def test_decode_image_runs_with_injected_decoder(spark):
+    """The real decode path (guarded-import mapInPandas) end-to-end
+    with a deterministic decoder closure standing in for PIL — the
+    exact injection a libvips/torchvision swap-in uses. Covers schema,
+    [0,1] pixel range, corrupt-payload skip, and partitioning
+    invariance."""
+    docs = table(spark, SF, "documents").limit(12)
+    media = media_from_documents(docs)
+
+    def toy_decoder(payload, width, height):
+        if len(payload) % 5 == 0:  # deterministic "corrupt" subset
+            raise ValueError("bad magic")
+        n = width * height
+        return [((payload[i % len(payload)] if payload else 0) ^ i) % 256 / 255.0 for i in range(n)]
+
+    out = decode_image(media, width=5, height=3, decoder=toy_decoder)
+    kept = out.collect()
+    assert 0 < len(kept) <= 12
+    for r in kept:
+        assert (r["width"], r["height"]) == (5, 3)
+        assert len(r["pixels"]) == 15
+        assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+    # decode decisions are per-payload: repartitioning changes nothing
+    again = {
+        r["media_id"]: r["pixels"]
+        for r in decode_image(
+            media.repartition(7), width=5, height=3, decoder=toy_decoder
+        ).collect()
+    }
+    assert {r["media_id"]: r["pixels"] for r in kept} == again
+
+
+def test_decode_image_uses_pil_when_available(spark, monkeypatch):
+    """With the availability probe forced true, the default PIL path
+    must plan cleanly (no NotImplementedError, correct schema). Only
+    plan-time behavior is asserted — executing it here would hit the
+    worker-side `from PIL import Image`, which this container cannot
+    satisfy."""
+    import sentinel_landsat_database_creation_spark.multimodal.media as media_mod
+
+    docs = table(spark, SF, "documents").limit(1)
+    monkeypatch.setattr(media_mod, "_pil_available", lambda: True)
+    df = decode_image(media_from_documents(docs))  # must not raise
+    assert [f.name for f in df.schema.fields] == [
+        "media_id",
+        "width",
+        "height",
+        "pixels",
+    ]
 
 
 def test_chunk_documents_short_and_exact_docs(spark):

@@ -189,8 +189,19 @@ def mixture_plan(
     mixture spec is dozens of classes at most — plan-time metadata, same
     class of decision as dedup's vocabulary probe); the sampling filter
     is narrow (stratified_sample), and the achieved count is one
-    map-side-combining groupBy. Raise ``n_buckets`` for tighter
-    quantization; 256 matches the md5-first-byte sampler."""
+    map-side-combining groupBy. ``n_buckets`` must be a divisor of the
+    sampler's fixed 256-bucket space (md5 first byte): > 256 would
+    report a ``thresh`` finer than the sampler can apply, and a
+    non-divisor would make the applied cutoff int(rate*256+0.5) differ
+    from the reported thresh/n_buckets — both are rejected rather than
+    silently skewing achieved vs keep_target. Divisors < 256 coarsen
+    the quantization; the reported rate is then still exactly what the
+    sampler applies."""
+    if n_buckets < 1 or 256 % n_buckets != 0:
+        raise ValueError(
+            "n_buckets must be a divisor of 256 (the hash-bucket "
+            f"sampler quantizes on the md5 first byte); got {n_buckets}"
+        )
     counts = {
         r[class_col]: r["n"]
         for r in docs.groupBy(class_col)

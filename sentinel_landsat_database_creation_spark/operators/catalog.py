@@ -16,11 +16,13 @@ labels re-attach via an auto-broadcast join. The reference's positional
 position.
 
 Empty-bin semantics (pinned by the goldens, SURVEY.md §1.4): a non-empty
-bin gets the next letter; an empty bin BEFORE the last non-empty bin
-emits exactly one placeholder row (class="0", data="0") and consumes no
-letter; trailing empty bins emit nothing. Leading-empty behavior is not
-reachable in the goldens; this engine emits placeholders there too (an
-explicit spec choice, documented).
+bin gets the next letter; an empty INTERIOR bin (strictly between the
+first and last non-empty bins) emits exactly one placeholder row
+(class="0", data="0") and consumes no letter; leading and trailing
+empty bins emit nothing. Leading-empty behavior is unreachable in the
+goldens (the reference's histogram edges start at the data minimum);
+"no row" is the reading consistent with that construction, and
+tests/test_properties.py pins all three run positions.
 """
 
 from __future__ import annotations
@@ -89,15 +91,23 @@ def build_catalog(
 
     labeled = scenes.join(F.broadcast(ranked.select("bin", "class")), "bin")
 
-    # Placeholder rows: every bin in the grid that is empty but precedes
-    # the last non-empty bin. Spine is spark.range(n_bins) — metadata-size.
+    # Placeholder rows: every bin in the grid that is empty and INTERIOR
+    # — strictly between the first and last non-empty bins. Leading and
+    # trailing empties emit nothing and consume no letter (SURVEY §1.4:
+    # only *interior* empty bins place a row; trailing pinned by the
+    # goldens, leading by symmetry — the reference derives its histogram
+    # edges from the data minimum, so a leading empty is unreachable
+    # there and "no row" is the only reading consistent with its
+    # construction). Spine is spark.range(n_bins) — metadata-size.
     spark = listing.sparkSession
-    max_bin = ranked.agg(F.max("bin").alias("max_bin"))
+    bounds = ranked.agg(
+        F.min("bin").alias("min_bin"), F.max("bin").alias("max_bin")
+    )
     spine = spark.range(grid.n_bins).select(F.col("id").alias("bin"))
     placeholders = (
         spine.join(ranked.select("bin"), "bin", "left_anti")
-        .join(F.broadcast(max_bin))
-        .filter(F.col("bin") < F.col("max_bin"))
+        .join(F.broadcast(bounds))
+        .filter((F.col("bin") > F.col("min_bin")) & (F.col("bin") < F.col("max_bin")))
         .select("bin", F.lit("0").alias("class"), F.lit("0").alias("data"))
     )
 

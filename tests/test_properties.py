@@ -107,10 +107,13 @@ def test_catalog_invariants(spark, dates):
         d = dt.datetime.strptime(r["data"][:8], "%Y%m%d").date()
         assert r["class"] == expect_labels[bin_of(d)]
 
-    # 2. placeholders exactly at empty bins before the last non-empty
+    # 2. placeholders exactly at empty INTERIOR bins (strictly between
+    # the first and last non-empty bin); leading/trailing emit nothing
     got_ph = [r for r in rows if r["data"] == "0"]
     if bins:
-        expect_ph = [b for b in range(max(bins)) if b not in by_bin]
+        expect_ph = [
+            b for b in range(min(bins) + 1, max(bins)) if b not in by_bin
+        ]
     else:
         expect_ph = []
     assert len(got_ph) == len(expect_ph)
@@ -120,6 +123,65 @@ def test_catalog_invariants(spark, dates):
     # 3. output ordered by (week, data)
     keys = [(r["week"], r["data"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Empty-bin RUNS (SURVEY §7 hard-part c): the occupancy-driven strategy
+# below deliberately constructs runs of adjacent empty weeks in every
+# position — leading (including at the very start of the grid),
+# interior, and trailing — which the date-list strategy above only hits
+# by chance. Spec pinned: leading/trailing empty runs consume no letter
+# and emit NO row; each interior empty bin emits exactly one
+# (class="0", data="0") placeholder; letters stay gapless over the
+# non-empty bins only.
+
+_occupancy = st.lists(st.booleans(), min_size=0, max_size=40)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_occupancy, st.integers(min_value=1, max_value=3))
+def test_catalog_empty_bin_runs(spark, occupancy, per_bin):
+    listing = []
+    for b, occupied in enumerate(occupancy):
+        if not occupied:
+            continue
+        day = GOLDEN_GRID.first_edge + dt.timedelta(weeks=b)
+        for i in range(per_bin):
+            listing.append(
+                ((day + dt.timedelta(days=i % 7)).strftime("%Y%m%d")
+                 + f"T0000{i:02d}_x_T1",)
+            )
+    df = spark.createDataFrame(listing, "data string") if listing else (
+        spark.createDataFrame([], "data string")
+    )
+    rows = build_catalog(
+        df, s2_date(F.col("data")), "r", GOLDEN_GRID, keep_week=True
+    ).collect()
+
+    occupied = [b for b, o in enumerate(occupancy) if o]
+    if not occupied:
+        assert rows == []
+        return
+    lo, hi = min(occupied), max(occupied)
+
+    # scene rows: per_bin per occupied bin, gapless letters in bin order
+    scene = [r for r in rows if r["data"] != "0"]
+    assert len(scene) == per_bin * len(occupied)
+    want_label = {b: _label(i + 1) for i, b in enumerate(occupied)}
+    for r in scene:
+        d = dt.datetime.strptime(r["data"][:8], "%Y%m%d").date()
+        b = (d - GOLDEN_GRID.first_edge).days // 7
+        assert r["class"] == want_label[b]
+
+    # placeholders: exactly the interior empty bins — leading and
+    # trailing empty runs (and the grid tail past hi) emit nothing
+    ph_bins = sorted(
+        (r["week"] - GOLDEN_GRID.first_edge).days // 7
+        for r in rows
+        if r["data"] == "0"
+    )
+    assert ph_bins == [b for b in range(lo + 1, hi) if b not in occupied]
+    assert all(r["class"] == "0" for r in rows if r["data"] == "0")
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,7 @@ def slice_crop_pairs(
     centers: DataFrame,
     batch_size: int,
     scale: int,
+    centers_per_chunk: int = 512,
 ) -> DataFrame:
     """Ops 20/43/44: for every (scene pair x candidate center), slice the
     HR crop at [r±b/2, c±b/2] and the LR crop at the same coords // scale.
@@ -111,48 +112,119 @@ def slice_crop_pairs(
     row-major float arrays. The scale precondition (hr_w // lr_w ==
     scale, the reference's assert at :91) becomes a validation filter.
 
-    Center matching: when ``pairs`` carries a ``mask_id`` column, each
-    pair meets ONLY its own mask's centers (broadcast equi-join —
+    Center matching, in precedence order: a ``pair_id`` column on
+    ``centers`` keys each pair to exactly its own center list (the
+    survivor-slicing second pass); else a ``mask_id`` column on
+    ``pairs`` keys pairs to their mask's centers (broadcast equi-join —
     without the key a second mask would silently hand every pair the
-    union of all masks' centers). Without the column, every pair shares
-    the one centerline mask — the reference's as-built shape
-    (fct_data_extraction.py:50,61 loads a single fixed mask) — and the
-    join is a broadcast cross join over the tiny centers table.
-    """
+    union of all masks' centers); else every pair shares the one
+    centerline mask — the reference's as-built shape
+    (fct_data_extraction.py:50,61 loads a single fixed mask).
+
+    Join shape, measured (round 4, volume fixture: 28 pairs x 256x256x4
+    rasters x ~3.9k centers): a row-level join of pair rows against the
+    centers TABLE is wrong at volume — every joined output row copies
+    the pair's full band payload (~8 MB), ~900 GB of row-copy churn at
+    1e5 crops, which OOMed a 1g heap before any crop was sliced. So the
+    centers attach as ONE collected array per mask (broadcast; bounded
+    by a single mask's centerline, metadata-scale), each pair row
+    explodes into ceil(n/512)-center chunks (the only stage that copies
+    band bytes — per chunk, not per center), and the slices evaluate
+    inside a transform over the chunk, emitting only (ord, r, c,
+    crops) structs (~5 KB). Per-task peak = one band payload + one
+    chunk's crops; the 117k-crop fixture runs in the same 1g heap with
+    headroom."""
     half = batch_size // 2
     lr_size = batch_size // scale
     valid = pairs.filter(
         (F.col("hr_width") / F.col("lr_width")).cast("int") == scale
     )
-    if "mask_id" in pairs.columns:
-        grid = valid.join(F.broadcast(centers), "mask_id")
+    ctr = F.struct(
+        F.col("ord").alias("ord"), F.col("r").alias("r"), F.col("c").alias("c")
+    )
+    by_pair = "pair_id" in centers.columns
+    if by_pair:
+        packed = centers.groupBy("pair_id").agg(
+            F.collect_list(ctr).alias("ctrs"),
+            (
+                F.min("mask_id") if "mask_id" in centers.columns
+                else F.min(F.lit(1))
+            ).alias("mask_id"),
+        )
+        grid = valid.drop("mask_id").join(F.broadcast(packed), "pair_id")
     else:
-        grid = valid.crossJoin(F.broadcast(centers))
+        packed = centers.groupBy("mask_id").agg(
+            F.collect_list(ctr).alias("ctrs")
+        )
+        if "mask_id" in pairs.columns:
+            grid = valid.join(F.broadcast(packed), "mask_id")
+        else:
+            # single shared mask (or the union of all masks, each
+            # keeping its id — the old row-level cross join's semantics)
+            grid = valid.crossJoin(F.broadcast(packed))
 
-    r0 = F.col("r") - half
-    c0 = F.col("c") - half
-    hr = F.transform(
-        F.col("hr_bands"),
-        lambda b: slice2d(
-            b, F.col("hr_width"), r0, c0, F.lit(batch_size), F.lit(batch_size)
-        ),
+    keep = ["pair_id", "mask_id"]
+    n_chunks = F.ceil(F.size("ctrs") / F.lit(centers_per_chunk)).cast("int")
+    chunked = grid.filter(F.size("ctrs") > 0).select(
+        *keep,
+        "hr_bands",
+        "hr_width",
+        "lr_bands",
+        "lr_width",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.slice(
+                    F.col("ctrs"),
+                    k * centers_per_chunk + 1,
+                    centers_per_chunk,
+                ),
+            )
+        ).alias("chunk"),
     )
-    lr_r0 = (r0 / scale).cast("int")
-    lr_c0 = (c0 / scale).cast("int")
-    lr = F.transform(
-        F.col("lr_bands"),
-        lambda b: slice2d(
-            b, F.col("lr_width"), lr_r0, lr_c0, F.lit(lr_size), F.lit(lr_size)
-        ),
-    )
-    return grid.select(
+
+    def crop_struct(one: Column) -> Column:
+        r0 = one["r"] - half
+        c0 = one["c"] - half
+        hr = F.transform(
+            F.col("hr_bands"),
+            lambda b: slice2d(
+                b,
+                F.col("hr_width"),
+                r0,
+                c0,
+                F.lit(batch_size),
+                F.lit(batch_size),
+            ),
+        )
+        lr_r0 = (r0 / scale).cast("int")
+        lr_c0 = (c0 / scale).cast("int")
+        lr = F.transform(
+            F.col("lr_bands"),
+            lambda b: slice2d(
+                b, F.col("lr_width"), lr_r0, lr_c0, F.lit(lr_size), F.lit(lr_size)
+            ),
+        )
+        return F.struct(
+            one["ord"].alias("ord"),
+            one["r"].alias("r"),
+            one["c"].alias("c"),
+            hr.alias("hr_crop"),
+            lr.alias("lr_crop"),
+        )
+
+    return chunked.select(
         "pair_id",
         "mask_id",
-        "ord",
-        "r",
-        "c",
-        hr.alias("hr_crop"),
-        lr.alias("lr_crop"),
+        F.explode(F.transform("chunk", crop_struct)).alias("cr"),
+    ).select(
+        "pair_id",
+        "mask_id",
+        F.col("cr.ord").alias("ord"),
+        F.col("cr.r").alias("r"),
+        F.col("cr.c").alias("c"),
+        F.col("cr.hr_crop").alias("hr_crop"),
+        F.col("cr.lr_crop").alias("lr_crop"),
     )
 
 

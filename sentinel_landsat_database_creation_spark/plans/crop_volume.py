@@ -1,0 +1,239 @@
+"""Stage-4 crop engine at volume (VERDICT r3 item 5).
+
+The reference's actual hot loop is E4: ~117,195 crops from dense
+centerline masks (reference main_code.py:51, fct_data_extraction.py:
+29-157). The registry's `crop_pipeline` proves correctness on an 8x8
+fixture; this module drives `plans.satellite.build_crop_dataset` at the
+reference's real volume — ~1e5 candidate (center x pair) crops — so the
+E4 path has a recorded per-round bench number like every other query.
+
+The fixture is GENERATED, not read: mask and band tensors are pure
+integer-arithmetic functions of (pair, band, pixel index), expressed as
+native Spark expressions here and re-derived independently by the
+DuckDB oracle from the same closed-form spec — no file handoff, so the
+oracle checks the entire slice/quality/suppression computation, not a
+Spark-written artifact. Contamination (zeros, -9999 nodata, inf) is
+planted at ~1/600 cell rates, which puts every quality-gate branch on
+both sides of its threshold across the corpus.
+
+Scale shape: tensors are n_pairs rows (each carrying its flattened
+band arrays — the E3 handoff shape), centers broadcast, slicing and
+quality run as codegen'd higher-order functions, and suppression is
+either the native grid dedup (exact DuckDB oracle) or the faithful
+per-pair greedy walk (`applyInPandas` over centers ONLY — pixels never
+enter Python; tests/test_plans.py pins that from the executed plan).
+At 100 TB the same plan holds: pairs partition freely, per-pair state
+is bounded by one mask's center list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.arrays import count_nonzero, sum_over_bands
+from .satellite import CropConfig, build_crop_dataset
+
+BATCH = 12
+SCALE = 3
+PCT = 0.7  # stride int(12*0.7) = 8
+
+
+def params_for(sf_dir: str) -> dict:
+    """Fixture sizing by scale factor: the driver's correctness gate
+    (sf0.01) gets a ~1k-crop fixture the DuckDB oracle re-derives in
+    well under a second; bench (sf0.1) gets the reference-anchored
+    volume (~103k candidate crops ~= the 117k reference run)."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    if sf >= 0.05:
+        return {"n_pairs": 28, "hrw": 256, "lrw": 85}
+    return {"n_pairs": 6, "hrw": 64, "lrw": 21}
+
+
+def _val(pid: Column, b: Column, i: Column) -> Column:
+    """Deterministic cell value, identical closed form in the oracle:
+    h = (pid*7919 + b*104729 + i*1299709) % 104723, then
+    h%601==0 -> 0.0 | h%599==1 -> -9999.0 | h%593==2 -> inf |
+    else (h%1000+1)/10 (strictly positive). All-integer up to the final
+    division, so cross-engine exact."""
+    h = (
+        pid * F.lit(7919) + b * F.lit(104729) + i * F.lit(1299709)
+    ) % F.lit(104723)
+    return (
+        F.when(h % 601 == 0, F.lit(0.0))
+        .when(h % 599 == 1, F.lit(-9999.0))
+        .when(h % 593 == 2, F.lit(float("inf")))
+        .otherwise((h % 1000 + 1) / F.lit(10.0))
+    )
+
+
+def _bands(pid: Column, b0: int, n_bands: int, n_px: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(n_bands - 1).cast("long")),
+        lambda b: F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1).cast("long")),
+            lambda i: _val(pid, b + F.lit(b0), i),
+        ),
+    )
+
+
+def volume_mask(spark: SparkSession, width: int) -> DataFrame:
+    """One dense centerline mask (the reference's as-built shape: a
+    single fixed mask shared by every pair, fct_data_extraction.py:50):
+    pixel==1 where (r*31 + c*17) % 16 == 0 — 1/16 density spread over
+    the whole raster, ~4k centerline points at 256x256."""
+    return spark.range(1).select(
+        F.lit(1).alias("mask_id"),
+        F.lit(width).alias("height"),
+        F.lit(width).alias("width"),
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(width * width - 1).cast("long")
+            ),
+            lambda q: F.when(
+                (
+                    (q / F.lit(width)).cast("long") * 31
+                    + (q % F.lit(width)) * 17
+                )
+                % 16
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        ).alias("pixels"),
+    )
+
+
+def volume_tensors(spark: SparkSession, n_pairs: int, hrw: int, lrw: int) -> DataFrame:
+    """n_pairs scene-pair tensor rows in build_pair_tensors' output
+    shape: 4 HR bands (hrw x hrw) and 4 LR bands (lrw x lrw), flattened
+    row-major. LR bands use band indices 4..7 so HR and LR cells draw
+    from disjoint value streams."""
+    pid = F.col("id")
+    return spark.range(n_pairs).select(
+        pid.alias("pair_id"),
+        _bands(pid, 0, 4, hrw * hrw).alias("hr_bands"),
+        F.lit(hrw).alias("hr_width"),
+        _bands(pid, 4, 4, lrw * lrw).alias("lr_bands"),
+        F.lit(lrw).alias("lr_width"),
+    )
+
+
+def crop_volume_dataset(
+    spark: SparkSession, sf_dir: str, compat: bool
+) -> DataFrame:
+    p = params_for(sf_dir)
+    mask = volume_mask(spark, p["hrw"])
+    tensors = volume_tensors(spark, p["n_pairs"], p["hrw"], p["lrw"])
+    cfg = CropConfig(
+        batch_size=BATCH, scale=SCALE, pct_overlap=PCT, compat=compat
+    )
+    return build_crop_dataset(tensors, mask, cfg)
+
+
+def _summarize(crops: DataFrame) -> DataFrame:
+    """Per-pair integer summary: crop count, center-coordinate sums, and
+    the total HR nonzero-cell count over survivors (ties the PIXEL
+    payloads into the hash, not just which centers survived)."""
+    nz = sum_over_bands(F.col("hr_pixels"), count_nonzero)
+    return (
+        crops.select("pair_id", "center_r", "center_c", nz.alias("nz"))
+        .groupBy("pair_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_crops"),
+            F.sum("center_r").cast("long").alias("sum_r"),
+            F.sum("center_c").cast("long").alias("sum_c"),
+            F.sum("nz").cast("long").alias("nz_hr_total"),
+        )
+        .select(
+            F.col("pair_id").cast("long").alias("pair_id"),
+            "n_crops",
+            "sum_r",
+            "sum_c",
+            "nz_hr_total",
+        )
+        .orderBy("pair_id")
+    )
+
+
+def q_crop_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """E4 at volume, native mode (grid suppression): exact DuckDB
+    oracle re-derives mask, tensors, slices, quality, and suppression
+    from the closed-form fixture spec."""
+    return _summarize(crop_volume_dataset(spark, sf, compat=False))
+
+
+def q_crop_volume_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """E4 at volume, compat mode: the reference's sequential greedy
+    walk per pair (applyInPandas over centers only). Order-dependent
+    mutating-list semantics are not SQL-expressible (same disposition
+    as op 33 in SURVEY §2), so this entry is rows-only for the driver;
+    the walk itself is pinned by seed/order unit tests
+    (tests/test_crop_engine.py) and the volume fixture's native twin
+    `crop_volume` is hash-checked."""
+    return _summarize(crop_volume_dataset(spark, sf, compat=True))
+
+
+# Oracle for the native path. The driver compares at sf=0.01, so the
+# SMALL fixture constants are inlined (params_for: 6 pairs, 64x64 HR,
+# 21x21 LR; batch 12 -> half 6, lr 4x4, stride 8). Every stage of the
+# Spark plan is re-derived: centerline + geometric bounds, per-crop
+# contamination counts from the closed-form value spec (a value is zero
+# iff h%601==0, nodata iff not-zero and h%599==1, inf iff not-zero,
+# not-nodata and h%593==2 — the when-chain's precedence), the
+# integer-exact quality gate, and min-(r,c)-per-cell grid suppression.
+SQL_CROP_VOLUME = """
+WITH centers AS (
+  SELECT p // 64 AS r, p % 64 AS c
+  FROM (SELECT unnest(range(0, 4096)) AS p)
+  WHERE ((p // 64)*31 + (p % 64)*17) % 16 = 0
+    AND p // 64 > 6 AND p % 64 > 6 AND p // 64 < 58 AND p % 64 < 58
+),
+pairs AS (SELECT unnest(range(0, 6)) AS pid),
+hro AS (SELECT b, rr, cc FROM range(0, 4) t1(b), range(0, 12) t2(rr), range(0, 12) t3(cc)),
+lro AS (SELECT b, rr, cc FROM range(4, 8) t1(b), range(0, 4) t2(rr), range(0, 4) t3(cc)),
+hstat AS (
+  SELECT pid, r, c,
+         count(*) FILTER (WHERE h % 601 = 0) AS zero_hr,
+         count(*) FILTER (WHERE h % 601 != 0 AND h % 599 != 1 AND h % 593 = 2) AS inf_hr
+  FROM (
+    SELECT pid, r, c,
+           (pid*7919 + b*104729 + ((r-6+rr)*64 + (c-6+cc))*1299709) % 104723 AS h
+    FROM pairs, centers, hro
+  )
+  GROUP BY pid, r, c
+),
+lstat AS (
+  SELECT pid, r, c,
+         count(*) FILTER (WHERE h % 601 = 0) AS zero_lr,
+         count(*) FILTER (WHERE h % 601 != 0 AND h % 599 = 1) AS nine_lr
+  FROM (
+    SELECT pid, r, c,
+           (pid*7919 + b*104729 + (((r-6)//3 + rr)*21 + ((c-6)//3 + cc))*1299709) % 104723 AS h
+    FROM pairs, centers, lro
+  )
+  GROUP BY pid, r, c
+),
+flagged AS (
+  SELECT h.pid, h.r, h.c, 576 - h.zero_hr AS nz_hr
+  FROM hstat h JOIN lstat l ON h.pid = l.pid AND h.r = l.r AND h.c = l.c
+  WHERE (576 - h.zero_hr)*100 >= 99*576
+    AND (64 - l.zero_lr)*100 >= 99*64
+    AND l.nine_lr*100 <= 64
+    AND h.inf_hr*100 <= 576
+),
+kept AS (
+  SELECT pid, r, c, nz_hr,
+         row_number() OVER (PARTITION BY pid, r // 8, c // 8 ORDER BY r, c) AS rn
+  FROM flagged
+)
+SELECT CAST(pid AS BIGINT) AS pair_id,
+       CAST(count(*) AS BIGINT) AS n_crops,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(c) AS BIGINT) AS sum_c,
+       CAST(sum(nz_hr) AS BIGINT) AS nz_hr_total
+FROM kept WHERE rn = 1
+GROUP BY pid ORDER BY pair_id
+"""

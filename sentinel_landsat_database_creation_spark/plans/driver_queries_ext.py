@@ -49,6 +49,7 @@ from ..operators.textops import (
 )
 from ..sources.testdata import normalize_event_ts, table
 from ..streaming.drain import drain_checkpoint_dir
+from . import crop_volume as _cv
 
 import contextlib
 import os
@@ -2302,4 +2303,8 @@ REGISTRY_EXT = {
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "crop_volume": (_cv.q_crop_volume, _cv.SQL_CROP_VOLUME),
+    # greedy is the reference's order-dependent mutating-list walk —
+    # not SQL-expressible (SURVEY §2 op 33 disposition); rows-only.
+    "crop_volume_greedy": (_cv.q_crop_volume_greedy, None),
 }

@@ -148,40 +148,42 @@ def build_crop_dataset(
 ) -> DataFrame:
     """Stage 4: candidate centers x pair tensors -> quality-filtered,
     overlap-suppressed crop pairs. Returns one row per accepted crop
-    with both pixel payloads (CROP_PAIR_SCHEMA shape)."""
+    with both pixel payloads (CROP_PAIR_SCHEMA shape).
+
+    Payload discipline (round 4, measured on the ~117k-crop volume
+    fixture): suppression decisions flow through METADATA-sized rows
+    only. Phase 1 slices every candidate and computes the quality flag,
+    but projects the pixel arrays away in the same stage — crops are
+    born and die inside one codegen'd task, so the suppression
+    shuffle/sort (grid) or Arrow transfer (greedy walk) moves ~24-byte
+    rows, not ~5 KB payloads. Phase 2 re-slices ONLY the survivors
+    (keyed per pair) to emit payload rows. The earlier one-pass shape
+    that carried payloads through the suppression exchange OOMed a 1 GB
+    heap at 1e5 crops; this one runs it with headroom, and at 100 TB it
+    means the wide ops on this path never see a pixel."""
     centers = candidate_centers(mask, cfg.batch_size, compat_bounds=cfg.compat)
     sliced = slice_crop_pairs(pair_tensors, centers, cfg.batch_size, cfg.scale)
-    flagged = sliced.withColumn(
+    meta = sliced.withColumn(
         "ok", quality_flag(cfg.batch_size, cfg.scale, compat=cfg.compat)
-    )
+    ).select("pair_id", "mask_id", "ord", "r", "c", "ok")
     if cfg.compat:
-        # the greedy walk sees centers only (pixels never enter Python),
-        # so its survivors join back onto the flagged rows for payloads;
-        # checkpoint flagged so the slice subtree isn't recomputed on
-        # both sides of that self-join
-        flagged = flagged.localCheckpoint(eager=True)
         kept = suppress_overlap_greedy(
-            flagged,
+            meta,
             cfg.batch_size,
             cfg.pct_overlap,
             overlap=cfg.overlap,
             shuffle_seed=cfg.shuffle_seed,
         )
     else:
-        # native path: the survivor row carries its own payload — one
-        # pass, no join back
-        return suppress_overlap_grid(
-            flagged, cfg.batch_size, cfg.pct_overlap, keep_payload=True
-        ).select(
-            "pair_id",
-            F.col("r").alias("center_r"),
-            F.col("c").alias("center_c"),
-            F.col("hr_crop").alias("hr_pixels"),
-            F.col("lr_crop").alias("lr_pixels"),
-            F.lit(cfg.batch_size).alias("hr_size"),
-            F.lit(cfg.batch_size // cfg.scale).alias("lr_size"),
+        kept = suppress_overlap_grid(
+            meta.filter(F.col("ok")), cfg.batch_size, cfg.pct_overlap
         )
-    return kept.join(flagged, ["pair_id", "r", "c"]).select(
+    survivors = kept.select(
+        "pair_id", F.lit(0).alias("ord"), "r", "c"
+    )
+    return slice_crop_pairs(
+        pair_tensors, survivors, cfg.batch_size, cfg.scale
+    ).select(
         "pair_id",
         F.col("r").alias("center_r"),
         F.col("c").alias("center_c"),

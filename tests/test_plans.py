@@ -259,3 +259,41 @@ def test_length_trim_window_is_over_grouped_lengths(spark):
     assert "partial_count" in plan[w:], (
         "window input is not pre-aggregated - it sorts raw documents"
     )
+
+
+def test_greedy_walk_python_boundary_is_centers_only(spark):
+    """VERDICT r3 item 5: the E4 greedy suppression must hand Python
+    (FlatMapGroupsInPandas) METADATA rows only — (pair_id, r, c, ord,
+    ok) — never the pixel payloads. Pinned from the executed plan of
+    the full volume pipeline: the Arrow boundary's own operator line
+    must not reference crop columns, while the plan as a whole does
+    slice them (sanity that we looked at the real pipeline)."""
+    from sentinel_landsat_database_creation_spark.plans.crop_volume import (
+        crop_volume_dataset,
+    )
+
+    df = crop_volume_dataset(spark, "/root/testdata/sf0.01", compat=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    for line in plan.splitlines():
+        if "FlatMapGroupsInPandas" in line:
+            assert "hr_crop" not in line and "lr_crop" not in line
+            assert "pair_id" in line and "ok" in line
+    assert "hr_crop" in plan  # the payload slicing exists elsewhere
+
+
+def test_crop_volume_native_no_python_and_metadata_shuffle(spark):
+    """Native volume path: zero Python eval anywhere, and the
+    suppression exchange moves metadata-sized rows (no crop columns in
+    any Exchange's output), so pixel payloads never shuffle."""
+    from sentinel_landsat_database_creation_spark.plans.crop_volume import (
+        crop_volume_dataset,
+    )
+
+    df = crop_volume_dataset(spark, "/root/testdata/sf0.01", compat=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "hr_crop" not in line and "lr_crop" not in line

@@ -296,6 +296,65 @@ def pack_sequences(
     )
 
 
+def domain_quota(
+    docs: DataFrame,
+    group_col: str = "source",
+    quota: int = 25,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``quota`` documents per
+    ``group_col``, ranked by ``score_col`` DESC with ``id_col`` ASC
+    tie-break — the standard pretraining curation step that stops one
+    crawl domain from dominating the mixture.
+
+    Semantically identical to ``row_number() OVER (PARTITION BY group
+    ORDER BY score DESC, id) <= quota``, but that window sorts each
+    domain's ENTIRE row set in one task — at 100 TB a mega-domain is a
+    multi-TB single-task sort. Same fix as ``length_trim``: because
+    rank-above is a function of the VALUE, aggregate to per-(group,
+    score) counts first (bounded by #distinct scores x #groups), run
+    the cumulative window over that bounded table to find each group's
+    boundary score, keep whole value-groups above it, and row-sort ONLY
+    the boundary ties (windows partitioned by (group, score) — the one
+    place row identity matters). Output: the kept rows
+    (group, id, score).
+    """
+    s = F.col(score_col)
+    counts = docs.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_above = (
+        Window.partitionBy(group_col)
+        .orderBy(s.desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_above = F.coalesce(F.sum("cnt").over(w_above), F.lit(0))
+    decided = counts.withColumn("n_above", n_above).filter(
+        F.col("n_above") < quota
+    )
+    # per value-group: how many of its rows survive (cnt if wholly
+    # above the boundary, quota - n_above at the boundary)
+    decided = decided.select(
+        group_col,
+        score_col,
+        F.least(F.col("cnt"), F.lit(quota) - F.col("n_above")).alias("keep_m"),
+        (F.col("cnt") + F.col("n_above") <= quota).alias("whole"),
+    )
+    joined = docs.select(group_col, id_col, score_col).join(
+        decided, [group_col, score_col]
+    )
+    full = joined.filter(F.col("whole")).select(group_col, id_col, score_col)
+    w_tie = Window.partitionBy(group_col, score_col).orderBy(id_col)
+    ties = (
+        joined.filter(~F.col("whole"))
+        .withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") <= F.col("keep_m"))
+        .select(group_col, id_col, score_col)
+    )
+    return full.unionByName(ties)
+
+
 def length_trim(
     docs: DataFrame, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

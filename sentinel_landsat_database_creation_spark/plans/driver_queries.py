@@ -1231,11 +1231,11 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # shape moved goes back into the prefix the same round. Round 4 prefix:
 # the 35 entries the r3 check skipped (r3's tail + the three queries
 # added after the r3 snapshot: ivf_train_centroids, ann_recall_trained,
-# corpus_dedup_write), the two NEW r4 queries (crop_volume,
-# crop_volume_greedy), and the 13 r3-green entries whose code moved at
-# r3-end / r4 (streaming sessions rewrite, similarity.py centroid work,
-# media.py decode path, curation.py sampler validation, dedup memo
-# consumers). The 37 spilled below are all r3-green and
+# corpus_dedup_write), the three NEW r4 queries (crop_volume,
+# crop_volume_greedy, domain_quota), and the 12 r3-green entries whose
+# code moved at r3-end / r4 (streaming sessions rewrite, similarity.py
+# centroid work, media.py decode path, curation.py sampler validation,
+# dedup memo consumers). The 38 spilled below are all r3-green and
 # untouched-or-hardening-only. (The in-repo replica,
 # tests/test_oracle_equivalence.py, still checks ALL entries every
 # run.)
@@ -1279,6 +1279,9 @@ _PROVEN_TAIL = [
     # (train_centroids / ivf_topk_trained) — these two paths untouched
     "cosine_topk",
     "sign_lsh_buckets",
+    # r3-green; media.py's r4 change touched decode_image only, not
+    # frame_sample
+    "media_frames",
 ]
 
 

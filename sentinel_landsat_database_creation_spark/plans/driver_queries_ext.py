@@ -1736,6 +1736,39 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap: top-10 docs per source by (n_chars
+    DESC, doc_id) without a per-domain row sort
+    (operators/curation.py:domain_quota — value-level cumulative
+    counts pick the boundary; only boundary ties row-sort). Returns
+    the kept ROWS so the hash pins exactly which documents survive.
+    quota=10 < the 25 docs/source in the fixture, so the cap, the
+    boundary value, and the tie-break all actually decide rows."""
+    from ..operators.curation import domain_quota
+
+    kept = domain_quota(
+        table(spark, sf, "documents"), "source", 10, "n_chars", "doc_id"
+    )
+    return kept.select(
+        F.col("source"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("source", "doc_id")
+
+
+SQL_DOMAIN_QUOTA = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rn <= 10 ORDER BY source, doc_id
+"""
+
+
 def q_top_tokens_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language heavy hitters (top-5 tokens)
     (operators/textops.py:top_tokens_per_lang)."""
@@ -2303,6 +2336,7 @@ REGISTRY_EXT = {
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "crop_volume": (_cv.q_crop_volume, _cv.SQL_CROP_VOLUME),
     # greedy is the reference's order-dependent mutating-list walk —
     # not SQL-expressible (SURVEY §2 op 33 disposition); rows-only.

@@ -361,3 +361,49 @@ def test_tiffcodec_roundtrip_property(h, w, data):
     assert len(out) == len(vals)
     for a, b in zip(out, vals):
         assert (math.isnan(a) and math.isnan(b)) or a == b
+
+
+# ---------------------------------------------------------------------------
+# domain_quota: the skew-safe two-stage top-k-per-group (value-level
+# boundary + tie-only row sort) must equal the naive row_number window
+# for any (group, score, id) multiset — boundary-tie arithmetic is the
+# part that's easy to get wrong.
+
+_quota_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # group
+        st.integers(0, 5),      # score (narrow: forces heavy ties)
+        st.integers(0, 10_000), # id
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[2],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_quota_rows, st.integers(min_value=1, max_value=6))
+def test_domain_quota_matches_naive_window(spark, rows, quota):
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        domain_quota,
+    )
+
+    df = (
+        spark.createDataFrame(rows, "source int, n_chars int, doc_id int")
+        if rows
+        else spark.createDataFrame([], "source int, n_chars int, doc_id int")
+    )
+    got = sorted(
+        (r["source"], r["doc_id"], r["n_chars"])
+        for r in domain_quota(df, "source", quota, "n_chars", "doc_id").collect()
+    )
+    # oracle: per group, top-quota by (score desc, id asc)
+    by_group: dict[int, list[tuple[int, int]]] = {}
+    for g, s, i in rows:
+        by_group.setdefault(g, []).append((s, i))
+    want = sorted(
+        (g, i, s)
+        for g, pairs in by_group.items()
+        for s, i in sorted(pairs, key=lambda p: (-p[0], p[1]))[:quota]
+    )
+    assert got == want

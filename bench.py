@@ -23,6 +23,35 @@ from sentinel_landsat_database_creation_spark.plans.driver_queries import (  # n
 from sentinel_landsat_database_creation_spark.session import get_spark  # noqa: E402
 
 
+def _context_dead(spark) -> bool:
+    try:
+        return spark.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — a dead py4j gateway IS "dead"
+        return True
+
+
+def _revive_session():
+    """Rebuild the session even when the backing JVM died (OOM-killed
+    gateway): pyspark caches the gateway/context in module globals, so
+    they must be reset before getOrCreate can launch a fresh JVM."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        SparkSession.getActiveSession().stop()
+    except Exception:  # noqa: BLE001
+        pass
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -45,7 +74,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     failed_timings: dict[str, float] = {}
+    restarts = 0
     for name, (fn, _) in REGISTRY.items():
+        # One query killing the JVM (e.g. an OOM under accumulated
+        # session state) must not cascade into failures for every query
+        # after it: detect a dead SparkContext and rebuild the session
+        # before each query. The restart count is surfaced in the JSON
+        # so a "passing" bench can't silently hide crash-looping.
+        if _context_dead(spark):
+            spark = _revive_session()
+            restarts += 1
         samples: list[float] = []
         for _rep in range(reps):
             t0 = time.perf_counter()
@@ -74,6 +112,8 @@ def main() -> None:
     }
     if reps > 1:
         payload["reps"] = reps
+    if restarts:
+        payload["session_restarts"] = restarts
     if errors:
         payload["errors"] = errors
         payload["failed_timings"] = failed_timings
@@ -88,6 +128,7 @@ def main() -> None:
                 "value": total,
                 "n": len(timings),
                 "n_failed": len(errors),
+                "restarts": restarts,
                 "sf": float(sf),
             }
         )

@@ -106,13 +106,28 @@ def volume_mask(spark: SparkSession, width: int) -> DataFrame:
     )
 
 
+# Concurrent-task cap for the tensor stages: each pair task's working
+# set is ~10-20 MB (band generation + one chunk's crops), and the bench
+# session runs a deliberate 1 GB heap that may already hold hundreds of
+# MB of memoized checkpoint blocks from earlier registry queries.
+# 28-32 concurrent pair tasks OOMed the WARM session (measured, r4);
+# 8 slots run the same 103k-crop volume in the same wall time (16.7 s
+# warm vs 16.4 s cold at 28 tasks — per-pair codegen throughput, not
+# slot count, is the bottleneck). This is the local[32] expression of
+# "size partitions so the working set fits executor memory"
+# (session.py); a real cluster tunes executor memory instead.
+TENSOR_SLOTS = 8
+
+
 def volume_tensors(spark: SparkSession, n_pairs: int, hrw: int, lrw: int) -> DataFrame:
     """n_pairs scene-pair tensor rows in build_pair_tensors' output
     shape: 4 HR bands (hrw x hrw) and 4 LR bands (lrw x lrw), flattened
     row-major. LR bands use band indices 4..7 so HR and LR cells draw
-    from disjoint value streams."""
+    from disjoint value streams. Generated in TENSOR_SLOTS slices so
+    every downstream narrow stage (generation, slicing, quality) runs
+    at most that many concurrent heavy tasks — no shuffle involved."""
     pid = F.col("id")
-    return spark.range(n_pairs).select(
+    return spark.range(0, n_pairs, 1, min(TENSOR_SLOTS, n_pairs)).select(
         pid.alias("pair_id"),
         _bands(pid, 0, 4, hrw * hrw).alias("hr_bands"),
         F.lit(hrw).alias("hr_width"),

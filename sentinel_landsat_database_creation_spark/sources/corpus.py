@@ -108,6 +108,41 @@ def write_documents_jsonl(docs: DataFrame, path: str) -> None:
     docs.write.mode("overwrite").json(path)
 
 
+def compact_corpus(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    max_records_per_file: int = 1_000_000,
+    sort_within: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Small-files compaction: rewrite a fragmented corpus into the
+    canonical write_corpus layout (partition-aligned, sorted,
+    size-bounded files) and return the compacted frame read back from
+    the destination.
+
+    Continuous ingest fragments a corpus no matter how careful each
+    writer is — every micro-batch/backfill lands at least one file per
+    touched partition, and at 100 TB a week of hourly appends is
+    ~10^4-10^5 files whose per-file open/footer cost starts to dominate
+    scan time. Compaction is the standing maintenance job that undoes
+    this. The rewrite is one shuffle aligned to the partition columns
+    (each output dir written by few tasks), and the sort restores
+    row-group clustering the appends destroyed, so the compacted layout
+    also skips better, not just opens fewer files. Reads the source
+    lazily — the job never holds the corpus, only streams it through
+    the exchange."""
+    docs = spark.read.parquet(src)
+    write_corpus(
+        docs,
+        dst,
+        partition_by=partition_by,
+        max_records_per_file=max_records_per_file,
+        sort_within=sort_within,
+    )
+    return spark.read.parquet(dst)
+
+
 def dedup_write_corpus(
     docs: DataFrame,
     path: str,

@@ -68,3 +68,41 @@ def test_write_corpus_layout_and_round_trip(spark, tmp_path):
     a = sorted(map(tuple, docs.select(*sorted(docs.columns)).collect()))
     b = sorted(map(tuple, back.select(*sorted(docs.columns)).collect()))
     assert a == b
+
+
+def test_compact_corpus_collapses_small_files(spark, tmp_path):
+    """compact_corpus must (1) reduce the file count of an
+    ingest-fragmented corpus to the aligned-writer layout, (2) bound
+    file sizes, and (3) preserve content exactly."""
+    import glob
+
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        compact_corpus,
+    )
+
+    docs = table(spark, SF, "documents")
+    frag = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # continuous-ingest shape: many writer tasks x partition dirs
+    docs.repartition(7, F.col("doc_id")).write.partitionBy("lang").parquet(frag)
+    n_before = len(glob.glob(f"{frag}/lang=*/*.parquet"))
+
+    back = compact_corpus(spark, frag, dst, max_records_per_file=1000)
+    n_after = len(glob.glob(f"{dst}/lang=*/*.parquet"))
+    n_langs = docs.select("lang").distinct().count()
+
+    assert n_before > n_langs, "fixture must actually be fragmented"
+    assert n_after < n_before
+    # aligned writer: exactly ceil(n/1000) files per lang dir
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in per_lang.items():
+        got = len(glob.glob(f"{dst}/lang={lang}/*.parquet"))
+        assert got == (n + 999) // 1000
+    # content identical
+    cols = sorted(docs.columns)
+    a = sorted(map(tuple, docs.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b

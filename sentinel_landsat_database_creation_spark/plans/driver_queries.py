@@ -1231,11 +1231,12 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # shape moved goes back into the prefix the same round. Round 4 prefix:
 # the 35 entries the r3 check skipped (r3's tail + the three queries
 # added after the r3 snapshot: ivf_train_centroids, ann_recall_trained,
-# corpus_dedup_write), the three NEW r4 queries (crop_volume,
-# crop_volume_greedy, domain_quota), and the 12 r3-green entries whose
-# code moved at r3-end / r4 (streaming sessions rewrite, similarity.py
-# centroid work, media.py decode path, curation.py sampler validation,
-# dedup memo consumers). The 38 spilled below are all r3-green and
+# corpus_dedup_write), the five NEW r4 queries (crop_volume,
+# crop_volume_greedy, domain_quota, corpus_compact, media_neardup),
+# and the 10 r3-green entries whose code moved at r3-end / r4
+# (streaming sessions rewrite, similarity.py centroid + blocked-pairs
+# work, media.py decode path, curation.py mixture validation, dedup
+# memo consumers). The 40 spilled below are all r3-green and
 # untouched-or-hardening-only. (The in-repo replica,
 # tests/test_oracle_equivalence.py, still checks ALL entries every
 # run.)
@@ -1252,7 +1253,6 @@ _PROVEN_TAIL = [
     "stream_weekly_counts",
     "stream_dedup_keys",
     "stream_click_signup",
-    "embed_cosine_neardup",
     "doc_quality",
     "regex_tokens",
     "lang_guess",
@@ -1282,6 +1282,18 @@ _PROVEN_TAIL = [
     # r3-green; media.py's r4 change touched decode_image only, not
     # frame_sample
     "media_frames",
+    # r3-green; curation.py's r4 edit validated mixture_plan's
+    # n_buckets — stratified_sample's own code is untouched (and
+    # mixture_plan, which exercises it, stays in the prefix)
+    "stratified_sample",
+    # r3-green; touched only by the behavior-preserving memo hardening
+    # (jaccard_neardup and dedup_clusters stay in the prefix as that
+    # code path's checked representatives)
+    "neardup_pipeline",
+    # r3-green; its recall machinery (brute-force baseline, topk_recall)
+    # is exercised by the prefix-checked ann_recall_trained, and the
+    # r3-end similarity.py change was centroid-only
+    "ann_recall",
 ]
 
 

@@ -2210,6 +2210,127 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def q_corpus_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-files compaction end-to-end, checked from the ACTUAL
+    written files (sources/corpus.py:compact_corpus): fragment the
+    corpus the way continuous ingest does (17 writer tasks x per-lang
+    dirs ≈ 80+ small files), compact into the canonical layout, and
+    report per-lang file counts + content aggregates from the
+    destination. The oracle pins the compacted file count exactly
+    (ceil(n/1000) — one aligned writer task per lang, size-bounded);
+    the before-fragmentation count is pinned by a unit test instead
+    (task-to-file assignment is engine-internal, not closed-form)."""
+    import os
+    import tempfile
+
+    from ..sources.corpus import compact_corpus
+
+    docs = table(spark, sf, "documents")
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    frag = os.path.join(tempfile.gettempdir(), f"slc_corpus_frag_{tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"slc_corpus_compact_{tag}")
+    (
+        docs.repartition(17, F.col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(frag)
+    )
+    back = compact_corpus(spark, frag, dst, max_records_per_file=1000)
+    return (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("_f")).cast("long").alias("n_files"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_COMPACT = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((count(*) + 999) // 1000 AS BIGINT) AS n_files,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_media_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal near-dup detection: the Python feature boundary
+    (fake_features' Arrow-batched mapInPandas — the slot a real image
+    embedder occupies) feeding the JVM all-pairs stack
+    (blocked_self_pairs + integer dot/norms). Features are reconstructed
+    to their exact md5-derived integers map-side, norms hoisted before
+    the pair shuffle, and the emitted columns are all BIGINT — the one
+    float (the cosine threshold test) is sqrt/division of exact
+    integers, identical IEEE ops in both engines."""
+    from ..multimodal.media import fake_features
+    from ..operators.similarity import blocked_self_pairs
+
+    docs = table(spark, sf, "documents")
+    feats = fake_features(media_from_documents(docs), 4)
+    zero = F.lit(0).cast("long")
+    v = feats.select(
+        "media_id",
+        F.transform(
+            "features", lambda f: F.round(f * 65535).cast("long")
+        ).alias("k"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("k", lambda x: x * x), zero, lambda a, x: a + x
+        ),
+    )
+    # both pair sides read this subtree: checkpoint so the Python
+    # feature stage runs once, and the pair join starts from a
+    # lineage-free table (same shape as the embed cosine path)
+    v = v.localCheckpoint(eager=True)
+    p = blocked_self_pairs(v, "media_id", n_blocks=16)
+    dot = F.aggregate(
+        F.zip_with("a_k", "b_k", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    flip = F.col("a_media_id") > F.col("b_media_id")
+    out = p.select(
+        F.least("a_media_id", "b_media_id").alias("id_a"),
+        F.greatest("a_media_id", "b_media_id").alias("id_b"),
+        dot.alias("dot"),
+        F.when(flip, F.col("b_n2")).otherwise(F.col("a_n2")).alias("na"),
+        F.when(flip, F.col("a_n2")).otherwise(F.col("b_n2")).alias("nb"),
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    return out.filter(cos >= 0.998).orderBy("id_a", "id_b")
+
+
+SQL_MEDIA_NEARDUP = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         [ ('0x' || substr(md5(text), 1, 4))::BIGINT,
+           ('0x' || substr(md5(text), 5, 4))::BIGINT,
+           ('0x' || substr(md5(text), 9, 4))::BIGINT,
+           ('0x' || substr(md5(text), 13, 4))::BIGINT ] AS k
+  FROM documents
+),
+n AS (SELECT media_id, k, k[1]*k[1]+k[2]*k[2]+k[3]*k[3]+k[4]*k[4] AS n2 FROM f),
+p AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         a.k[1]*b.k[1]+a.k[2]*b.k[2]+a.k[3]*b.k[3]+a.k[4]*b.k[4] AS dot,
+         a.n2 AS na, b.n2 AS nb
+  FROM n a JOIN n b ON a.media_id < b.media_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(dot AS BIGINT) AS dot, CAST(na AS BIGINT) AS na,
+       CAST(nb AS BIGINT) AS nb
+FROM p WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.998
+ORDER BY id_a, id_b
+"""
+
+
 def q_corpus_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
     """The payoff of the partitioned corpus layout, driver-checked: a
     single-language read of the written corpus must plan with a
@@ -2337,6 +2458,8 @@ REGISTRY_EXT = {
     "media_stats": (q_media_stats, SQL_MEDIA_STATS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
+    "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
+    "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),
     "crop_volume": (_cv.q_crop_volume, _cv.SQL_CROP_VOLUME),
     # greedy is the reference's order-dependent mutating-list walk —
     # not SQL-expressible (SURVEY §2 op 33 disposition); rows-only.

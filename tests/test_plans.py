@@ -297,3 +297,31 @@ def test_crop_volume_native_no_python_and_metadata_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "hr_crop" not in line and "lr_crop" not in line
+
+
+def test_blocked_pairs_keeps_full_reducer_width(spark):
+    """AQE sizes reducers on an exchange's INPUT bytes, so the tiny
+    block-key fan-out used to coalesce to 1-2 reducers — serializing
+    the N² join output exactly like the broadcast plan would (measured:
+    media_neardup's scoring stage on 2 tasks, 4.0 s for 12.5M pairs).
+    blocked_self_pairs now pins an explicit partition count on both
+    sides; this test asserts the exchanges carry it (user-specified
+    repartitions are exempt from AQE coalescing)."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        blocked_self_pairs,
+    )
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = spark.range(100).select(
+        F.col("id").alias("vid"), (F.col("id") * 2).alias("x")
+    )
+    plan = (
+        blocked_self_pairs(v, "vid", n_blocks=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert f"hashpartitioning(_k#" in plan
+    assert plan.count(f", {n_parts}), REPARTITION_BY_NUM") >= 2, plan[:2000]

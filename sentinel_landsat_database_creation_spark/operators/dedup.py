@@ -35,7 +35,11 @@ def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
     shuffle) but runs O(len²) in the HOF interpreter per document —
     measured ~40% slower end-to-end at sf0.1 than letting the codegen'd
     hash-aggregate dedup the exploded stream. Revisit the trade-off for
-    very long documents where the explode fan-out dominates."""
+    very long documents where the explode fan-out dominates. (Negative
+    result, r4: round-robin widening the one-file sf0.1 scan before the
+    explode moved the stage to 32 tasks but the wall time not at all —
+    the cost is the distinct shuffle + checkpoint, not map-side
+    serialization — so the extra shuffle was dropped.)"""
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id", F.explode(shingles(toks, n)).alias("s")
@@ -231,9 +235,13 @@ def ngram_jaccard_pairs(
 
 def _jaccard_explode(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     """Sparse path: pair intersection counts via shingle equi-join, set
-    sizes re-attached with broadcast joins."""
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    sizes re-attached with broadcast joins. The shingle join is an
+    EXPANDING join (hot shingles fan out to every document pair), so
+    both sides pin full reducer width — see skew.full_width."""
+    from .skew import full_width
+
+    a = full_width(ex.select(F.col("doc_id").alias("doc_a"), "s"), "s")
+    b = full_width(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -364,7 +372,6 @@ def minhash_lsh_candidates(
     per (doc, shingle) occurrence in the HOF interpreter instead of per
     distinct shingle in codegen. Shuffle-count is not the whole story
     when the map-side work multiplies."""
-    rows_per_band = n_hashes // bands
     # zero-shingle docs are naturally absent from the exploded rows
     ex = (
         shingle_rows
@@ -372,7 +379,27 @@ def minhash_lsh_candidates(
         else shingle_rows_materialized(docs, n)
     )
     sig = minhash_signatures(ex, n_hashes)
-    banded = sig.select(
+    banded = banded_buckets(sig, n_hashes, bands)
+    from .skew import full_width
+
+    # bucket join expands (every same-bucket doc pair): full reducer
+    # width, not AQE's input-sized coalesce — see skew.full_width
+    a = full_width(banded.select(F.col("doc_id").alias("doc_a"), "bucket"), "bucket")
+    b = full_width(banded.select(F.col("doc_id").alias("doc_b"), "bucket"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
+        .distinct()
+    )
+
+
+def banded_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, bucket) rows: the signature split into ``bands`` bands,
+    each band's rows concatenated into one bucket string (band index
+    prefixed so band i never collides with band j)."""
+    rows_per_band = n_hashes // bands
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -389,14 +416,6 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bucket"),
-    )
-    a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
-        .distinct()
     )
 
 
@@ -622,6 +641,117 @@ def delta_dedup(
             F.col(id_col).cast("long"),
             F.col("_hit").isNotNull().alias("is_dup"),
         )
+    )
+
+
+def lsh_index_write(
+    corpus: DataFrame,
+    path: str,
+    n: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Persist the corpus's LSH bucket index as parquet (bucket,
+    doc_id): the standing near-dup index a growing corpus maintains so
+    each incoming batch probes buckets instead of re-scanning the
+    corpus. Written sorted within partitions on bucket for row-group
+    skipping on the probe side; only bucket strings and ids land — the
+    index is O(corpus x bands) rows of short strings, not text."""
+    ex = _shingle_rows(corpus, n)
+    banded = banded_buckets(minhash_signatures(ex, n_hashes), n_hashes, bands)
+    (
+        banded.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def delta_neardup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    index: DataFrame,
+    n: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental NEAR-dup: which documents of an incoming batch are
+    near-duplicates of the existing corpus, probed through the
+    PERSISTED LSH index (``index`` = a read of lsh_index_write's
+    output) and exact-verified on the candidates only. This is the
+    production shape for a continuously-growing corpus: per batch, work
+    scales with batch size x bucket hit rate — the corpus is touched
+    only to re-shingle the handful of candidate partners (semi-join
+    pruned scan), never re-indexed.
+
+    Returns (batch_doc, corpus_doc, n_inter, n_union, jaccard) for
+    verified pairs at/above ``threshold``. Complements delta_dedup
+    (exact content-hash) the way two_stage_neardup complements
+    exact_dedup for the full-corpus case."""
+    from .skew import full_width
+
+    bex = _shingle_rows(batch, n)
+    b_banded = banded_buckets(
+        minhash_signatures(bex, n_hashes), n_hashes, bands
+    )
+    cand = (
+        full_width(
+            b_banded.select(F.col("doc_id").alias("batch_doc"), "bucket"),
+            "bucket",
+        )
+        .join(
+            full_width(
+                index.select(F.col("doc_id").alias("corpus_doc"), "bucket"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # exact verification on candidates only: corpus side re-shingles
+    # just the candidate partners (semi join prunes the scan)
+    partners = cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    cex = _shingle_rows(
+        corpus.join(F.broadcast(partners), "doc_id", "left_semi"), n
+    )
+    b_sets = bex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    c_sets = cex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    scored = (
+        cand.join(
+            b_sets.select(
+                F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_b")
+            ),
+            "batch_doc",
+        )
+        .join(
+            c_sets.select(
+                F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
+            ),
+            "corpus_doc",
+        )
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("sh_b", "sh_c")).cast("long"),
+        )
+        .withColumn(
+            "n_union",
+            (F.size("sh_b") + F.size("sh_c") - F.col("n_inter")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select(
+        F.col("batch_doc").cast("long"),
+        F.col("corpus_doc").cast("long"),
+        "n_inter",
+        "n_union",
+        "jaccard",
     )
 
 

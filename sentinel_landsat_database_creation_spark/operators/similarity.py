@@ -112,18 +112,15 @@ def blocked_self_pairs(
     # task. Hash-shuffling on _k spreads the B²/2 block pairs across the
     # cluster, which is the entire point of blocking.
     #
-    # The explicit-count repartition exists for the same reason
-    # (measured, r4): AQE sizes reducers on the exchange's INPUT bytes
-    # — a few-MB fan-out coalesces to 1-2 reducers, serializing the N²
-    # expansion exactly like the broadcast plan would (media_neardup's
-    # scoring stage ran on 2 tasks, 4.0 s for 12.5M pairs). A
-    # user-specified partition count is exempt from AQE coalescing, so
-    # the quadratic stage keeps full width.
-    n_parts = int(
-        v.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    joined = a.repartition(n_parts, "_k").join(
-        b.repartition(n_parts, "_k").hint("shuffle_hash"), "_k"
+    # full_width for the same reason (measured, r4): AQE sizes reducers
+    # on the exchange's INPUT bytes — a few-MB fan-out coalesces to 1-2
+    # reducers, serializing the N² expansion exactly like the broadcast
+    # plan would (media_neardup's scoring stage ran on 2 tasks, 4.0 s
+    # for 12.5M pairs; 1.2 s at full width).
+    from .skew import full_width
+
+    joined = full_width(a, "_k").join(
+        full_width(b, "_k").hint("shuffle_hash"), "_k"
     ).filter((F.col("_ga") != F.col("_gb")) | (ida < idb))
     # NOT id-oriented: off-diagonal block pairs arrive in block order.
     # Callers computing symmetric pair scores (cosine, popcount

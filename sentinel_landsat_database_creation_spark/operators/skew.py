@@ -20,6 +20,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def full_width(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition on ``cols`` with an EXPLICIT partition count (the
+    session's shuffle.partitions), for the inputs of EXPANDING joins.
+
+    AQE sizes reducers on an exchange's INPUT bytes; when a join's
+    inputs are small but its output is quadratic-ish (shingle-join pair
+    expansion, LSH bucket joins, blocked all-pairs), the tiny input
+    coalesces to 1-2 reducers and the whole expansion serializes on
+    them (measured r4: 12.5M cosine pairs on 2 tasks, 4.0 s -> 1.2 s at
+    full width; the jaccard shingle join showed the same 2-task stage).
+    A user-specified partition count is exempt from AQE coalescing, and
+    since the join keys match the repartition keys the join reuses this
+    exchange — no extra shuffle. Apply to both sides of the expanding
+    join; leave normal (non-expanding) joins to AQE."""
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return df.repartition(n_parts, *[F.col(c) for c in cols])
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -1231,12 +1231,13 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # shape moved goes back into the prefix the same round. Round 4 prefix:
 # the 35 entries the r3 check skipped (r3's tail + the three queries
 # added after the r3 snapshot: ivf_train_centroids, ann_recall_trained,
-# corpus_dedup_write), the five NEW r4 queries (crop_volume,
-# crop_volume_greedy, domain_quota, corpus_compact, media_neardup),
-# and the 10 r3-green entries whose code moved at r3-end / r4
+# corpus_dedup_write), the six NEW r4 queries (crop_volume,
+# crop_volume_greedy, domain_quota, corpus_compact, media_neardup,
+# delta_neardup), and the 9 r3-green entries whose code moved at
+# r3-end / r4
 # (streaming sessions rewrite, similarity.py centroid + blocked-pairs
 # work, media.py decode path, curation.py mixture validation, dedup
-# memo consumers). The 40 spilled below are all r3-green and
+# memo consumers). The 41 spilled below are all r3-green and
 # untouched-or-hardening-only. (The in-repo replica,
 # tests/test_oracle_equivalence.py, still checks ALL entries every
 # run.)
@@ -1294,6 +1295,10 @@ _PROVEN_TAIL = [
     # is exercised by the prefix-checked ann_recall_trained, and the
     # r3-end similarity.py change was centroid-only
     "ann_recall",
+    # r3-green; media.py's r4 change touched decode_image only — the
+    # native byte-stats path is untouched (media_features, which shares
+    # the mapInPandas plumbing with the decode path, stays checked)
+    "media_stats",
 ]
 
 

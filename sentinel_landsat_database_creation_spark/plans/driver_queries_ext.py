@@ -699,6 +699,76 @@ FROM d WHERE b >= {TRAIN_BUCKET_BOUND} ORDER BY doc_id
 """
 
 
+def q_delta_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR-dup through a PERSISTED LSH index
+    (operators/dedup.py:lsh_index_write + delta_neardup): the corpus
+    (doc_id % 10 != 0) lands its bucket index as parquet once, the
+    incoming batch (doc_id % 10 == 0) probes the index from the
+    written files, and candidates exact-verify on a semi-join-pruned
+    corpus re-shingle. The production loop for a growing corpus —
+    delta_dedup's near-dup sibling."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import delta_neardup, lsh_index_write
+
+    d = table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"slc_lsh_index_{tag}")
+    lsh_index_write(corpus, path)
+    index = spark.read.parquet(path)
+    return delta_neardup(corpus, batch, index).orderBy(
+        "batch_doc", "corpus_doc"
+    )
+
+
+def _sql_delta_neardup(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    buckets = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SH2}),
+csig AS (SELECT doc_id, {sigs} FROM sh WHERE doc_id % 10 != 0 AND len(s) > 0),
+bsig AS (SELECT doc_id, {sigs} FROM sh WHERE doc_id % 10 = 0 AND len(s) > 0),
+cb AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM csig),
+bb AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM bsig),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+  FROM bb b JOIN cb c USING (bucket)
+),
+scored AS (
+  SELECT cand.batch_doc, cand.corpus_doc,
+         len(list_intersect(sb.s, sc.s)) AS n_inter,
+         len(sb.s) + len(sc.s) - len(list_intersect(sb.s, sc.s)) AS n_union
+  FROM cand
+  JOIN sh sb ON sb.doc_id = cand.batch_doc
+  JOIN sh sc ON sc.doc_id = cand.corpus_doc
+)
+SELECT CAST(batch_doc AS BIGINT) AS batch_doc,
+       CAST(corpus_doc AS BIGINT) AS corpus_doc,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.3
+ORDER BY batch_doc, corpus_doc
+"""
+
+
+SQL_DELTA_NEARDUP = _sql_delta_neardup()
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_split's train bucket)
     sharing any distinct word 8-gram with the held-out val+test docs.
@@ -2460,6 +2530,7 @@ REGISTRY_EXT = {
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
     "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),
+    "delta_neardup": (q_delta_neardup, SQL_DELTA_NEARDUP),
     "crop_volume": (_cv.q_crop_volume, _cv.SQL_CROP_VOLUME),
     # greedy is the reference's order-dependent mutating-list walk —
     # not SQL-expressible (SURVEY §2 op 33 disposition); rows-only.

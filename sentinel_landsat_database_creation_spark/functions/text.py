@@ -21,6 +21,20 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, "\\s+"), lambda t: t != "")
 
 
+def normalize_text(text: Column) -> Column:
+    """C4-style canonical form for dedup: lowercase, strip everything
+    outside [a-z0-9 ], collapse whitespace runs, trim. Two documents
+    differing only in case, punctuation, or spacing normalize
+    identically — the canonicalization layer exact-hash dedup runs on
+    in practice. Regex subset chosen to behave identically under Java
+    regex (Spark) and RE2 (DuckDB): literal classes only, no
+    lookaround, no unicode classes."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Overlapping word n-grams joined with '_'; empty if < n tokens.
 

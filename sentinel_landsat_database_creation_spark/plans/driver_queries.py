@@ -1231,13 +1231,13 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # shape moved goes back into the prefix the same round. Round 4 prefix:
 # the 35 entries the r3 check skipped (r3's tail + the three queries
 # added after the r3 snapshot: ivf_train_centroids, ann_recall_trained,
-# corpus_dedup_write), the six NEW r4 queries (crop_volume,
+# corpus_dedup_write), the eight NEW r4 queries (crop_volume,
 # crop_volume_greedy, domain_quota, corpus_compact, media_neardup,
-# delta_neardup), and the 9 r3-green entries whose code moved at
-# r3-end / r4
+# delta_neardup, corpus_cube, normalized_dedup), and the 7 r3-green
+# entries whose code moved at r3-end / r4
 # (streaming sessions rewrite, similarity.py centroid + blocked-pairs
 # work, media.py decode path, curation.py mixture validation, dedup
-# memo consumers). The 41 spilled below are all r3-green and
+# memo consumers). The 43 spilled below are all r3-green and
 # untouched-or-hardening-only. (The in-repo replica,
 # tests/test_oracle_equivalence.py, still checks ALL entries every
 # run.)
@@ -1299,6 +1299,14 @@ _PROVEN_TAIL = [
     # native byte-stats path is untouched (media_features, which shares
     # the mapInPandas plumbing with the decode path, stays checked)
     "media_stats",
+    # r3-green (incl. the nprobe branch, checked r3); r4's
+    # similarity.py change was blocked_self_pairs only — assign_cells
+    # is untouched
+    "ivf_probe2",
+    # r3-green; r4's curation.py edit adds a precondition raise on
+    # invalid n_buckets — the registry query's inputs are valid, so
+    # its behavior is unchanged (hardening-only)
+    "mixture_plan",
 ]
 
 

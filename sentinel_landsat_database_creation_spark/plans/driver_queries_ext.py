@@ -699,6 +699,117 @@ FROM d WHERE b >= {TRAIN_BUCKET_BOUND} ORDER BY doc_id
 """
 
 
+def q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on the CANONICAL text form
+    (functions/text.py:normalize_text — lowercase, punctuation
+    stripped, whitespace collapsed): the C4-style layer that catches
+    duplicates raw-byte hashing misses. The fixture text is already in
+    normal form (raw hashing would find every group), so the corpus is
+    augmented with deterministic messy twins — uppercased+punctuated
+    for even ids, whitespace-doubled for odd — that only normalization
+    can fold back onto their originals. Per doc: normalized-group
+    size, whether it is the group's canonical survivor (min doc_id),
+    and whether normalization changed its text — only 32-byte hashes
+    cross the shuffle."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import normalize_text
+
+    d = table(spark, sf, "documents")
+    messy = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.upper("text"), F.lit("!!"))
+        )
+        .otherwise(F.regexp_replace("text", " ", "  "))
+        .alias("text"),
+    )
+    full = d.select("doc_id", "text").unionByName(messy)
+    h = F.md5(normalize_text(F.col("text")))
+    w = Window.partitionBy("h")
+    return (
+        full.select(
+            "doc_id", h.alias("h"), (F.md5("text") == h).alias("_same")
+        )
+        .select(
+            "doc_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+            (~F.col("_same")).alias("changed_by_norm"),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            "group_size",
+            "is_canonical",
+            "changed_by_norm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_NORMALIZED_DEDUP = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(text) || '!!'
+              ELSE regexp_replace(text, ' ', '  ', 'g') END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+         md5(text) AS raw_h
+  FROM aug
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical,
+       raw_h != h AS changed_by_norm
+FROM n ORDER BY doc_id
+"""
+
+
+def q_corpus_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-dimensional corpus accounting in ONE pass: doc counts and
+    char volume by (lang x source), per-lang totals, per-source totals,
+    and the grand total via CUBE — the aggregation the reporting layer
+    of a corpus pipeline runs instead of 4 separate groupBys (Spark
+    expands the grouping sets inside a single shuffle; partial
+    aggregation still applies per set). grouping_id disambiguates
+    subtotal rows from real NULL-ish dimension values; both engines
+    define it as the same bitmask over the listed columns."""
+    d = table(spark, sf, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        )
+        .orderBy("gid", "lang", "source")
+    )
+
+
+SQL_CORPUS_CUBE = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY gid, lang, source
+"""
+
+
 def q_delta_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental NEAR-dup through a PERSISTED LSH index
     (operators/dedup.py:lsh_index_write + delta_neardup): the corpus
@@ -2531,6 +2642,8 @@ REGISTRY_EXT = {
     "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
     "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),
     "delta_neardup": (q_delta_neardup, SQL_DELTA_NEARDUP),
+    "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
+    "normalized_dedup": (q_normalized_dedup, SQL_NORMALIZED_DEDUP),
     "crop_volume": (_cv.q_crop_volume, _cv.SQL_CROP_VOLUME),
     # greedy is the reference's order-dependent mutating-list walk —
     # not SQL-expressible (SURVEY §2 op 33 disposition); rows-only.

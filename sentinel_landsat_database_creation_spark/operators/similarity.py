@@ -310,6 +310,10 @@ def quantize_vec(vec_col: Column) -> Column:
     )
 
 
+# session-scoped memo of trained centroid lists (plain Python metadata)
+_TRAIN_MEMO: dict[tuple, list] = {}
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -341,8 +345,25 @@ def train_centroids(
     one corpus scan, the textbook distributed-k-means floor.
 
     Returns [(cell, sum_vector, n_members)] sorted by cell — plan-time
-    metadata, ready to broadcast into ivf_topk_trained."""
+    metadata, ready to broadcast into ivf_topk_trained. Memoized per
+    (session, corpus plan, K, iters): the result is a tiny Python list
+    (no checkpoint blocks to manage, unlike the dedup memo), and both
+    trained-IVF registry queries train on the same corpus — the second
+    caller skips the n_iters corpus scans."""
     spark = embeddings.sparkSession
+    try:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),
+            n_centroids,
+            n_iters,
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _TRAIN_MEMO:
+        return _TRAIN_MEMO[memo_key]
     q = embeddings.select(
         F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
     )
@@ -384,6 +405,10 @@ def train_centroids(
             (c, by_cell.get(c, s_old), n_cell.get(c, 0))
             for c, s_old, _n in cents
         ]
+    if memo_key is not None:
+        if len(_TRAIN_MEMO) > 16:
+            _TRAIN_MEMO.clear()
+        _TRAIN_MEMO[memo_key] = cents
     return cents
 
 

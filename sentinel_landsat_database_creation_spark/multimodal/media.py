@@ -88,16 +88,23 @@ def decode_image(
     batching, and partition behavior, only the per-payload body
     differs.
 
-    Codec availability is guarded at plan time: the default decoder
-    needs PIL, which this container does not ship, so the driver checks
-    ``importlib.util.find_spec`` and raises NotImplementedError before
-    any job starts (never an executor-side ImportError storm). A
-    custom ``decoder(payload, width, height) -> list[float]`` callable
-    is serialized into the task closure instead — that is also how the
+    Codec availability is guarded at plan time ON THE DRIVER: the
+    default decoder needs PIL, which this container does not ship, so
+    ``importlib.util.find_spec`` raises NotImplementedError before any
+    job starts. (Driver-side scope only — on a cluster whose executor
+    images lack PIL while the driver has it, the failure still surfaces
+    executor-side at the worker import; heterogeneous-image deploys
+    should probe with a one-row mapInPandas canary first.) A custom
+    ``decoder(payload, width, height) -> list[float]`` callable is
+    serialized into the task closure instead — that is also how the
     unit test exercises this exact path without PIL, and how libvips
     or torchvision drop in on a real cluster. Undecodable payloads
-    (truncated, wrong magic) yield no row rather than failing the task,
-    matching how a 100 TB media scan must treat corrupt objects."""
+    (truncated, wrong magic — the ValueError/OSError family PIL raises)
+    yield no row rather than failing the task, matching how a 100 TB
+    media scan must treat corrupt objects; programming errors in an
+    injected decoder (TypeError, wrong arity, AttributeError) propagate
+    and fail the job rather than masquerading as an all-corrupt
+    corpus."""
     if decoder is None:
         if not _pil_available():
             raise NotImplementedError(
@@ -116,9 +123,7 @@ def decode_image(
                 payload = bytes(payload) if payload is not None else b""
                 try:
                     pixels = decoder(payload, width, height)
-                except NotImplementedError:
-                    raise
-                except Exception:
+                except (ValueError, OSError):
                     continue  # corrupt payload: skip, don't fail the scan
                 out["media_id"].append(media_id)
                 out["width"].append(width)

@@ -90,8 +90,12 @@ def _release_checkpoint(spark, ids: frozenset) -> None:
     """Best-effort free of a memo entry's checkpoint blocks. Verified
     mechanism (probe, round 4): unpersisting the JVM handle from
     getPersistentRDDs removes the rdd_N_* blocks — a later scan of the
-    handle fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, so release
-    only runs on eviction, never on live entries."""
+    handle fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. For exactly
+    that reason the CACHE never calls this on eviction (a caller may
+    still hold the evicted handle inside an unexecuted lazy plan, and a
+    truncated-lineage handle whose blocks are gone can never
+    recompute); it exists for explicit cleanup by owners who KNOW no
+    live plan references the blocks, and for tests."""
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for i in ids:
@@ -113,13 +117,16 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
     recompute. Guards (round-4 ADVICE): each hit is validated against
     the driver's persistent-RDD registry (the checkpoint ids captured
     at creation must still be registered — a dropped id means the
-    blocks are gone and the entry is rebuilt); evicted entries get
-    their blocks released via ``_release_checkpoint`` instead of
-    leaking until session end; and the cache is lock-serialized so the
-    id-diff capture can't interleave across threads. With nested memos
-    (RLock re-entry) the outer entry's id-diff also captures the inner
-    entry's checkpoint id — harmless: releasing the outer entry then
-    merely fails the inner entry's validity probe, which rebuilds."""
+    blocks are gone and the entry is rebuilt); and the cache is
+    lock-serialized so the id-diff capture can't interleave across
+    threads. Eviction deliberately drops dict REFERENCES only and does
+    NOT release blocks: a caller may still hold an evicted handle
+    inside an unexecuted lazy plan, and releasing would strand it
+    unrecoverably (lineage is truncated) — the bounded leak dies with
+    the session, which is the safe side of that trade. With nested
+    memos (RLock re-entry) the outer entry's id-diff also captures the
+    inner entry's checkpoint id — harmless, ids are only ever used for
+    the validity probe."""
     spark = src.sparkSession
     try:
         key = (
@@ -151,9 +158,7 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
         except Exception:
             return out
         if len(_MEMO_CACHE) > 16:
-            for _, (_, old_ids) in _MEMO_CACHE.items():
-                _release_checkpoint(spark, old_ids)
-            _MEMO_CACHE.clear()
+            _MEMO_CACHE.clear()  # references only — see docstring
         _MEMO_CACHE[key] = (out, ck_ids)
     return out
 
@@ -691,25 +696,47 @@ def delta_neardup(
     exact_dedup for the full-corpus case."""
     from .skew import full_width
 
-    bex = _shingle_rows(batch, n)
+    # memoized: the batch shingle table feeds signatures AND the
+    # verification sets below — one explode+distinct shuffle, not two
+    bex = shingle_rows_materialized(batch, n)
     b_banded = banded_buckets(
         minhash_signatures(bex, n_hashes), n_hashes, bands
     )
-    cand = (
-        full_width(
-            b_banded.select(F.col("doc_id").alias("batch_doc"), "bucket"),
-            "bucket",
-        )
-        .join(
+
+    def _cand():
+        return (
             full_width(
-                index.select(F.col("doc_id").alias("corpus_doc"), "bucket"),
+                b_banded.select(F.col("doc_id").alias("batch_doc"), "bucket"),
                 "bucket",
-            ),
-            "bucket",
+            )
+            .join(
+                full_width(
+                    index.select(
+                        F.col("doc_id").alias("corpus_doc"), "bucket"
+                    ),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .select("batch_doc", "corpus_doc")
+            .distinct()
         )
-        .select("batch_doc", "corpus_doc")
-        .distinct()
-        .localCheckpoint(eager=True)
+
+    # two consumers (partner probe + scoring join); the memo also
+    # dedupes across repeated invocations in one session and keeps the
+    # blocks under the cache's management instead of leaking per call.
+    # The key must cover BOTH inputs: the batch plan (memo src) and the
+    # index CONTENT. A plan hash is not enough for the index — a
+    # rewritten index at the same path analyzes to the same plan — so
+    # the tag uses the concrete file listing (every parquet overwrite
+    # generates fresh part-file names, so a rebuilt index always
+    # misses instead of serving stale candidates).
+    try:
+        idx_key = hash(tuple(sorted(index.inputFiles())))
+    except Exception:
+        idx_key = object()  # unique -> never collides, memo still works
+    cand = _memo_checkpoint(
+        batch, ("delta_neardup_cand", n, n_hashes, bands, idx_key), _cand
     )
     # exact verification on candidates only: corpus side re-shingles
     # just the candidate partners (semi join prunes the scan)

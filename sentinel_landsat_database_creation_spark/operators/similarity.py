@@ -363,7 +363,9 @@ def train_centroids(
     except Exception:
         memo_key = None
     if memo_key is not None and memo_key in _TRAIN_MEMO:
-        return _TRAIN_MEMO[memo_key]
+        # shallow copy: entries are (cell, sums, n) tuples, so copying
+        # the list isolates callers who sort/filter/append in place
+        return list(_TRAIN_MEMO[memo_key])
     q = embeddings.select(
         F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
     )
@@ -408,7 +410,7 @@ def train_centroids(
     if memo_key is not None:
         if len(_TRAIN_MEMO) > 16:
             _TRAIN_MEMO.clear()
-        _TRAIN_MEMO[memo_key] = cents
+        _TRAIN_MEMO[memo_key] = list(cents)
     return cents
 
 

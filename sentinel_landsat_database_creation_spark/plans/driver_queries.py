@@ -1234,7 +1234,9 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # corpus_dedup_write), the eight NEW r4 queries (crop_volume,
 # crop_volume_greedy, domain_quota, corpus_compact, media_neardup,
 # delta_neardup, corpus_cube, normalized_dedup), and the 7 r3-green
-# entries whose code moved at r3-end / r4
+# entries whose code or semantics moved at r3-end / r4 (incl.
+# pairing_compat: it calls build_catalog, whose leading-empty-bin
+# semantics changed this round)
 # (streaming sessions rewrite, similarity.py centroid + blocked-pairs
 # work, media.py decode path, curation.py mixture validation, dedup
 # memo consumers). The 43 spilled below are all r3-green and
@@ -1243,7 +1245,6 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # run.)
 _PROVEN_TAIL = [
     "catalog_week_class",
-    "pairing_compat",
     "event_funnel",
     "retention_cohorts",
     "weekly_click_signup_outer",
@@ -1307,6 +1308,10 @@ _PROVEN_TAIL = [
     # invalid n_buckets — the registry query's inputs are valid, so
     # its behavior is unchanged (hardening-only)
     "mixture_plan",
+    # r3-green; media.py's r4 change touched decode_image only — the
+    # fake_features path is untouched, and media_neardup (prefix,
+    # new) drives the same mapInPandas feature plumbing
+    "media_features",
 ]
 
 

@@ -2452,26 +2452,31 @@ def q_media_neardup(spark: SparkSession, sf: str) -> DataFrame:
     float (the cosine threshold test) is sqrt/division of exact
     integers, identical IEEE ops in both engines."""
     from ..multimodal.media import fake_features
+    from ..operators.dedup import _memo_checkpoint
     from ..operators.similarity import blocked_self_pairs
 
     docs = table(spark, sf, "documents")
-    feats = fake_features(media_from_documents(docs), 4)
     zero = F.lit(0).cast("long")
-    v = feats.select(
-        "media_id",
-        F.transform(
-            "features", lambda f: F.round(f * 65535).cast("long")
-        ).alias("k"),
-    ).withColumn(
-        "n2",
-        F.aggregate(
-            F.transform("k", lambda x: x * x), zero, lambda a, x: a + x
-        ),
-    )
-    # both pair sides read this subtree: checkpoint so the Python
-    # feature stage runs once, and the pair join starts from a
-    # lineage-free table (same shape as the embed cosine path)
-    v = v.localCheckpoint(eager=True)
+
+    def _features():
+        feats = fake_features(media_from_documents(docs), 4)
+        return feats.select(
+            "media_id",
+            F.transform(
+                "features", lambda f: F.round(f * 65535).cast("long")
+            ).alias("k"),
+        ).withColumn(
+            "n2",
+            F.aggregate(
+                F.transform("k", lambda x: x * x), zero, lambda a, x: a + x
+            ),
+        )
+
+    # both pair sides read this subtree: materialize so the Python
+    # feature stage runs once; the session memo (vs a bare
+    # localCheckpoint) also stops repeated invocations from leaking a
+    # fresh block set per call
+    v = _memo_checkpoint(docs, ("media_neardup_feats", 4), _features)
     p = blocked_self_pairs(v, "media_id", n_blocks=16)
     dot = F.aggregate(
         F.zip_with("a_k", "b_k", lambda x, y: x * y), zero, lambda a, x: a + x

@@ -404,6 +404,58 @@ LIMIT 10
 # multi-join rollup (op 17 at depth): revenue per customer nation
 
 
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape on the part dimension (the one fixture table no
+    other query touched): per-brand promo share of discounted revenue
+    in a shipdate window. part broadcasts; the window predicate pushes
+    into the lineitem scan; revenue goes through the per-row cents
+    rule (round(price*(1-disc)*100) -> BIGINT) so sums are exact and
+    the one ratio is a single division of exact integers."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    p = table(spark, sf, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(promo).cast("long").alias("promo_cents"),
+            F.sum(rev).cast("long").alias("total_cents"),
+        )
+        .withColumn(
+            "promo_ratio",
+            F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+WITH j AS (
+  SELECT p_brand, p_type,
+         {_CENTS.format(expr="l_extendedprice * (1 - l_discount)")} AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS promo_ratio
+FROM j GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
@@ -1207,6 +1259,7 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "customer_order_rank": (q_customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
     "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
     "distinct_users_by_type": (
@@ -1231,15 +1284,16 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # shape moved goes back into the prefix the same round. Round 4 prefix:
 # the 35 entries the r3 check skipped (r3's tail + the three queries
 # added after the r3 snapshot: ivf_train_centroids, ann_recall_trained,
-# corpus_dedup_write), the eight NEW r4 queries (crop_volume,
+# corpus_dedup_write), the nine NEW r4 queries (crop_volume,
 # crop_volume_greedy, domain_quota, corpus_compact, media_neardup,
-# delta_neardup, corpus_cube, normalized_dedup), and the 7 r3-green
+# delta_neardup, corpus_cube, normalized_dedup, promo_revenue), and
+# the 6 r3-green
 # entries whose code or semantics moved at r3-end / r4 (incl.
 # pairing_compat: it calls build_catalog, whose leading-empty-bin
 # semantics changed this round)
 # (streaming sessions rewrite, similarity.py centroid + blocked-pairs
 # work, media.py decode path, curation.py mixture validation, dedup
-# memo consumers). The 43 spilled below are all r3-green and
+# memo consumers). The 44 spilled below are all r3-green and
 # untouched-or-hardening-only. (The in-repo replica,
 # tests/test_oracle_equivalence.py, still checks ALL entries every
 # run.)
@@ -1312,6 +1366,10 @@ _PROVEN_TAIL = [
     # fake_features path is untouched, and media_neardup (prefix,
     # new) drives the same mapInPandas feature plumbing
     "media_features",
+    # r3-green; touched only by the behavior-preserving memo hardening,
+    # and dedup_clusters (prefix) checks the same pair-pipeline inputs
+    # while the LSS recursion has its own union-find property test
+    "dedup_clusters_lss",
 ]
 
 

@@ -325,3 +325,11 @@ def test_blocked_pairs_keeps_full_reducer_width(spark):
     )
     assert f"hashpartitioning(_k#" in plan
     assert plan.count(f", {n_parts}), REPARTITION_BY_NUM") >= 2, plan[:2000]
+
+
+def test_promo_revenue_broadcasts_part_and_pushes_window(spark):
+    plan = _plan(spark, "promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the four lineitem columns the query needs
+    assert "l_comment" not in plan and "l_tax" not in plan

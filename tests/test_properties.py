@@ -407,3 +407,79 @@ def test_domain_quota_matches_naive_window(spark, rows, quota):
         for s, i in sorted(pairs, key=lambda p: (-p[0], p[1]))[:quota]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# delta_neardup: the persisted-index probe + candidate verification must
+# equal a direct recomputation (python minhash/banding/jaccard) for any
+# tiny corpus — banding string-format or bucket-join mistakes would
+# survive the one fixture the driver checks.
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+    ).map(" ".join),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_texts)
+def test_delta_neardup_matches_direct_computation(spark, texts):
+    import hashlib
+    import tempfile
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        delta_neardup,
+        lsh_index_write,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    corpus = df.filter("doc_id % 2 = 1")
+    batch = df.filter("doc_id % 2 = 0")
+    with tempfile.TemporaryDirectory() as d:
+        lsh_index_write(corpus, d, n=2, n_hashes=8, bands=4)
+        try:
+            index = spark.read.parquet(d)
+        except Exception:  # empty corpus -> no files written
+            return
+        got = sorted(
+            (r["batch_doc"], r["corpus_doc"], r["n_inter"], r["n_union"])
+            for r in delta_neardup(
+                corpus, batch, index, n=2, n_hashes=8, bands=4, threshold=0.3
+            ).collect()
+        )
+
+    # direct python recomputation
+    def sh(t):
+        w = [x for x in t.split(" ") if x]
+        return {f"{a}_{b}" for a, b in zip(w, w[1:])}
+
+    def buckets(s):
+        hs = [
+            min(hashlib.md5(f"{i}:{x}".encode()).hexdigest() for x in s)
+            for i in range(8)
+        ]
+        return {f"{b}|{hs[2 * b]}|{hs[2 * b + 1]}" for b in range(4)}
+
+    shingles = {i: sh(t) for i, t in rows}
+    want = []
+    for bi, bt in rows:
+        if bi % 2 != 0 or not shingles[bi]:
+            continue
+        for ci, ct in rows:
+            if ci % 2 != 1 or not shingles[ci]:
+                continue
+            if not (buckets(shingles[bi]) & buckets(shingles[ci])):
+                continue
+            inter = len(shingles[bi] & shingles[ci])
+            union = len(shingles[bi] | shingles[ci])
+            if inter / union >= 0.3:
+                want.append((bi, ci, inter, union))
+    assert got == sorted(want)

@@ -139,9 +139,21 @@ def volume_tensors(spark: SparkSession, n_pairs: int, hrw: int, lrw: int) -> Dat
 def crop_volume_dataset(
     spark: SparkSession, sf_dir: str, compat: bool
 ) -> DataFrame:
+    from ..operators.dedup import _memo_checkpoint
+
     p = params_for(sf_dir)
     mask = volume_mask(spark, p["hrw"])
-    tensors = volume_tensors(spark, p["n_pairs"], p["hrw"], p["lrw"])
+    # The tensor generation expressions re-run per consuming phase (two
+    # phases x two registry queries = four generations of the same 28
+    # rows). Materialize once per session: ~230 MB of MEMORY_AND_DISK
+    # blocks at sf0.1 — storage is evictable under pressure (unlike the
+    # execution spikes that motivated TENSOR_SLOTS), and the blocks are
+    # shared by both the native and greedy volume queries.
+    tensors = _memo_checkpoint(
+        spark.range(1),
+        ("crop_volume_tensors", p["n_pairs"], p["hrw"], p["lrw"]),
+        lambda: volume_tensors(spark, p["n_pairs"], p["hrw"], p["lrw"]),
+    )
     cfg = CropConfig(
         batch_size=BATCH, scale=SCALE, pct_overlap=PCT, compat=compat
     )

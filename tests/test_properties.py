@@ -483,3 +483,47 @@ def test_delta_neardup_matches_direct_computation(spark, texts):
             if inter / union >= 0.3:
                 want.append((bi, ci, inter, union))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: the shard-local cumulative-sum packing must equal a
+# plain sequential python packer for any doc sizes / budget / shard
+# count (the floor(cum_before/budget) streaming-fill rule and the
+# shard split are both off-by-one magnets).
+
+_doc_sizes = st.lists(
+    st.integers(min_value=1, max_value=9), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_sizes, st.integers(1, 12), st.integers(1, 4))
+def test_pack_sequences_matches_sequential_reference(spark, sizes, budget, shards):
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(sizes)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = sorted(
+        (r["shard"], r["seq_id"], r["n_docs"], r["n_toks_packed"])
+        for r in pack_sequences(docs, budget=budget, n_shards=shards).collect()
+    )
+
+    # reference: per shard in id order, a doc lands in the sequence its
+    # first token falls into
+    packed: dict[tuple[int, int], list[int]] = {}
+    cum: dict[int, int] = {}
+    for i, n in enumerate(sizes):
+        sh = i % shards
+        seq = cum.get(sh, 0) // budget
+        packed.setdefault((sh, seq), []).append(n)
+        cum[sh] = cum.get(sh, 0) + n
+    want = sorted(
+        (sh, seq, len(ns), sum(ns)) for (sh, seq), ns in packed.items()
+    )
+    assert got == want

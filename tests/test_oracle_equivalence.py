@@ -60,6 +60,15 @@ ORACLES = entrymod.oracle_sql()
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
+    # Repo-wide physical invariant, piggybacked on the one place every
+    # registry plan is already built: a true CartesianProduct node is
+    # always a bug here (deliberate tiny-side attachments broadcast, so
+    # they plan as BroadcastNestedLoopJoin, never CartesianProduct).
+    try:
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        plan = ""
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -20,9 +20,12 @@ bin gets the next letter; an empty INTERIOR bin (strictly between the
 first and last non-empty bins) emits exactly one placeholder row
 (class="0", data="0") and consumes no letter; leading and trailing
 empty bins emit nothing. Leading-empty behavior is unreachable in the
-goldens (the reference's histogram edges start at the data minimum);
-"no row" is the reading consistent with that construction, and
-tests/test_properties.py pins all three run positions.
+goldens and unverifiable against the reference (the deciding
+``new_class_list`` lives in the absent ``date_extraction`` module, and
+the fixed calendar grid at main_function_beta.py:29 could produce
+leading empties with mid-year data); "no row" is this engine's
+documented spec choice, and tests/test_properties.py pins all three
+run positions.
 """
 
 from __future__ import annotations

@@ -121,6 +121,11 @@ def slice_crop_pairs(
     centerline mask — the reference's as-built shape
     (fct_data_extraction.py:50,61 loads a single fixed mask).
 
+    Output ``mask_id`` provenance in the by-pair branch: the centers'
+    own ``mask_id`` if they carry one, else the pair row's, else the
+    literal 1 (the single-shared-mask convention's id) when neither
+    side knows a mask.
+
     Join shape, measured (round 4, volume fixture: 28 pairs x 256x256x4
     rasters x ~3.9k centers): a row-level join of pair rows against the
     centers TABLE is wrong at volume — every joined output row copies
@@ -144,14 +149,31 @@ def slice_crop_pairs(
     )
     by_pair = "pair_id" in centers.columns
     if by_pair:
-        packed = centers.groupBy("pair_id").agg(
-            F.collect_list(ctr).alias("ctrs"),
-            (
-                F.min("mask_id") if "mask_id" in centers.columns
-                else F.min(F.lit(1))
-            ).alias("mask_id"),
-        )
-        grid = valid.drop("mask_id").join(F.broadcast(packed), "pair_id")
+        if "mask_id" in centers.columns:
+            # centers' own mask_id wins (they know which mask produced
+            # each center list)
+            packed = centers.groupBy("pair_id").agg(
+                F.collect_list(ctr).alias("ctrs"),
+                F.min("mask_id").alias("mask_id"),
+            )
+            grid = valid.drop("mask_id").join(F.broadcast(packed), "pair_id")
+        elif "mask_id" in pairs.columns:
+            # centers carry no mask_id: the pair's own mask_id survives
+            # instead of being overwritten with a fabricated constant
+            # (round-4 ADVICE — build_crop_dataset discards mask_id, but
+            # other callers passing pair_id-keyed centers expect theirs)
+            packed = centers.groupBy("pair_id").agg(
+                F.collect_list(ctr).alias("ctrs")
+            )
+            grid = valid.join(F.broadcast(packed), "pair_id")
+        else:
+            # neither side knows a mask: fabricate the documented
+            # placeholder (the single-shared-mask convention's id)
+            packed = centers.groupBy("pair_id").agg(
+                F.collect_list(ctr).alias("ctrs"),
+                F.min(F.lit(1)).alias("mask_id"),
+            )
+            grid = valid.join(F.broadcast(packed), "pair_id")
     else:
         packed = centers.groupBy("mask_id").agg(
             F.collect_list(ctr).alias("ctrs")

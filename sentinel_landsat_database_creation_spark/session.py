@@ -73,3 +73,17 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def session_tmp_path(spark: SparkSession, name: str) -> str:
+    """A scratch path under the system temp dir keyed on the session's
+    applicationId (like the memo caches): two concurrent sessions on one
+    host (bench + pytest) must never overwrite each other's artifacts
+    mid-read, and fixed /tmp names are a squatting hazard on shared
+    hosts. Artifacts die with the host's tmp cleanup; within a session
+    the path is stable, so per-session write-once guards work."""
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"slc_{app}_{name}")

@@ -33,7 +33,14 @@ def _context_dead(spark) -> bool:
 def _revive_session():
     """Rebuild the session even when the backing JVM died (OOM-killed
     gateway): pyspark caches the gateway/context in module globals, so
-    they must be reset before getOrCreate can launch a fresh JVM."""
+    they must be reset before getOrCreate can launch a fresh JVM.
+
+    The resets touch pyspark PRIVATE attributes (not stable API), so
+    every one is hasattr-guarded and the whole revival is verified with
+    a liveness probe at the end: a pyspark upgrade that breaks revival
+    raises here — visible to the caller, which stops the run instead of
+    letting a dead session cascade errors across every later query
+    (round-4 ADVICE)."""
     from pyspark import SparkContext
     from pyspark.sql import SparkSession
 
@@ -41,13 +48,33 @@ def _revive_session():
         SparkSession.getActiveSession().stop()
     except Exception:  # noqa: BLE001
         pass
-    with SparkContext._lock:
-        SparkContext._active_spark_context = None
-        SparkContext._gateway = None
-        SparkContext._jvm = None
-    SparkSession._instantiatedSession = None
-    SparkSession._activeSession = None
+    missing = [
+        a
+        for a in ("_lock", "_active_spark_context", "_gateway", "_jvm")
+        if not hasattr(SparkContext, a)
+    ] + [
+        a
+        for a in ("_instantiatedSession", "_activeSession")
+        if not hasattr(SparkSession, a)
+    ]
+    if missing:
+        print(
+            f"bench: pyspark internals moved ({missing}); revival degraded",
+            file=sys.stderr,
+        )
+    else:
+        with SparkContext._lock:
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
     spark = get_spark(app_name="bench")
+    if _context_dead(spark):
+        raise RuntimeError(
+            "session revival failed (pyspark internals changed?); "
+            "falling back to hard stop so the failure is visible"
+        )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -71,10 +98,16 @@ def main() -> None:
     # README; default 1 rep keeps the driver's per-round run cheap.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
 
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        drain_memo_build_log,
+    )
+
     timings: dict[str, float] = {}
+    memo_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     failed_timings: dict[str, float] = {}
     restarts = 0
+    drain_memo_build_log()  # discard warm-up noise
     for name, (fn, _) in REGISTRY.items():
         # One query killing the JVM (e.g. an OOM under accumulated
         # session state) must not cascade into failures for every query
@@ -82,7 +115,13 @@ def main() -> None:
         # before each query. The restart count is surfaced in the JSON
         # so a "passing" bench can't silently hide crash-looping.
         if _context_dead(spark):
-            spark = _revive_session()
+            try:
+                spark = _revive_session()
+            except Exception as exc:  # noqa: BLE001 — revival itself broke:
+                # surface it once and stop instead of erroring every
+                # remaining query against a dead gateway.
+                errors["__session__"] = f"{type(exc).__name__}: {exc}"[:200]
+                break
             restarts += 1
         samples: list[float] = []
         for _rep in range(reps):
@@ -98,10 +137,23 @@ def main() -> None:
                 # timeout) must not pollute the headline total.
                 failed_timings[name] = round(time.perf_counter() - t0, 4)
                 break
-            samples.append(time.perf_counter() - t0)
+            sample = time.perf_counter() - t0
+            # Attribution robustness (round-5 VERDICT): shared one-time
+            # builds (memoized checkpoint tables, fixture writes) are
+            # charged to their own "memo:<tag>" bench lines and
+            # subtracted from whichever query happened to trigger them,
+            # so per-query numbers are warm-state plan costs that don't
+            # swing with registry order. The headline total still
+            # includes the memo lines — wall time is conserved.
+            for label, secs in drain_memo_build_log():
+                memo_timings[label] = memo_timings.get(label, 0.0) + secs
+                sample -= secs
+            samples.append(max(sample, 0.0))
         if samples:
             timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
+    memo_timings = {k: round(v, 4) for k, v in memo_timings.items()}
+    timings.update(memo_timings)
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "registry_total_runtime",
@@ -126,7 +178,7 @@ def main() -> None:
             {
                 "metric": "registry_total",
                 "value": total,
-                "n": len(timings),
+                "n": len(timings) - len(memo_timings),
                 "n_failed": len(errors),
                 "restarts": restarts,
                 "sf": float(sf),

@@ -78,6 +78,62 @@ def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
 _MEMO_CACHE: dict[tuple, tuple[DataFrame, frozenset]] = {}
 _MEMO_LOCK = __import__("threading").RLock()
 
+# Measurement hook (round-5 VERDICT): every memo MISS-branch build
+# appends ("memo:<tag0>", seconds) here. Without this, per-query bench
+# numbers swing with registry order — whichever family member runs
+# first pays the shared build (r4: dedup_clusters 2.06 -> 4.92 s while
+# neardup_pipeline 5.38 -> 0.11 s). bench.py drains the log after each
+# timed query, charges the build seconds to separate "memo:*" bench
+# lines, and subtracts them from the query's own number, so each
+# query's cost is its warm-memo plan cost regardless of neighbor order.
+# Nested builds (RLock re-entry) time only their OWN span: the inner
+# memo's seconds are subtracted from the enclosing build's wall time
+# so the logged lines sum to the real elapsed total, double-counting
+# nothing.
+MEMO_BUILD_LOG: list[tuple[str, float]] = []
+
+
+def drain_memo_build_log() -> list[tuple[str, float]]:
+    """Pop and return all (label, seconds) build records accumulated
+    since the last drain. Thread-safe under the memo lock."""
+    with _MEMO_LOCK:
+        out = list(MEMO_BUILD_LOG)
+        MEMO_BUILD_LOG.clear()
+    return out
+
+
+def log_setup_time(label: str, seconds: float) -> None:
+    """Record a non-memo one-time setup cost (e.g. a fixture write)
+    under the same attribution stream bench.py drains."""
+    with _MEMO_LOCK:
+        MEMO_BUILD_LOG.append((label, seconds))
+
+
+_MEMO_TLS = __import__("threading").local()
+
+
+def _timed_build(tag: tuple, builder):
+    """Build + eagerly checkpoint a memo entry, logging the build's OWN
+    wall seconds (minus nested memo builds) to MEMO_BUILD_LOG."""
+    import time as _time
+
+    stack = getattr(_MEMO_TLS, "stack", None)
+    if stack is None:
+        stack = _MEMO_TLS.stack = []
+    stack.append(0.0)
+    t0 = _time.perf_counter()
+    try:
+        out = builder().localCheckpoint(eager=True)
+    except Exception:
+        stack.pop()
+        raise
+    elapsed = _time.perf_counter() - t0
+    inner = stack.pop()
+    if stack:
+        stack[-1] += elapsed
+    log_setup_time(f"memo:{tag[0] if tag else 'anon'}", elapsed - inner)
+    return out
+
 
 def _persistent_ids(spark) -> set:
     """Driver-side ids of currently-registered persistent RDDs (the
@@ -134,7 +190,7 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
             src._jdf.queryExecution().analyzed().semanticHash(),
         ) + tag
     except Exception:
-        return builder().localCheckpoint(eager=True)
+        return _timed_build(tag, builder)
     with _MEMO_LOCK:
         hit = _MEMO_CACHE.get(key)
         if hit is not None:
@@ -150,12 +206,19 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, builder) -> DataFrame:
             before = _persistent_ids(spark)
         except Exception:
             before = None
-        out = builder().localCheckpoint(eager=True)
+        out = _timed_build(tag, builder)
         if before is None:
             return out
         try:
             ck_ids = frozenset(_persistent_ids(spark) - before)
         except Exception:
+            return out
+        if not ck_ids:
+            # An empty diff means the checkpoint blocks could not be
+            # attributed (e.g. a concurrent unpersist raced the probe):
+            # caching would make the liveness check (subset test) pass
+            # vacuously forever, handing out a handle whose blocks may
+            # be gone. Match the other fallback paths: return uncached.
             return out
         if len(_MEMO_CACHE) > 16:
             _MEMO_CACHE.clear()  # references only — see docstring
@@ -668,6 +731,41 @@ def lsh_index_write(
         banded.repartition(F.col("bucket"))
         .sortWithinPartitions("bucket")
         .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lsh_index_append(
+    batch: DataFrame,
+    path: str,
+    n: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Index maintenance for a GROWING corpus (round-5 VERDICT item 4):
+    append an accepted ingest batch's LSH buckets into an existing
+    ``lsh_index_write`` layout, so the standing index tracks the corpus
+    without a full rebuild per ingest cycle. Parquet append with the
+    same per-file discipline as the initial write (repartition on
+    bucket + sortWithinPartitions for row-group skipping on probes) —
+    each append lands new sorted files beside the old ones; probes read
+    the union. Parameters (shingle width, hash count, bands) must match
+    the index being appended to — a mismatched append would land
+    buckets no probe can hit; periodic ``compact_corpus``-style rewrite
+    of the index directory keeps the file count bounded under
+    continuous ingest.
+
+    The production loop this completes: lsh_index_write(corpus) once,
+    then per ingest cycle (1) delta_neardup(batch) probes the index,
+    (2) accepted survivors append to the corpus, (3) lsh_index_append
+    indexes exactly those survivors. Work per cycle is
+    O(batch x bands), never O(corpus)."""
+    ex = _shingle_rows(batch, n)
+    banded = banded_buckets(minhash_signatures(ex, n_hashes), n_hashes, bands)
+    (
+        banded.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
         .parquet(path)
     )
 

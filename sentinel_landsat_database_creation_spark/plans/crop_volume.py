@@ -194,12 +194,16 @@ def q_crop_volume(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_crop_volume_greedy(spark: SparkSession, sf: str) -> DataFrame:
     """E4 at volume, compat mode: the reference's sequential greedy
-    walk per pair (applyInPandas over centers only). Order-dependent
-    mutating-list semantics are not SQL-expressible (same disposition
-    as op 33 in SURVEY §2), so this entry is rows-only for the driver;
-    the walk itself is pinned by seed/order unit tests
-    (tests/test_crop_engine.py) and the volume fixture's native twin
-    `crop_volume` is hash-checked."""
+    walk per pair (applyInPandas over centers only). The
+    order-dependent mutating-list semantics are not expressible as
+    plain relational SQL, but at the driver's sf0.01 fixture scale
+    (6 pairs x ~200 candidates) the walk IS expressible as a DuckDB
+    RECURSIVE CTE carrying (cursor, surviving-list, kept-list) state —
+    SQL_CROP_VOLUME_GREEDY below — which seals this entry with a full
+    rows+schema+hash oracle (the same move that closed stream_sessions
+    in round 4). The walk is additionally pinned by seed/order unit
+    tests (tests/test_crop_engine.py) and its native twin
+    `crop_volume`."""
     return _summarize(crop_volume_dataset(spark, sf, compat=True))
 
 
@@ -263,4 +267,121 @@ SELECT CAST(pid AS BIGINT) AS pair_id,
        CAST(sum(nz_hr) AS BIGINT) AS nz_hr_total
 FROM kept WHERE rn = 1
 GROUP BY pid ORDER BY pair_id
+"""
+
+
+# Oracle for the COMPAT (greedy-walk) path at the sf0.01 fixture
+# (round-5 VERDICT item 2). Differences from SQL_CROP_VOLUME:
+#
+# - compat bounds (op 13 as-built): the upper limits come from the
+#   centerline COUNT (256 points -> 256-1-6 = 249), not the raster
+#   dims, so edge centers up to r,c = 63 survive the bounds filter and
+#   their windows leave the 64x64 frame. slice2d truncates those like
+#   NumPy (rows past the bottom vanish, columns clamp at the right
+#   edge), so hstat/lstat count only PRESENT cells (the 2-D bounds in
+#   their WHERE) while the quality denominators stay fixed at
+#   576/64/192 — truncated crops fail the gate exactly as the
+#   reference's short NumPy slices do.
+# - compat inf denominator (op 14 as-built): (b//s)*b*n = 4*12*4 = 192.
+# - suppression is the reference's sequential mutating-list walk
+#   (fct_data_extraction.py:90-157), expressed as a recursive CTE: one
+#   recursion step per while-iteration, state = (surviving candidate
+#   list in np.where `ord` order, cursor i, kept list). An accepted
+#   center purges every candidate whose r OR c falls in
+#   [rr + 12*0.7, cc + 12*0.7]; since candidates are integers and the
+#   band edges 12*0.7 ~ 8.4 are strictly between 8 and 9 for any IEEE
+#   rounding, the float interval is restated exactly as
+#   [rr + 9, cc + 8]. The cursor is a plain position into the mutating
+#   list (removals before it shift elements under it, as-built), and
+#   the loop exits when the cursor passes the tail — the recursive
+#   part's WHERE i < len(lst) - 1. The terminal state per pair is the
+#   one with the largest cursor (max_by).
+SQL_CROP_VOLUME_GREEDY = """
+WITH RECURSIVE
+centers AS (
+  SELECT p // 64 AS r, p % 64 AS c, p AS ord
+  FROM (SELECT unnest(range(0, 4096)) AS p)
+  WHERE ((p // 64)*31 + (p % 64)*17) % 16 = 0
+    AND p // 64 > 6 AND p % 64 > 6 AND p // 64 < 249 AND p % 64 < 249
+),
+pairs AS (SELECT unnest(range(0, 6)) AS pid),
+hro AS (SELECT b, rr, cc FROM range(0, 4) t1(b), range(0, 12) t2(rr), range(0, 12) t3(cc)),
+lro AS (SELECT b, rr, cc FROM range(4, 8) t1(b), range(0, 4) t2(rr), range(0, 4) t3(cc)),
+hstat AS (
+  SELECT pid, r, c,
+         count(*) AS pres_hr,
+         count(*) FILTER (WHERE h % 601 = 0) AS zero_hr,
+         count(*) FILTER (WHERE h % 601 != 0 AND h % 599 != 1 AND h % 593 = 2) AS inf_hr
+  FROM (
+    SELECT pid, r, c,
+           (pid*7919 + b*104729 + ((r-6+rr)*64 + (c-6+cc))*1299709) % 104723 AS h
+    FROM pairs, centers, hro
+    WHERE r-6+rr < 64 AND c-6+cc < 64
+  )
+  GROUP BY pid, r, c
+),
+lstat AS (
+  SELECT pid, r, c,
+         count(*) AS pres_lr,
+         count(*) FILTER (WHERE h % 601 = 0) AS zero_lr,
+         count(*) FILTER (WHERE h % 601 != 0 AND h % 599 = 1) AS nine_lr
+  FROM (
+    SELECT pid, r, c,
+           (pid*7919 + b*104729 + (((r-6)//3 + rr)*21 + ((c-6)//3 + cc))*1299709) % 104723 AS h
+    FROM pairs, centers, lro
+    WHERE (r-6)//3 + rr < 21 AND (c-6)//3 + cc < 21
+  )
+  GROUP BY pid, r, c
+),
+flagged AS (
+  SELECT h.pid, h.r, h.c, cen.ord, h.pres_hr - h.zero_hr AS nz_hr,
+         ((h.pres_hr - h.zero_hr)*100 >= 99*576
+          AND (l.pres_lr - l.zero_lr)*100 >= 99*64
+          AND l.nine_lr*100 <= 64
+          AND h.inf_hr*100 <= 192) AS ok
+  FROM hstat h
+  JOIN lstat l ON h.pid = l.pid AND h.r = l.r AND h.c = l.c
+  JOIN centers cen ON h.r = cen.r AND h.c = cen.c
+),
+cand AS (
+  SELECT pid,
+         list(struct_pack(r := r, c := c, ok := ok) ORDER BY ord) AS lst
+  FROM flagged GROUP BY pid
+),
+walk AS (
+  SELECT pid, lst, CAST(-1 AS BIGINT) AS i,
+         CAST([] AS STRUCT(r BIGINT, c BIGINT)[]) AS kept
+  FROM cand
+  UNION ALL
+  SELECT pid,
+         CASE WHEN cur.ok THEN
+           list_filter(lst, x ->
+             NOT (x.r >= cur.r + 9 AND x.r <= cur.c + 8)
+             AND NOT (x.c >= cur.r + 9 AND x.c <= cur.c + 8))
+         ELSE lst END,
+         i1,
+         CASE WHEN cur.ok
+              THEN list_append(kept, struct_pack(r := cur.r, c := cur.c))
+              ELSE kept END
+  FROM (
+    SELECT pid, lst, kept, i + 1 AS i1, lst[CAST(i + 2 AS INTEGER)] AS cur
+    FROM walk
+    WHERE i < len(lst) - 1
+  )
+),
+final AS (
+  SELECT pid, max_by(kept, i) AS kept FROM walk GROUP BY pid
+),
+surv AS (
+  SELECT pid, u.r, u.c
+  FROM final, unnest(kept) t(u)
+)
+SELECT CAST(s.pid AS BIGINT) AS pair_id,
+       CAST(count(*) AS BIGINT) AS n_crops,
+       CAST(sum(s.r) AS BIGINT) AS sum_r,
+       CAST(sum(s.c) AS BIGINT) AS sum_c,
+       CAST(sum(f.nz_hr) AS BIGINT) AS nz_hr_total
+FROM surv s
+JOIN flagged f ON f.pid = s.pid AND f.r = s.r AND f.c = s.c
+GROUP BY s.pid ORDER BY pair_id
 """

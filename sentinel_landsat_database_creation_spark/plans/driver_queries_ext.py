@@ -50,6 +50,7 @@ from ..operators.textops import (
 from ..sources.testdata import normalize_event_ts, table
 from ..streaming.drain import drain_checkpoint_dir
 from . import crop_volume as _cv
+from . import scene_volume as _sv
 
 import contextlib
 import os
@@ -818,16 +819,14 @@ def q_delta_neardup(spark: SparkSession, sf: str) -> DataFrame:
     written files, and candidates exact-verify on a semi-join-pruned
     corpus re-shingle. The production loop for a growing corpus —
     delta_dedup's near-dup sibling."""
-    import os
-    import tempfile
-
     from ..operators.dedup import delta_neardup, lsh_index_write
+    from ..session import session_tmp_path
 
     d = table(spark, sf, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"slc_lsh_index_{tag}")
+    path = session_tmp_path(spark, f"lsh_index_{tag}")
     lsh_index_write(corpus, path)
     index = spark.read.parquet(path)
     return delta_neardup(corpus, batch, index).orderBy(
@@ -878,6 +877,50 @@ ORDER BY batch_doc, corpus_doc
 
 
 SQL_DELTA_NEARDUP = _sql_delta_neardup()
+
+
+def q_lsh_append_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH index MAINTENANCE end-to-end (operators/dedup.py:
+    lsh_index_append): generation 1 of the corpus (odd doc_ids) lands
+    its bucket index with lsh_index_write, generation 2 (even, %10!=0)
+    arrives later and APPENDS its buckets, and the probe batch
+    (doc_id%10==0) runs delta_neardup against the grown index read
+    from the files. The union corpus/batch split equals delta_neardup's
+    (corpus = %10!=0), so the exact oracle is shared — and at sf0.01
+    the verified pairs include corpus partners of BOTH parities
+    (3 odd-gen, 3 even-gen), so a broken append (or a stale
+    one-generation index) loses rows and hash-mismatches instead of
+    passing silently."""
+    from ..operators.dedup import (
+        delta_neardup,
+        lsh_index_append,
+        lsh_index_write,
+    )
+    from ..session import session_tmp_path
+
+    d = table(spark, sf, "documents")
+    gen1 = d.filter(F.col("doc_id") % 2 == 1)
+    gen2 = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 != 0))
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = session_tmp_path(spark, f"lsh_index_grown_{tag}")
+    import os
+
+    # Write + append once per session (the path is applicationId-keyed,
+    # so "exists" can only mean this session already built it); the
+    # probe below re-reads the concrete files every call, and
+    # delta_neardup's candidate memo keys on that file listing.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lsh_index_write(gen1, path)
+        lsh_index_append(gen2, path)
+    index = spark.read.parquet(path)
+    return delta_neardup(corpus, batch, index).orderBy(
+        "batch_doc", "corpus_doc"
+    )
+
+
+SQL_LSH_APPEND_PROBE = SQL_DELTA_NEARDUP
 
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -2401,15 +2444,13 @@ def q_corpus_compact(spark: SparkSession, sf: str) -> DataFrame:
     (ceil(n/1000) — one aligned writer task per lang, size-bounded);
     the before-fragmentation count is pinned by a unit test instead
     (task-to-file assignment is engine-internal, not closed-form)."""
-    import os
-    import tempfile
-
+    from ..session import session_tmp_path
     from ..sources.corpus import compact_corpus
 
     docs = table(spark, sf, "documents")
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
-    frag = os.path.join(tempfile.gettempdir(), f"slc_corpus_frag_{tag}")
-    dst = os.path.join(tempfile.gettempdir(), f"slc_corpus_compact_{tag}")
+    frag = session_tmp_path(spark, f"corpus_frag_{tag}")
+    dst = session_tmp_path(spark, f"corpus_compact_{tag}")
     (
         docs.repartition(17, F.col("doc_id"))
         .write.mode("overwrite")
@@ -2647,10 +2688,16 @@ REGISTRY_EXT = {
     "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
     "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),
     "delta_neardup": (q_delta_neardup, SQL_DELTA_NEARDUP),
+    "lsh_append_probe": (q_lsh_append_probe, SQL_LSH_APPEND_PROBE),
     "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
     "normalized_dedup": (q_normalized_dedup, SQL_NORMALIZED_DEDUP),
+    "scene_tensors_volume": (
+        _sv.q_scene_tensors_volume,
+        _sv.SQL_SCENE_TENSORS_VOLUME,
+    ),
     "crop_volume": (_cv.q_crop_volume, _cv.SQL_CROP_VOLUME),
-    # greedy is the reference's order-dependent mutating-list walk —
-    # not SQL-expressible (SURVEY §2 op 33 disposition); rows-only.
-    "crop_volume_greedy": (_cv.q_crop_volume_greedy, None),
+    # the reference's order-dependent mutating-list walk, sealed at
+    # fixture scale by a DuckDB recursive CTE carrying (cursor,
+    # surviving-list) state — see SQL_CROP_VOLUME_GREEDY's comment.
+    "crop_volume_greedy": (_cv.q_crop_volume_greedy, _cv.SQL_CROP_VOLUME_GREEDY),
 }

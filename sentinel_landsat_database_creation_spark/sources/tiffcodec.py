@@ -72,7 +72,12 @@ def encode_gray(
     (data_pair/fct_data_extraction.py:15-17)."""
     if len(pixels) != height * width:
         raise ValueError(f"expected {height * width} pixels, got {len(pixels)}")
-    data = struct.pack(f"<{height * width}f", *[float(p) for p in pixels])
+    try:  # numpy fast path: ~100x over struct.pack arg-unpacking at 1e5+ px
+        import numpy as np
+
+        data = np.asarray(pixels, dtype="<f4").tobytes()
+    except ImportError:  # pragma: no cover - numpy is a pyspark dep
+        data = struct.pack(f"<{height * width}f", *[float(p) for p in pixels])
 
     entries: list[tuple[int, int, int, int]] = []  # (tag, type, count, value)
     extra: list[bytes] = []  # out-of-line values, appended after the IFD
@@ -181,7 +186,16 @@ def decode_gray(buf: bytes) -> tuple[int, int, list[float]]:
     counts = tags[_T_STRIP_BYTE_COUNTS]
     raw = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
     n = height * width * samples
-    values = struct.unpack(f"{e}{n}{fmt}", raw[: n * struct.calcsize(fmt)])
-    if samples > 1:  # band 1 of pixel-interleaved data, like .read(1)
-        values = values[::samples]
-    return height, width, [float(v) for v in values]
+    try:  # numpy fast path (~10x): C-speed buffer view + tolist
+        import numpy as np
+
+        dt = np.dtype(fmt).newbyteorder(e)
+        values = np.frombuffer(raw, dtype=dt, count=n)
+        if samples > 1:  # band 1 of pixel-interleaved data, like .read(1)
+            values = values[::samples]
+        return height, width, values.astype("float32").tolist()
+    except ImportError:  # pragma: no cover - numpy is a pyspark dep
+        values = struct.unpack(f"{e}{n}{fmt}", raw[: n * struct.calcsize(fmt)])
+        if samples > 1:
+            values = values[::samples]
+        return height, width, [float(v) for v in values]

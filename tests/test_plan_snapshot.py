@@ -1,0 +1,133 @@
+"""Mechanical pin for the _PROVEN_TAIL rotation policy (round-5
+VERDICT item 7).
+
+The driver's correctness gate checks only the first 50 registry
+entries each round; spilled (tail) entries rely on the claim "nothing
+touched this query's plan since its last green check". That claim used
+to rest on diff review. This test makes it a CHECK: every registry
+entry's analyzed logical plan — normalized for the things that
+legitimately vary per session (expression ids, application ids, temp
+paths, stream query uuids) — is hashed against a committed snapshot
+(tests/plan_snapshot.json). An accidental plan change in a tail query
+now fails CI the same day, instead of surfacing rounds later at its
+next driver check.
+
+Deliberate plan changes update the snapshot by re-running
+``python scripts/gen_plan_snapshot.py`` (which probes two fresh
+sessions and records only entries whose normalized plan is
+session-stable; the rest are listed under "excluded" with the driver
+gate as their only guard — keep that list short).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SNAPSHOT_PATH = Path(__file__).parent / "plan_snapshot.json"
+SF_DIR = "/root/testdata/sf0.01"
+
+# Session-variant tokens, in the order they must be scrubbed.
+_NORM_RULES = [
+    (re.compile(r"#\d+"), "#N"),  # expression ids
+    # pyspark auto-names HOF lambda variables x_/y_/z_<process-global
+    # counter> — the counter depends on how many lambdas the process
+    # created before this plan
+    (re.compile(r"\b([xyz])_\d+\b"), r"\1_"),
+    (re.compile(r"local-\d+"), "APP"),  # applicationId (incl. tmp paths)
+    (
+        re.compile(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"),
+        "UUID",
+    ),
+    (re.compile(r"/tmp/[^\s,)\]]*"), "/TMP"),  # scratch paths
+    (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),  # object identity hashes
+]
+
+
+def normalized_plan(df) -> str:
+    s = df._jdf.queryExecution().analyzed().toString()
+    for pat, repl in _NORM_RULES:
+        s = pat.sub(repl, s)
+    return s
+
+
+def plan_hash(df) -> str:
+    return hashlib.md5(normalized_plan(df).encode()).hexdigest()
+
+
+def _snapshot() -> dict:
+    if not SNAPSHOT_PATH.exists():  # first generation bootstrap
+        return {"plans": {}, "excluded": [], "allowed_unpinned_tail": {}}
+    return json.loads(SNAPSHOT_PATH.read_text())
+
+
+SNAP = _snapshot()
+
+
+@pytest.mark.parametrize("name", sorted(SNAP["plans"]))
+def test_plan_matches_snapshot(spark, name):
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    assert name in REGISTRY, (
+        f"{name} is in the snapshot but not the registry — re-run "
+        "scripts/gen_plan_snapshot.py after removing a query"
+    )
+    df = REGISTRY[name][0](spark, SF_DIR)
+    got = plan_hash(df)
+    want = SNAP["plans"][name]
+    assert got == want, (
+        f"{name}: analyzed plan changed since the committed snapshot.\n"
+        "If the change is DELIBERATE, re-run scripts/gen_plan_snapshot.py "
+        "and commit the updated tests/plan_snapshot.json — and if the "
+        "query is in _PROVEN_TAIL, move it back into the driver-check "
+        "prefix this round (plans/driver_queries.py rotation policy).\n"
+        f"normalized plan follows:\n{normalized_plan(df)[:4000]}"
+    )
+
+
+def test_snapshot_covers_registry():
+    """Every registry entry is either snapshotted or explicitly
+    excluded (with the exclusion listed in the snapshot file), so a new
+    query can't silently skip the pin."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    covered = set(SNAP["plans"]) | set(SNAP["excluded"])
+    missing = sorted(set(REGISTRY) - covered)
+    assert not missing, (
+        f"registry entries missing from the plan snapshot: {missing} — "
+        "re-run scripts/gen_plan_snapshot.py"
+    )
+
+
+def test_tail_entries_are_pinned():
+    """The rotation policy's load-bearing set: every _PROVEN_TAIL entry
+    must carry a plan pin (a tail entry in 'excluded' would re-open the
+    manual-diff-review hole this test exists to close) — unless its
+    exclusion is one of the documented session-variant streaming
+    shapes."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        _PROVEN_TAIL,
+    )
+
+    unpinned = [
+        n
+        for n in _PROVEN_TAIL
+        if n not in SNAP["plans"] and n not in SNAP["allowed_unpinned_tail"]
+    ]
+    assert not unpinned, (
+        f"tail entries without a plan pin: {unpinned} — either make "
+        "their plans deterministic, move them into the driver-check "
+        "prefix, or (for inherently session-variant plans) add them to "
+        "allowed_unpinned_tail with a reason in gen_plan_snapshot.py"
+    )

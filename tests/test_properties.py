@@ -527,3 +527,68 @@ def test_pack_sequences_matches_sequential_reference(spark, sizes, budget, shard
         (sh, seq, len(ns), sum(ns)) for (sh, seq), ns in packed.items()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# slice_crop_pairs chunk-boundary math (round-5 VERDICT item 8): the
+# chunk explode (ceil(n/centers_per_chunk) slices of the collected
+# center array) is the one expression subtree the volume fixtures pin
+# only through aggregate hashes. This drives n across every boundary
+# shape (n % cp in {0, 1, cp-1}, n < cp, n = cp) against a direct
+# per-center Python reference of the slice semantics (including the
+# NumPy-faithful right-edge clamp and bottom truncation).
+
+_cp_centers = st.lists(
+    st.tuples(st.integers(2, 7), st.integers(2, 7)),
+    min_size=1,
+    max_size=9,
+    unique=True,
+)
+
+
+def _ref_slice2d(flat, width, r0, c0, h, w):
+    w_eff = max(min(w, width - c0), 0)
+    out = []
+    for r in range(r0, r0 + h):
+        start = r * width + c0
+        if start >= len(flat) or w_eff == 0:
+            continue
+        out.extend(flat[start : start + w_eff])
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_cp_centers, st.integers(min_value=1, max_value=4))
+def test_slice_crop_pairs_chunk_boundaries(spark, centers, cp):
+    from sentinel_landsat_database_creation_spark.operators.crops import (
+        slice_crop_pairs,
+    )
+
+    W, B, S = 8, 4, 2
+    LW = W // S
+    hr = [float(i % 97) + 1.0 for i in range(W * W)]
+    lr = [float((i * 7) % 89) + 1.0 for i in range(LW * LW)]
+    pairs = spark.createDataFrame(
+        [(1, [hr], W, [lr], LW)],
+        "pair_id long, hr_bands array<array<double>>, hr_width int, "
+        "lr_bands array<array<double>>, lr_width int",
+    )
+    cdf = spark.createDataFrame(
+        [(1, i, r, c) for i, (r, c) in enumerate(centers)],
+        "mask_id int, ord long, r int, c int",
+    )
+    got = {
+        (row["r"], row["c"]): (row["hr_crop"][0], row["lr_crop"][0])
+        for row in slice_crop_pairs(
+            pairs, cdf, batch_size=B, scale=S, centers_per_chunk=cp
+        ).collect()
+    }
+    assert len(got) == len(centers)
+    half = B // 2
+    for r, c in centers:
+        want_hr = _ref_slice2d(hr, W, r - half, c - half, B, B)
+        want_lr = _ref_slice2d(
+            lr, LW, (r - half) // S, (c - half) // S, B // S, B // S
+        )
+        assert got[(r, c)][0] == want_hr, (r, c, cp)
+        assert got[(r, c)][1] == want_lr, (r, c, cp)

@@ -1,0 +1,354 @@
+#!/usr/bin/env python
+"""One measured decade of scaling (round-5 VERDICT item 5).
+
+The engine's 100x claims are argued from plan shape (bucketed joins,
+bounded per-group state, no global sorts) plus measured OOM stories;
+this script grounds them with numbers: it builds a 10x synthetic of
+the bench tables (sf0.1 -> "sf1"), runs the most expensive registry
+queries at BOTH scale factors in identical fresh sessions (same
+deliberate 1 GB local-mode heap), and reports the observed scaling
+exponent per query: e = log10(t_sf1 / t_sf0.1), so e = 1.0 is perfect
+linear scaling, < 1 is sublinear (fixed overheads amortizing), > 1 is
+superlinear (a shape that would NOT survive 100x).
+
+The 10x tables are structure-preserving, not naive copies — naive
+duplication would square the near-dup pair space and measure a
+different workload:
+
+- documents: 10 copies; every TOKEN gets a copy-suffix
+  (regexp_replace(text, '(\\S+)', '$1zK')), so within-copy shingle
+  structure is isomorphic to the original (token and shingle counts
+  unchanged, near-dup pairs exactly 10x) while cross-copy shingle
+  overlap is zero. doc_id += K*1e6 preserves the %10/%2 batch splits.
+- embeddings: 10 copies; each copy applies its own deterministic
+  diagonal +-1 sign pattern. Within-copy dot products and norms are
+  EXACTLY preserved (diag(s) is orthogonal), cross-copy cosines are
+  sign-scrambled noise — near-dup pairs scale 10x, not 100x.
+- events: 10 copies with user_id/event_id offsets — 10x users, each
+  with the original per-user session structure.
+- lineitem: 10 copies with key offsets (pure scan+agg scaling line).
+
+The generated-fixture queries (crop_volume*, scene_tensors_volume)
+scale through their params_for tier instead: sf>=0.5 selects 10x the
+pair count at the same raster dims (~1M candidate crops / ~8000 band
+files).
+
+Writes BENCH_SCALE.json at the repo root. Offline experiment script —
+fixed output path, run it by hand, not concurrently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/slc_scaleup/sf1"
+COPIES = 10
+
+# Hash/shuffle-shaped queries: per-task state is rows of hashes and
+# counters, so they run at 10x data in the SAME local[32] / 1 GB
+# session the bench uses.
+TABLE_QUERIES = [
+    "minhash_lsh",
+    "minhash_estimate",
+    "span_dedup",
+    "stream_sessions",
+    "user_sessions",
+    "pricing_summary",
+]
+
+# Memory-bound queries: per-task (or driver-broadcast) working sets
+# grow with the data — raster payloads of 36-150 MB at sf1 for the
+# volume fixtures, the 10x near-dup pair/label tables for the
+# clustering pair. At 1 GB / 32 slots that is 32 MB per concurrent
+# task, a ~100x leaner memory:core ratio than any production executor
+# (measured failure modes at local[32]: netty direct-memory exhaustion
+# in the Arrow encode stage, heap death in decode/stack, AQE broadcast
+# build failure in the pair pipeline). The honest probe runs BOTH
+# scale factors for these at local[8] — same 1 GB heap, 4x the
+# per-slot memory, the knob a cluster turns by sizing executor memory
+# per core — so each exponent compares identical conditions.
+CAPPED_QUERIES = [
+    "neardup_pipeline",
+    "dedup_clusters",
+    "delta_neardup",
+    "crop_volume",
+    "crop_volume_greedy",
+    "scene_tensors_volume",
+]
+
+QUERIES = TABLE_QUERIES + CAPPED_QUERIES
+
+# Deliberately NOT probed at 10x: the exact all-pairs verifiers are
+# O(N^2) BY DESIGN (the brute-force baselines the bucketed family is
+# measured against); 10x data means 100x pairs (2.5G candidate pairs
+# for jaccard at sf1), which no fixed harness survives and no
+# production pipeline runs — the scale path IS minhash_lsh /
+# neardup_pipeline / lsh_topk, which the probe covers.
+QUADRATIC_BASELINES = {
+    "jaccard_neardup": "exact all-pairs n-gram Jaccard: O(N^2) verify",
+    "embed_cosine_neardup": "exact all-pairs cosine: O(N^2) verify",
+}
+
+# scan/Arrow/reducer sizing for the capped sessions (see
+# plans/scene_volume.py's Arrow-batch story): bound scan partitions,
+# Arrow batches, AND the AQE coalesce target so per-task buffers match
+# the per-slot budget — compressed shuffle statistics under-estimate
+# the decompressed payload working set by 3-4x, so the default 64m
+# advisory target produced 130 MB-decompressed reduce tasks (heap
+# death at 8 concurrent).
+CAPPED_CONF = {
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.sql.files.openCostInBytes": "1m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+}
+
+
+def _fresh_session(
+    name: str, extra_conf: dict | None = None, master: str | None = None
+):
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    from sentinel_landsat_database_creation_spark.session import get_spark
+
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    spark = get_spark(app_name=name, extra_conf=extra_conf, master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm JVM + python worker pool, as bench.py does
+    spark.read.parquet(f"{SF01}/region.parquet").count()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()
+    return spark
+
+
+def build_sf1(spark) -> None:
+    if os.path.exists(os.path.join(SF1, "_DONE")):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    t0 = time.perf_counter()
+
+    def copies(df, transform):
+        out = None
+        for k in range(COPIES):
+            c = transform(df, k)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    copies(
+        docs,
+        lambda d, k: d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 1_000_000)
+        ).withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"$1z{k}")
+        ),
+    ).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+
+    def emb_copy(d, k):
+        # deterministic diagonal +-1 per (dim, copy): orthogonal, so
+        # within-copy geometry is exact; cross-copy cosines scramble
+        def signed(x, i):
+            h = (i.cast("long") * 2654435761 + F.lit(k * 40503)) % 97
+            return F.when(h % 2 == 0, x).otherwise(-x)
+
+        px = F.transform("embedding", lambda x, i: signed(x, i))
+        return d.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(k * 10_000_000)
+        ).withColumn("embedding", px)
+
+    copies(emb, emb_copy).write.mode("overwrite").parquet(
+        f"{SF1}/embeddings.parquet"
+    )
+
+    # events must land as a single FLAT file named events.parquet: the
+    # streaming sources read `.option("pathGlobFilter",
+    # "events.parquet").parquet(sf_dir)`, which matches file names, not
+    # directories (parquet row-group splitting keeps batch reads
+    # parallel despite the single file)
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    tmp_ev = f"{SF1}/_tmp_events"
+    copies(
+        ev,
+        lambda d, k: d.withColumn(
+            "user_id", F.col("user_id") + F.lit(k * 100_000_000)
+        ).withColumn("event_id", F.col("event_id") + F.lit(k * 1_000_000_000)),
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_ev)
+    import glob as _glob
+    import shutil
+
+    part = _glob.glob(f"{tmp_ev}/part-*.parquet")[0]
+    shutil.move(part, f"{SF1}/events.parquet")
+    shutil.rmtree(tmp_ev)
+
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    copies(
+        li,
+        lambda d, k: d.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+        ),
+    ).write.mode("overwrite").parquet(f"{SF1}/lineitem.parquet")
+
+    # tables the selected queries touch only lightly: symlink-free
+    # passthrough copies so sources.testdata finds them
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        spark.read.parquet(f"{SF01}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SF1}/{t}.parquet")
+
+    with open(os.path.join(SF1, "_DONE"), "w") as f:
+        f.write("ok")
+    print(f"sf1 build: {time.perf_counter() - t0:.1f}s")
+
+
+def _context_dead(spark) -> bool:
+    try:
+        return spark.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001
+        return True
+
+
+def run_set(
+    spark,
+    sf_dir: str,
+    queries: list[str],
+    session_name: str,
+    extra_conf: dict | None = None,
+    master: str | None = None,
+) -> tuple[dict, dict, object]:
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        drain_memo_build_log,
+    )
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    timings: dict[str, float] = {}
+    memo: dict[str, float] = {}
+    drain_memo_build_log()
+    for name in queries:
+        # like bench.py: one query killing the JVM (OOM at scale IS a
+        # finding worth recording) must not void every later query
+        if _context_dead(spark):
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 - dead gateway
+                pass
+            spark = _fresh_session(session_name, extra_conf, master)
+            print("  [session revived]")
+        fn = REGISTRY[name][0]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            print(f"  {name}@{sf_dir}: FAILED {type(exc).__name__}: {exc}"[:300])
+            drain_memo_build_log()
+            continue
+        sample = time.perf_counter() - t0
+        for label, secs in drain_memo_build_log():
+            memo[label] = memo.get(label, 0.0) + secs
+            sample -= secs
+        timings[name] = round(max(sample, 0.0), 3)
+        print(f"  {name}@{sf_dir}: {timings[name]}s")
+    return timings, {k: round(v, 3) for k, v in memo.items()}, spark
+
+
+def main() -> None:
+    spark = _fresh_session("scale-build")
+    build_sf1(spark)
+    spark.stop()
+
+    t01: dict = {}
+    t1: dict = {}
+    m01: dict = {}
+    m1: dict = {}
+
+    # Disk-backed memo blocks for BOTH scale factors (same conditions
+    # on both sides of the exponent): the default on-heap
+    # materialization of the 10x shingle table killed the 1 GB JVM —
+    # see operators/dedup.py:_memo_storage_level for the 100 TB rule
+    # this expresses.
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_MEMO_STORAGE"] = "DISK_ONLY"
+
+    print("run table queries @ sf0.1 (local[32]) ...")
+    spark = _fresh_session("scale-sf01")
+    a, b, spark = run_set(spark, SF01, TABLE_QUERIES, "scale-sf01")
+    t01.update(a)
+    m01.update(b)
+    spark.stop()
+
+    print("run table queries @ sf1 (local[32]) ...")
+    spark = _fresh_session("scale-sf1")
+    a, b, spark = run_set(spark, SF1, TABLE_QUERIES, "scale-sf1")
+    t1.update(a)
+    m1.update(b)
+    spark.stop()
+
+    print("run capped queries @ sf0.1 (local[8]) ...")
+    spark = _fresh_session("scale-p01", CAPPED_CONF, "local[8]")
+    a, b, spark = run_set(
+        spark, SF01, CAPPED_QUERIES, "scale-p01", CAPPED_CONF, "local[8]"
+    )
+    t01.update(a)
+    m01.update(b)
+    spark.stop()
+
+    print("run capped queries @ sf1 (local[8]) ...")
+    spark = _fresh_session("scale-p1", CAPPED_CONF, "local[8]")
+    a, b, spark = run_set(
+        spark, SF1, CAPPED_QUERIES, "scale-p1", CAPPED_CONF, "local[8]"
+    )
+    t1.update(a)
+    m1.update(b)
+    spark.stop()
+
+    import math
+
+    exponents = {}
+    for name in QUERIES:
+        a, b = t01.get(name), t1.get(name)
+        if a and b and a > 0:
+            exponents[name] = round(math.log10(b / a), 3)
+        else:
+            exponents[name] = None
+    payload = {
+        "metric": "scaleup_decade",
+        "copies": COPIES,
+        "capped_queries": CAPPED_QUERIES,
+        "capped_master": "local[8]",
+        "capped_conf": CAPPED_CONF,
+        "quadratic_baselines_excluded": QUADRATIC_BASELINES,
+        "memo_storage": "DISK_ONLY",
+        "sf01": t01,
+        "sf1": t1,
+        "memo_sf01": m01,
+        "memo_sf1": m1,
+        "exponent": exponents,
+    }
+    out = Path(__file__).resolve().parents[1] / "BENCH_SCALE.json"
+    out.write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

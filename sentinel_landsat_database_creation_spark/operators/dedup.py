@@ -112,6 +112,26 @@ def log_setup_time(label: str, seconds: float) -> None:
 _MEMO_TLS = __import__("threading").local()
 
 
+def _memo_storage_level():
+    """Storage level for memoized checkpoint blocks. Default (None) is
+    localCheckpoint's MEMORY_AND_DISK(deser) — right for the bench's
+    sf0.1 working sets. SPARK_GRAFT_MEMO_STORAGE=DISK_ONLY switches to
+    disk-backed blocks: at 10x data the eager on-heap materialization
+    of the shingle table alone killed a 1 GB JVM (measured,
+    scripts/bench_scale.py) — the local-mode expression of the 100 TB
+    rule that big shared intermediates land in storage you SIZED for
+    them (parquet staging / disk-backed cache), never in executor
+    heap."""
+    import os as _os
+
+    name = _os.environ.get("SPARK_GRAFT_MEMO_STORAGE")
+    if not name:
+        return None
+    from pyspark import StorageLevel
+
+    return getattr(StorageLevel, name)
+
+
 def _timed_build(tag: tuple, builder):
     """Build + eagerly checkpoint a memo entry, logging the build's OWN
     wall seconds (minus nested memo builds) to MEMO_BUILD_LOG."""
@@ -123,7 +143,9 @@ def _timed_build(tag: tuple, builder):
     stack.append(0.0)
     t0 = _time.perf_counter()
     try:
-        out = builder().localCheckpoint(eager=True)
+        out = builder().localCheckpoint(
+            eager=True, storageLevel=_memo_storage_level()
+        )
     except Exception:
         stack.pop()
         raise

@@ -62,22 +62,33 @@ def stack_bands(band_rasters: DataFrame, n_bands: int = 4) -> DataFrame:
     reference would silently mis-stack or throw per scene
     (main_function_beta.py:160-163 swallows errors); here the filter is
     explicit. One shuffle on scene, partial-aggregated map-side.
-    """
+
+    The dims-consistency check is min(struct) == max(struct), NOT
+    count_distinct: a distinct aggregate alongside collect_list makes
+    Catalyst rewrite the whole aggregation through an Expand (row
+    duplication) + two-phase plan, so every PIXEL PAYLOAD rode the
+    expand and double buffering — measured at the 10x scale probe
+    (scripts/bench_scale.py) as a guaranteed heap death at 1000 scenes
+    (1 GB / local[8]) while the min/max form finishes in ~15 s on the
+    same data. min==max over (height, width) structs is the same
+    predicate with plain aggregates."""
+    dims = F.struct("height", "width")
     stacked = (
         band_rasters.groupBy("scene")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("band_rank", "pixels"))
             ).alias("ranked"),
-            F.count_distinct("height", "width").alias("n_dims"),
-            F.first("height").alias("height"),
-            F.first("width").alias("width"),
+            F.min(dims).alias("_dmin"),
+            F.max(dims).alias("_dmax"),
         )
-        .filter((F.size("ranked") == n_bands) & (F.col("n_dims") == 1))
+        .filter(
+            (F.size("ranked") == n_bands) & (F.col("_dmin") == F.col("_dmax"))
+        )
     )
     return stacked.select(
         "scene",
-        "height",
-        "width",
+        F.col("_dmin.height").alias("height"),
+        F.col("_dmin.width").alias("width"),
         F.transform(F.col("ranked"), lambda s: s["pixels"]).alias("bands"),
     )

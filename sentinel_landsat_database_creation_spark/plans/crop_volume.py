@@ -48,6 +48,15 @@ def params_for(sf_dir: str) -> dict:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = 0.01
+    if sf >= 0.5:  # scale-up probe (scripts/bench_scale.py): 10x bench.
+        # memo=False: 280 pairs x ~2.3 MB of generated bands is ~650 MB
+        # of checkpoint blocks — materializing that in the deliberate
+        # 1 GB heap OOMs the JVM (measured, r5). At this tier the
+        # tensors regenerate per consuming phase instead: linear extra
+        # compute, O(TENSOR_SLOTS x one pair) memory — the same trade a
+        # real deployment makes by reading tensors from parquet rather
+        # than pinning them in executor storage.
+        return {"n_pairs": 280, "hrw": 256, "lrw": 85, "memo": False}
     if sf >= 0.05:
         return {"n_pairs": 28, "hrw": 256, "lrw": 85}
     return {"n_pairs": 6, "hrw": 64, "lrw": 21}
@@ -149,11 +158,14 @@ def crop_volume_dataset(
     # blocks at sf0.1 — storage is evictable under pressure (unlike the
     # execution spikes that motivated TENSOR_SLOTS), and the blocks are
     # shared by both the native and greedy volume queries.
-    tensors = _memo_checkpoint(
-        spark.range(1),
-        ("crop_volume_tensors", p["n_pairs"], p["hrw"], p["lrw"]),
-        lambda: volume_tensors(spark, p["n_pairs"], p["hrw"], p["lrw"]),
-    )
+    if p.get("memo", True):
+        tensors = _memo_checkpoint(
+            spark.range(1),
+            ("crop_volume_tensors", p["n_pairs"], p["hrw"], p["lrw"]),
+            lambda: volume_tensors(spark, p["n_pairs"], p["hrw"], p["lrw"]),
+        )
+    else:  # scale tier: see params_for — regenerate instead of caching
+        tensors = volume_tensors(spark, p["n_pairs"], p["hrw"], p["lrw"])
     cfg = CropConfig(
         batch_size=BATCH, scale=SCALE, pct_overlap=PCT, compat=compat
     )

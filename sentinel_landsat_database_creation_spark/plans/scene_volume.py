@@ -74,6 +74,15 @@ def params_for(sf_dir: str) -> dict:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = 0.01
+    if sf >= 0.5:  # scale-up probe (scripts/bench_scale.py): 10x bench.
+        # slots=8: every concurrent Arrow-boundary task holds netty
+        # direct-memory arenas (32 MB chunks); 32 concurrent encode
+        # tasks exhausted the JVM's 1 GB direct-memory cap at this
+        # volume (measured: OutOfDirectMemoryError at used=1.04 GB).
+        # 8 slots keep the same throughput shape inside the cap — the
+        # local[32] expression of sizing executor direct memory to the
+        # Python-boundary concurrency.
+        return {"n_pairs": 1000, "hrw": 192, "lrw": 64, "slots": 8}
     if sf >= 0.05:
         return {"n_pairs": 100, "hrw": 192, "lrw": 64}
     return {"n_pairs": 6, "hrw": 64, "lrw": 21}
@@ -95,6 +104,7 @@ def _band_rows(
     width: int,
     b0: int,
     bands: tuple[str, ...],
+    slots: int = 32,
 ) -> DataFrame:
     """One row per (pair, band): deterministic integer-valued float
     pixels from the closed-form spec, generated as native expressions
@@ -112,7 +122,7 @@ def _band_rows(
             % F.lit(1000)
         ).cast("double"),
     )
-    return spark.range(0, n_pairs * 4, 1, 32).select(
+    return spark.range(0, n_pairs * 4, 1, min(slots, n_pairs * 4)).select(
         _scene_col(prefix, pid).alias("scene"),
         F.element_at(
             F.array(*[F.lit(b) for b in bands]), (bi + 1).cast("int")
@@ -151,11 +161,14 @@ def ensure_fixture(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(marker):
         return root
     t0 = time.perf_counter()
+    slots = p.get("slots", 32)
     rows = (
-        _band_rows(spark, p["n_pairs"], HR_PREFIX, p["hrw"], 0, SENTINEL_BANDS)
+        _band_rows(
+            spark, p["n_pairs"], HR_PREFIX, p["hrw"], 0, SENTINEL_BANDS, slots
+        )
         .unionByName(
             _band_rows(
-                spark, p["n_pairs"], LR_PREFIX, p["lrw"], 4, LANDSAT_BANDS
+                spark, p["n_pairs"], LR_PREFIX, p["lrw"], 4, LANDSAT_BANDS, slots
             )
         )
         .unionByName(_decoy_rows(spark, p["n_pairs"], HR_PREFIX))
@@ -215,11 +228,26 @@ def q_scene_tensors_volume(spark: SparkSession, sf: str) -> DataFrame:
     """E3 at volume: binaryFile scan of the written GeoTIFF tree ->
     band-file filter -> mapInPandas decode -> band stack -> per-scene
     integer pixel stats, HR and LR sides unioned. The DuckDB oracle
-    re-derives every stat from the closed-form pixel spec."""
+    re-derives every stat from the closed-form pixel spec.
+
+    The two sensor sides are materialized ONE AT A TIME (each side's
+    summary is n_scenes rows of longs, eagerly checkpointed) instead
+    of as one union job: a single job lets AQE materialize both
+    decode+stack exchanges concurrently, and at the 10x probe volume
+    the interleaved payload stages exceeded the 1 GB harness heap
+    while either side alone ran in ~15 s (measured,
+    scripts/bench_scale.py). Sequencing bounds peak memory to one
+    side's pipeline; on a memory-sized cluster the concurrent form is
+    fine, but the sequential one costs nothing (the sides share no
+    work) and survives everywhere."""
     root = ensure_fixture(spark, sf)
     files = scene_file_listing(spark, root)
-    hr = _summarize_side(files, HR_PREFIX, SENTINEL_BANDS, "hr")
-    lr = _summarize_side(files, LR_PREFIX, LANDSAT_BANDS, "lr")
+    hr = _summarize_side(files, HR_PREFIX, SENTINEL_BANDS, "hr").localCheckpoint(
+        eager=True
+    )
+    lr = _summarize_side(files, LR_PREFIX, LANDSAT_BANDS, "lr").localCheckpoint(
+        eager=True
+    )
     return hr.unionByName(lr).orderBy("pair_id", "side")
 
 

@@ -333,3 +333,51 @@ def test_promo_revenue_broadcasts_part_and_pushes_window(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
     # column pruning: only the four lineitem columns the query needs
     assert "l_comment" not in plan and "l_tax" not in plan
+
+
+def test_scene_volume_python_boundary_and_payload_discipline(spark):
+    """VERDICT r5 item 1: E3's Python boundary is exactly the decode
+    mapInPandas (one per sensor side), fed by the band-FILTERED file
+    rows — never the QA decoys — and everything downstream of the
+    stack runs JVM-side. Pinned per side from the executed plan (the
+    two sides are materialized as separate jobs — the sequencing that
+    keeps the 10x probe inside a 1 GB heap, scripts/bench_scale.py):
+    exactly one MapInPandas whose input carries the band filter, no
+    other Python eval, and the scene key never leaves the stack
+    aggregation carrying payload into the final project's exchange
+    inputs."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.plans import (
+        scene_volume as sv,
+    )
+
+    root = sv.ensure_fixture(spark, "/root/testdata/sf0.01")
+    files = sv.scene_file_listing(spark, root)
+    side = sv._summarize_side(files, sv.HR_PREFIX, sv.SENTINEL_BANDS, "hr")
+    plan = side._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, "exactly one decode boundary"
+    assert "FlatMapGroupsInPandas" not in plan
+    # the band filter runs BEFORE the decode boundary: the filter's
+    # rlike band-token predicates sit below MapInPandas in the tree
+    below_decode = plan[plan.index("MapInPandas") :]
+    assert "B2" in below_decode and ".xml" in below_decode, (
+        "band/xml filter must be upstream of the decode"
+    )
+    # summary rows leaving the stack are metadata-sized: the final
+    # project exposes only longs/strings (no array payload columns)
+    assert [f.name for f in side.schema.fields] == [
+        "pair_id", "side", "height", "width", "n_bands", "px_sum", "n_high",
+    ]
+    # decoys never reach the decoder: the decoded row count equals
+    # 4 bands x n_pairs, with the QA files dropped by the filter
+    from sentinel_landsat_database_creation_spark.sources.raster import (
+        decode_rasters,
+    )
+
+    bf = sv.filter_band_files(
+        files.filter(F.col("scene").startswith(sv.HR_PREFIX)),
+        sv.SENTINEL_BANDS,
+    )
+    assert bf.count() == 4 * sv.params_for("/root/testdata/sf0.01")["n_pairs"]
+    assert decode_rasters(bf).count() == bf.count()

@@ -85,16 +85,21 @@ def _decode_batches(batches, decode_one, value_col: str) -> Iterator:
         )
 
 
-def decode_tiff_bytes(content: bytes) -> tuple[int, int, list[float]]:
+def decode_tiff_bytes(content: bytes):
     """Band-1 decode of one in-memory GeoTIFF: rasterio when available
     (reference semantics: band 1, float32 —
     data_pair/fct_data_extraction.py:21-26), else the pure-Python
-    uncompressed-TIFF fallback. Worker-side: called inside mapInPandas."""
+    uncompressed-TIFF fallback. Worker-side: called inside mapInPandas.
+
+    Pixels return as a float32 ndarray (list fallback without numpy):
+    pandas columns of ndarray cells serialize to Arrow list<float>
+    ~2-3x faster than columns of Python lists, and this function sits
+    on the engine's one mandatory Python hot path."""
     if HAVE_RASTERIO:
         with rasterio.open(io.BytesIO(bytes(content))) as src:
             arr = src.read(1).astype("float32")
-        return int(arr.shape[0]), int(arr.shape[1]), arr.ravel().tolist()
-    return tiffcodec.decode_gray(bytes(content))
+        return int(arr.shape[0]), int(arr.shape[1]), arr.ravel()
+    return tiffcodec.decode_gray_np(bytes(content))
 
 
 def decode_rasters(band_files: DataFrame) -> DataFrame:

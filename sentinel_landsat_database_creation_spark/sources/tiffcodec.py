@@ -128,9 +128,22 @@ def encode_gray(
     return b"".join(out)
 
 
+def decode_gray_np(buf: bytes):
+    """decode_gray returning (height, width, float32 ndarray-or-list):
+    the Arrow-friendly form the Spark decode boundary uses directly —
+    pandas columns of ndarray cells serialize to Arrow list<float>
+    ~2-3x faster than columns of Python-list cells. Falls back to the
+    list form when numpy is absent."""
+    return _decode_gray_impl(buf, as_list=False)
+
+
 def decode_gray(buf: bytes) -> tuple[int, int, list[float]]:
     """Decode band 1 of an uncompressed TIFF to
     (height, width, float pixels row-major)."""
+    return _decode_gray_impl(buf, as_list=True)
+
+
+def _decode_gray_impl(buf: bytes, as_list: bool):
     if len(buf) < 8:
         raise ValueError("not a TIFF: truncated header")
     bom = buf[:2]
@@ -186,14 +199,15 @@ def decode_gray(buf: bytes) -> tuple[int, int, list[float]]:
     counts = tags[_T_STRIP_BYTE_COUNTS]
     raw = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
     n = height * width * samples
-    try:  # numpy fast path (~10x): C-speed buffer view + tolist
+    try:  # numpy fast path (~10x): C-speed buffer view
         import numpy as np
 
         dt = np.dtype(fmt).newbyteorder(e)
         values = np.frombuffer(raw, dtype=dt, count=n)
         if samples > 1:  # band 1 of pixel-interleaved data, like .read(1)
             values = values[::samples]
-        return height, width, values.astype("float32").tolist()
+        arr = values.astype("float32")
+        return height, width, (arr.tolist() if as_list else arr)
     except ImportError:  # pragma: no cover - numpy is a pyspark dep
         values = struct.unpack(f"{e}{n}{fmt}", raw[: n * struct.calcsize(fmt)])
         if samples > 1:

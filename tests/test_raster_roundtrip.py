@@ -140,5 +140,6 @@ def test_decode_tiff_bytes_rasterio_branch(monkeypatch):
     monkeypatch.setattr(raster, "HAVE_RASTERIO", True)
     h, w, px = raster.decode_tiff_bytes(b"abc")
     assert (h, w) == (2, 3)
-    assert px == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
-    assert all(isinstance(p, float) for p in px)
+    # Arrow-friendly ndarray form (see decode_tiff_bytes docstring)
+    assert list(px) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert px.dtype == np.float32

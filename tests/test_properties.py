@@ -592,3 +592,80 @@ def test_slice_crop_pairs_chunk_boundaries(spark, centers, cp):
         )
         assert got[(r, c)][0] == want_hr, (r, c, cp)
         assert got[(r, c)][1] == want_lr, (r, c, cp)
+
+
+# ---------------------------------------------------------------------------
+# The crop_volume_greedy oracle's recursive-CTE walk model
+# (plans/crop_volume.py:SQL_CROP_VOLUME_GREEDY) is sealed against the
+# driver fixture by hash; this generalizes the seal: for ARBITRARY
+# candidate lists the CTE's (cursor, surviving-list, kept-list)
+# recurrence must equal the reference's mutating-list walk
+# (fct_data_extraction.py:90-157, reimplemented in operators/crops.py:
+# _greedy_walk). Pure DuckDB vs pure Python — no Spark needed.
+
+_walk_cands = st.lists(
+    st.tuples(
+        st.integers(0, 40), st.integers(0, 40), st.booleans()
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_walk_cands, st.sampled_from([(12, 0.7), (4, 0.5), (10, 0.33)]))
+def test_greedy_recursive_cte_matches_reference_walk(cands, cfg):
+    import duckdb
+
+    from sentinel_landsat_database_creation_spark.operators.crops import (
+        _greedy_walk,
+    )
+
+    batch, pct = cfg
+    want = _greedy_walk(cands, batch, pct, overlap=True)
+
+    # integer restatement of the float band [rr + b*pct, cc + b*pct]
+    # for integer candidates: ceil/floor of the non-integer edges (the
+    # oracle inlines these the same way; property holds whenever b*pct
+    # is not an exact integer, which these configs guarantee)
+    bp = batch * pct
+    import math
+
+    lo_off, hi_off = math.ceil(bp), math.floor(bp)
+    if not cands:
+        return
+    rows = ", ".join(
+        f"({i}, {r}, {c}, {str(ok).lower()})"
+        for i, (r, c, ok) in enumerate(cands)
+    )
+    sql = f"""
+WITH RECURSIVE
+cand AS (
+  SELECT list(struct_pack(r := r, c := c, ok := ok) ORDER BY ord) AS lst
+  FROM (VALUES {rows}) t(ord, r, c, ok)
+),
+walk AS (
+  SELECT lst, CAST(-1 AS BIGINT) AS i,
+         CAST([] AS STRUCT(r BIGINT, c BIGINT)[]) AS kept
+  FROM cand
+  UNION ALL
+  SELECT CASE WHEN cur.ok THEN
+           list_filter(lst, x ->
+             NOT (x.r >= cur.r + {lo_off} AND x.r <= cur.c + {hi_off})
+             AND NOT (x.c >= cur.r + {lo_off} AND x.c <= cur.c + {hi_off}))
+         ELSE lst END,
+         i1,
+         CASE WHEN cur.ok
+              THEN list_append(kept, struct_pack(r := cur.r, c := cur.c))
+              ELSE kept END
+  FROM (
+    SELECT lst, kept, i + 1 AS i1, lst[CAST(i + 2 AS INTEGER)] AS cur
+    FROM walk WHERE i < len(lst) - 1
+  )
+)
+SELECT u.r, u.c
+FROM (SELECT max_by(kept, i) AS kept FROM walk) , unnest(kept) t(u)
+"""
+    got = [(int(r), int(c)) for r, c in duckdb.connect().execute(sql).fetchall()]
+    assert got == [(int(r), int(c)) for r, c in want]

@@ -438,6 +438,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_rows: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: signature of n_hashes md5-min values,
     split into ``bands`` bands; documents sharing any band become a
@@ -468,7 +469,13 @@ def minhash_lsh_candidates(
         if shingle_rows is not None
         else shingle_rows_materialized(docs, n)
     )
-    sig = minhash_signatures(ex, n_hashes)
+    # callers holding a MATERIALIZED signature table pass it through
+    # (minhash_estimate: its plan reads the signatures four times —
+    # both candidate-join sides plus the per-pair a/b attach — so an
+    # inline subtree would run the md5 family + min-groupBy shuffle
+    # that many times)
+    if sig is None:
+        sig = minhash_signatures(ex, n_hashes)
     banded = banded_buckets(sig, n_hashes, bands)
     from .skew import full_width
 
@@ -548,9 +555,17 @@ def minhash_estimate(
     one materialized shingle table. Work scales with candidate count —
     never N²."""
     ex = shingle_rows_materialized(docs, n)
-    sig = minhash_signatures(ex, n_hashes)
+    # materialized once: this query reads the signatures FOUR times
+    # (both candidate-join sides + the a/b attach below) — inline, the
+    # md5 family + min-groupBy shuffle ran per read (measured r5:
+    # 4.3 s -> ~2.4 s warm at sf0.1 with the memo)
+    sig = _memo_checkpoint(
+        docs,
+        ("minhash_sig", n, n_hashes),
+        lambda: minhash_signatures(ex, n_hashes),
+    )
     cand = minhash_lsh_candidates(
-        docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex
+        docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex, sig=sig
     )
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),

@@ -688,8 +688,17 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
     A document consisting entirely of spans seen elsewhere has
     dup_ratio 1.0 — the "drop or strip" signal."""
     toks = F.split(F.col("text"), " ")
-    occ = docs.select(
-        "doc_id", F.explode(shingles(toks, span_tokens)).alias("s")
+    # the occurrence stream feeds BOTH the shared-span dictionary and
+    # the semi-join probe; inline, the rolling-window explode (an
+    # 8-token string concat per position over every document) ran
+    # twice — materialized once it's the usual halving (measured r5:
+    # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spans)
+    occ = _memo_checkpoint(
+        docs,
+        ("spans", span_tokens),
+        lambda: docs.select(
+            "doc_id", F.explode(shingles(toks, span_tokens)).alias("s")
+        ),
     )
     shared = (
         occ.groupBy("s")

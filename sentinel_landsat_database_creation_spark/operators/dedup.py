@@ -797,9 +797,9 @@ def lsh_index_append(
     each append lands new sorted files beside the old ones; probes read
     the union. Parameters (shingle width, hash count, bands) must match
     the index being appended to — a mismatched append would land
-    buckets no probe can hit; periodic ``compact_corpus``-style rewrite
-    of the index directory keeps the file count bounded under
-    continuous ingest.
+    buckets no probe can hit; ``lsh_index_compact`` rewrites the
+    directory back into one aligned file set between ingest cycles,
+    keeping the file count bounded under continuous appends.
 
     The production loop this completes: lsh_index_write(corpus) once,
     then per ingest cycle (1) delta_neardup(batch) probes the index,
@@ -814,6 +814,43 @@ def lsh_index_append(
         .write.mode("append")
         .parquet(path)
     )
+
+
+def lsh_index_compact(spark, path: str) -> None:
+    """Index maintenance, part 2: rewrite an appended-to
+    ``lsh_index_write`` directory back into the canonical layout.
+    Continuous ingest leaves one sorted file set per append
+    (lsh_index_append) — probes read the union correctly, but the file
+    count grows per cycle and per-file bucket ranges overlap, eroding
+    the row-group skipping the initial write bought. Compaction reads
+    the whole index once, re-partitions on bucket, and lands a single
+    aligned, sorted file set — the same move compact_corpus makes for
+    corpus shards (sources/corpus.py).
+
+    The rewrite goes through a sibling directory and a filesystem swap
+    (Spark cannot overwrite a path it is reading), so ``path`` must be
+    on a filesystem the driver can rename on — same assumption as the
+    op-8 raster sink. Run it between ingest cycles, never concurrently
+    with a probe: a probe planned against the pre-swap listing would
+    read files the swap removes. delta_neardup's candidate memo keys
+    on the concrete file listing, so the first probe after compaction
+    misses and rebuilds instead of serving stale candidates."""
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    (
+        spark.read.parquet(path)
+        .repartition(_F.col("bucket"))
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
 
 
 def delta_neardup(

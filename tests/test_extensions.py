@@ -934,3 +934,49 @@ def test_ivf_trained_matches_bruteforce_on_separable_data(spark):
         for r in ivf_topk_trained(e, q, cents, k=3).collect()
     }
     assert ivf == bf
+
+
+def test_lsh_index_compact_preserves_probe_and_bounds_files(spark, tmp_path):
+    """Index maintenance round trip (operators/dedup.py:
+    lsh_index_write -> 3x lsh_index_append -> lsh_index_compact):
+    compaction must leave probe results BIT-identical (same buckets,
+    same rows) while collapsing the per-append file sets into one
+    aligned layout."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_index_compact,
+        lsh_index_write,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    path = os.path.join(str(tmp_path), "idx")
+    lsh_index_write(docs.filter(F.col("doc_id") % 4 == 0), path)
+    for gen in (1, 2, 3):
+        lsh_index_append(docs.filter(F.col("doc_id") % 4 == gen), path)
+
+    def snapshot():
+        rows = spark.read.parquet(path).collect()
+        return sorted((r["doc_id"], r["bucket"]) for r in rows)
+
+    def n_files():
+        return len(glob.glob(os.path.join(path, "*.parquet")))
+
+    before_rows, before_files = snapshot(), n_files()
+    assert before_files >= 4, "each append lands its own file set"
+    lsh_index_compact(spark, path)
+    after_rows, after_files = snapshot(), n_files()
+    assert after_rows == before_rows, "compaction must not change content"
+    assert after_files < before_files, "compaction must shrink file count"
+    assert not os.path.exists(path.rstrip("/") + "__compacting")
+    assert not os.path.exists(path.rstrip("/") + "__old")

@@ -20,63 +20,73 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from sentinel_landsat_database_creation_spark.plans.driver_queries import (  # noqa: E402
     REGISTRY,
 )
-from sentinel_landsat_database_creation_spark.session import get_spark  # noqa: E402
-
-
-def _context_dead(spark) -> bool:
-    try:
-        return spark.sparkContext._jsc.sc().isStopped()
-    except Exception:  # noqa: BLE001 — a dead py4j gateway IS "dead"
-        return True
+from sentinel_landsat_database_creation_spark.session import (  # noqa: E402
+    context_dead,
+    get_spark,
+)
 
 
 def _revive_session():
     """Rebuild the session even when the backing JVM died (OOM-killed
-    gateway): pyspark caches the gateway/context in module globals, so
-    they must be reset before getOrCreate can launch a fresh JVM.
+    gateway). The guarded singleton reset + liveness probe live in
+    session.py:fresh_session (round-4 ADVICE hardening, factored out
+    per round-5 ADVICE so bench_scale.py shares it instead of
+    duplicating raw private-attr resets)."""
+    from sentinel_landsat_database_creation_spark.session import fresh_session
 
-    The resets touch pyspark PRIVATE attributes (not stable API), so
-    every one is hasattr-guarded and the whole revival is verified with
-    a liveness probe at the end: a pyspark upgrade that breaks revival
-    raises here — visible to the caller, which stops the run instead of
-    letting a dead session cascade errors across every later query
-    (round-4 ADVICE)."""
-    from pyspark import SparkContext
-    from pyspark.sql import SparkSession
+    return fresh_session("bench")
 
+
+def _regressions_vs_prior(
+    timings: dict[str, float], sf: float
+) -> dict | None:
+    """Compare each query's warm number to the previous recorded run at
+    the same sf and flag >30% slowdowns — the documented host-variance
+    band (README): drift inside it is noise, drift beyond it was
+    adjudicated by hand in r4/r5 and now lands in the artifact itself
+    (round-5 VERDICT item 6). The baseline is the committed
+    BENCH_PREV.json this harness maintains itself (_record_baseline)
+    because the driver's BENCH_r{N}.json keeps only a 2000-char stdout
+    tail — the per-query breakdown is truncated away. memo:/setup:
+    lines are one-time builds whose cost moves with cache state, not
+    plan quality, so they are skipped. Returns None when no comparable
+    prior record exists."""
     try:
-        SparkSession.getActiveSession().stop()
-    except Exception:  # noqa: BLE001
-        pass
-    missing = [
-        a
-        for a in ("_lock", "_active_spark_context", "_gateway", "_jvm")
-        if not hasattr(SparkContext, a)
-    ] + [
-        a
-        for a in ("_instantiatedSession", "_activeSession")
-        if not hasattr(SparkSession, a)
-    ]
-    if missing:
-        print(
-            f"bench: pyspark internals moved ({missing}); revival degraded",
-            file=sys.stderr,
-        )
-    else:
-        with SparkContext._lock:
-            SparkContext._active_spark_context = None
-            SparkContext._gateway = None
-            SparkContext._jvm = None
-        SparkSession._instantiatedSession = None
-        SparkSession._activeSession = None
-    spark = get_spark(app_name="bench")
-    if _context_dead(spark):
-        raise RuntimeError(
-            "session revival failed (pyspark internals changed?); "
-            "falling back to hard stop so the failure is visible"
-        )
-    spark.sparkContext.setLogLevel("ERROR")
-    return spark
+        prev = json.loads(_BASELINE_PATH.read_text())[str(sf)]["queries"]
+    except Exception:  # noqa: BLE001 — no baseline yet at this sf
+        return None
+    flagged = {}
+    for name, now in timings.items():
+        if name.startswith(("memo:", "setup:")):
+            continue
+        old = prev.get(name)
+        # sub-0.3s numbers regress by whole scheduling jitters;
+        # require both the ratio and a visible absolute move
+        if old is None or old <= 0 or now <= old * 1.3 or now - old < 0.3:
+            continue
+        flagged[name] = {
+            "prev": round(old, 4),
+            "now": round(now, 4),
+            "ratio": round(now / old, 2),
+        }
+    return {"baseline": _BASELINE_PATH.name, "flagged": flagged}
+
+
+_BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
+
+
+def _record_baseline(timings: dict[str, float], sf: float) -> None:
+    """Persist this run's warm per-query numbers as the next run's
+    comparison baseline, keyed by sf so a local sf0.01 iteration loop
+    never clobbers the sf0.1 record the per-round driver run compares
+    against. The file is committed with the round's work, making the
+    baseline the prior ROUND's last run."""
+    try:
+        book = json.loads(_BASELINE_PATH.read_text())
+    except Exception:  # noqa: BLE001 — first run / corrupt: start fresh
+        book = {}
+    book[str(sf)] = {"queries": timings}
+    _BASELINE_PATH.write_text(json.dumps(book, indent=1, sort_keys=True) + "\n")
 
 
 def main() -> None:
@@ -114,7 +124,7 @@ def main() -> None:
         # after it: detect a dead SparkContext and rebuild the session
         # before each query. The restart count is surfaced in the JSON
         # so a "passing" bench can't silently hide crash-looping.
-        if _context_dead(spark):
+        if context_dead(spark):
             try:
                 spark = _revive_session()
             except Exception as exc:  # noqa: BLE001 — revival itself broke:
@@ -136,6 +146,14 @@ def main() -> None:
                 # A failed query's partial elapsed time (possibly a drain
                 # timeout) must not pollute the headline total.
                 failed_timings[name] = round(time.perf_counter() - t0, 4)
+                # Drain builds triggered by the failed attempt NOW
+                # (round-5 ADVICE): leaving them in the log would make
+                # the next query's drain subtract another query's build
+                # seconds from its own sample. Folded into memo_timings
+                # only — the failed sample is already excluded from the
+                # headline, so nothing is double-subtracted.
+                for label, secs in drain_memo_build_log():
+                    memo_timings[label] = memo_timings.get(label, 0.0) + secs
                 break
             sample = time.perf_counter() - t0
             # Attribution robustness (round-5 VERDICT): shared one-time
@@ -153,6 +171,10 @@ def main() -> None:
             timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     memo_timings = {k: round(v, 4) for k, v in memo_timings.items()}
+    regressions = _regressions_vs_prior(timings, float(sf))
+    if not errors:
+        # a crash-looping run must not become the next round's baseline
+        _record_baseline(dict(timings), float(sf))
     timings.update(memo_timings)
     total = round(sum(timings.values()), 4)
     payload = {
@@ -162,6 +184,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if regressions is not None:
+        payload["regressions"] = regressions
     if reps > 1:
         payload["reps"] = reps
     if restarts:
@@ -181,6 +205,9 @@ def main() -> None:
                 "n": len(timings) - len(memo_timings),
                 "n_failed": len(errors),
                 "restarts": restarts,
+                "n_regressed": (
+                    len(regressions["flagged"]) if regressions else 0
+                ),
                 "sf": float(sf),
             }
         )

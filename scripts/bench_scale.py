@@ -116,19 +116,12 @@ CAPPED_CONF = {
 def _fresh_session(
     name: str, extra_conf: dict | None = None, master: str | None = None
 ):
-    from pyspark import SparkContext
-    from pyspark.sql import SparkSession
+    # guarded singleton reset + liveness probe shared with bench.py's
+    # revival path (round-5 ADVICE: the raw private-attr resets here
+    # had drifted from bench.py's hardened version)
+    from sentinel_landsat_database_creation_spark.session import fresh_session
 
-    from sentinel_landsat_database_creation_spark.session import get_spark
-
-    with SparkContext._lock:
-        SparkContext._active_spark_context = None
-        SparkContext._gateway = None
-        SparkContext._jvm = None
-    SparkSession._instantiatedSession = None
-    SparkSession._activeSession = None
-    spark = get_spark(app_name=name, extra_conf=extra_conf, master=master)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = fresh_session(name, extra_conf=extra_conf, master=master)
     # warm JVM + python worker pool, as bench.py does
     spark.read.parquet(f"{SF01}/region.parquet").count()
     spark.createDataFrame([(1,)], "x int").mapInPandas(

@@ -147,7 +147,15 @@ def _timed_build(tag: tuple, builder):
             eager=True, storageLevel=_memo_storage_level()
         )
     except Exception:
+        # Credit the failed attempt's wall time to the enclosing build
+        # (round-5 ADVICE): an outer builder that catches this and
+        # continues would otherwise log an "own span" silently inflated
+        # by the failed inner attempt, breaking the sum-to-elapsed
+        # invariant the accounting tests pin.
+        elapsed = _time.perf_counter() - t0
         stack.pop()
+        if stack:
+            stack[-1] += elapsed
         raise
     elapsed = _time.perf_counter() - t0
     inner = stack.pop()
@@ -834,13 +842,31 @@ def lsh_index_compact(spark, path: str) -> None:
     with a probe: a probe planned against the pre-swap listing would
     read files the swap removes. delta_neardup's candidate memo keys
     on the concrete file listing, so the first probe after compaction
-    misses and rebuilds instead of serving stale candidates."""
+    misses and rebuilds instead of serving stale candidates.
+
+    Crash safety (round-5 ADVICE): the index is restorable at every
+    step. The live set stays at ``path`` until the full compacted set
+    exists at ``__compacting``; the swap parks it at ``__old``, which
+    is deleted only after the new set is in place. A run that died
+    mid-swap leaves either (a) ``__old`` holding the live index with
+    ``path`` absent — recovered at the next entry by moving it back —
+    or (b) both ``path`` (new set) and ``__old`` (pre-compact set),
+    where ``path`` is already correct and ``__old`` is stale. Stale
+    sibling dirs from crashed runs are pre-removed so shutil.move
+    renames instead of nesting the index inside a leftover target."""
+    import os
     import shutil
 
     from pyspark.sql import functions as _F
 
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        # a prior run died between the two swap moves: __old holds the
+        # live index — restore it before compacting
+        shutil.move(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     (
         spark.read.parquet(path)
         .repartition(_F.col("bucket"))

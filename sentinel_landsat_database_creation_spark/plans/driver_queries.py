@@ -1287,72 +1287,81 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 5 prefix (50 = the cap): the 44-entry cohort whose last driver
-# check was r3 (two rounds stale — the oldest allowed; all pulled back
-# per round-4 VERDICT), the two NEW queries (scene_tensors_volume,
-# lsh_append_probe), crop_volume_greedy (oracle newly sealed — its
-# check changed from rows-only to full hash), and the three
-# slice2d-consuming crop queries whose PLAN moved with the NumPy-
-# faithful right-edge truncation (crop_volume, crop_pipeline,
-# crop_slice_quality — results unchanged, shape moved, so they
-# re-enter per policy).
+# Round 6 prefix (mandatory rotation — the r5 prefix was FULL at
+# 50/50): the 46-entry cohort spilled in r5 was last driver-checked in
+# r4, i.e. two rounds stale at r6 (the oldest allowed), so ALL of it
+# rotates back into the prefix. That leaves 4 slots, used by: the NEW
+# r6 query (scene_tensors_compressed — the compressed/tiled codec path
+# through the mapInPandas boundary), scene_tensors_volume (its decode
+# UDF sits on sources/tiffcodec.py, extended this round with
+# Deflate/LZW/tiled support — additive, but the consuming query
+# re-enters per policy), lsh_append_probe (operators/dedup.py index
+# maintenance was touched by the crash-safe compact swap), and
+# crop_volume_greedy (freshest volume anchor, kept under driver check
+# while its sibling crop_volume spills under its plan pin).
 #
-# The 46 spilled below are all r4-green. delta_neardup and
-# corpus_compact were touched in r5 by the applicationId-keyed tmp
-# paths (round-4 ADVICE) — behavior-preserving hardening of the
-# fixture setup, not of the measured plan; both stay under the
-# snapshot pin for their post-setup plan. The dedup/memo family was
-# touched only by the miss-branch timing instrumentation and the
-# empty-ck_ids no-cache guard (pure measurement / validity hardening).
-# (The in-repo replica, tests/test_oracle_equivalence.py, still
-# checks ALL entries every run.)
+# The 47 spilled below are the rest of the r5 prefix — every one
+# r5-green (CORRECTNESS_r05: rows+schema+hash) and untouched in r6
+# except behavior-preserving hardening: zorder_layout,
+# bucketed_join_check, corpus_roundtrip and corpus_pruned_read got
+# applicationId-keyed tmp paths (round-5 ADVICE hazard class, fixture
+# setup only — same classification as delta_neardup/corpus_compact in
+# r5; paths are normalized out of the plan hashes). The four drained
+# streaming entries (stream_weekly_counts, stream_dedup_keys,
+# stream_dedup_ttl, stream_click_signup) are session-variant and
+# cannot carry a direct pin; since r6 each carries a BATCH TWIN pin
+# (plans/stream_twins.py, snapshot "twin_plans") plus its exact oracle
+# in the in-repo replica — closing round-5 VERDICT item 7 before the
+# spill. (The replica, tests/test_oracle_equivalence.py, still checks
+# ALL entries every run.)
 _PROVEN_TAIL = [
-    "overlap_grid",
-    "catalog_event_labels",
-    "pair_count_by_class",
-    "pair_count_compat",
-    "pairing_keys",
-    "pairing_compat",
-    "range_join_events",
-    "customers_without_orders",
-    "click_only_users",
-    "weekly_type_pivot",
-    "revenue_rollup",
-    "user_value_moving_avg",
-    "doc_length_quantiles",
-    "pricing_summary",
-    "top_orders",
-    "nation_revenue",
-    "promo_revenue",
-    "customer_order_rank",
-    "asof_last_click",
-    "shipping_lag",
-    "dedup_docs_exact",
-    "stream_sessions",
-    "stream_sessions_native",
-    "lsh_topk",
-    "ivf_topk",
-    "user_sessions",
-    "jaccard_neardup",
-    "minhash_lsh",
-    "dedup_clusters",
-    "simhash_docs",
-    "embed_cosine_neardup",
-    "doc_repetition",
-    "decontaminate",
-    "tfidf_terms",
-    "unigram_nll",
-    "pack_sequences",
-    "top_tokens_per_lang",
-    "ivf_train_centroids",
-    "ann_recall_trained",
-    "corpus_dedup_write",
-    "domain_quota",
-    "corpus_compact",
-    "media_neardup",
-    "delta_neardup",
-    "corpus_cube",
-    "normalized_dedup",
+    "crop_pipeline",
+    "crop_slice_quality",
+    "catalog_week_class",
+    "event_funnel",
+    "retention_cohorts",
+    "weekly_click_signup_outer",
+    "distinct_users_by_type",
+    "token_stats",
+    "embed_quality",
+    "embed_slice",
+    "stream_weekly_counts",
+    "stream_dedup_keys",
+    "stream_click_signup",
+    "media_frames",
+    "neardup_pipeline",
+    "cosine_topk",
+    "sign_lsh_buckets",
+    "doc_quality",
+    "regex_tokens",
+    "lang_guess",
+    "doc_fingerprint",
+    "doc_chunks",
+    "doc_split",
+    "stratified_sample",
+    "vocab_coverage",
+    "length_trim",
+    "bigram_nll",
+    "zorder_buckets",
+    "zorder_layout",
+    "ann_recall",
+    "bucketed_join_check",
+    "corpus_roundtrip",
+    "mixture_plan",
+    "stream_dedup_ttl",
+    "span_dedup",
+    "delta_dedup",
+    "dedup_clusters_lss",
+    "minhash_estimate",
+    "ivf_probe2",
+    "quality_gate",
+    "salted_agg_check",
+    "salted_join_check",
+    "corpus_pruned_read",
+    "embed_normalize",
+    "media_stats",
+    "media_features",
+    "crop_volume",
 ]
 
 

@@ -2118,14 +2118,12 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     computes the same statistics logically in DuckDB, so any writer bug
     that scatters a bucket across files (n_files > 1) or leaks rows
     into the wrong file (widened min/max) breaks the hash."""
-    import os
-    import tempfile
-
     from ..operators.layout import written_file_stats, zorder_partitioned_write
+    from ..session import session_tmp_path
 
     li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     tag = sf.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"slc_zorder_layout_{tag}")
+    path = session_tmp_path(spark, f"zorder_layout_{tag}")
     zorder_partitioned_write(li, "l_partkey", "l_suppkey", path, n_buckets=64)
     return written_file_stats(spark, path, "l_partkey", "l_suppkey").orderBy(
         "z_bucket"
@@ -2293,13 +2291,13 @@ def q_bucketed_join_check(spark: SparkSession, sf: str) -> DataFrame:
     n_rows == n per user doubles as a self-check that the zip of bucket
     files lost no rows."""
     import os
-    import tempfile
 
     from ..operators.bucketing import (
         assert_no_shuffle_join,
         bucketed_join,
         write_bucketed,
     )
+    from ..session import session_tmp_path
 
     ev = table(spark, sf, "events").select("user_id", "event_id")
     per_user = (
@@ -2308,7 +2306,7 @@ def q_bucketed_join_check(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"slc_bucketed_{tag}")
+    base = session_tmp_path(spark, f"bucketed_{tag}")
     write_bucketed(
         ev, f"slc_ev_{tag}", ["user_id"], 8,
         sort_cols=["user_id"], path=os.path.join(base, "ev"),
@@ -2352,14 +2350,12 @@ def q_corpus_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     can state n_files = ceil(n/max_records) in integer arithmetic, and
     a skew or writer regression (tasks x dirs small-files explosion)
     breaks the hash."""
-    import os
-    import tempfile
-
+    from ..session import session_tmp_path
     from ..sources.corpus import write_corpus
 
     docs = table(spark, sf, "documents")
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"slc_corpus_{tag}")
+    path = session_tmp_path(spark, f"corpus_{tag}")
     write_corpus(docs, path, partition_by=("lang",), max_records_per_file=1000)
     back = spark.read.parquet(path)
     return (
@@ -2396,14 +2392,12 @@ def q_corpus_dedup_write(spark: SparkSession, sf: str) -> DataFrame:
     order-free) so the driver hash pins WHICH documents survived, not
     just how many. Oracle = the recursive-CTE connected components over
     the verified-pair SQL, anti-joined the same way."""
-    import os
-    import tempfile
-
+    from ..session import session_tmp_path
     from ..sources.corpus import dedup_write_corpus
 
     docs = table(spark, sf, "documents")
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"slc_corpus_dedup_{tag}")
+    path = session_tmp_path(spark, f"corpus_dedup_{tag}")
     dedup_write_corpus(docs, path, threshold=0.5, max_records_per_file=1000)
     back = spark.read.parquet(path)
     fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
@@ -2583,14 +2577,12 @@ def q_corpus_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
     query RAISES if the executed plan carries no PartitionFilters on
     lang, so a layout or pruning regression turns this row red —
     same pattern as bucketed_join_check."""
-    import os
-    import tempfile
-
+    from ..session import session_tmp_path
     from ..sources.corpus import write_corpus
 
     docs = table(spark, sf, "documents")
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"slc_corpus_pruned_{tag}")
+    path = session_tmp_path(spark, f"corpus_pruned_{tag}")
     write_corpus(docs, path, partition_by=("lang",), max_records_per_file=1000)
     one_lang = spark.read.parquet(path).filter(F.col("lang") == "en")
     plan = one_lang._jdf.queryExecution().executedPlan().toString()

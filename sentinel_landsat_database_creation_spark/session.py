@@ -75,6 +75,84 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def context_dead(spark: SparkSession) -> bool:
+    """True when the backing SparkContext (or its py4j gateway) is gone."""
+    try:
+        return spark.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — a dead py4j gateway IS "dead"
+        return True
+
+
+def reset_pyspark_singletons() -> list[str]:
+    """Clear pyspark's process-global session/context caches so
+    getOrCreate can launch a genuinely fresh JVM (needed after an
+    OOM-killed gateway, and by harnesses that want per-measurement JVM
+    isolation). The resets touch pyspark PRIVATE attributes (not stable
+    API), so every one is hasattr-guarded; returns the list of
+    internals that were NOT found (empty = full reset) so callers can
+    surface a degraded reset after a pyspark upgrade. Shared by
+    bench.py's revival path and scripts/bench_scale.py's fresh-session
+    path (round-5 ADVICE: the two had drifted)."""
+    from pyspark import SparkContext
+
+    missing = [
+        a
+        for a in ("_lock", "_active_spark_context", "_gateway", "_jvm")
+        if not hasattr(SparkContext, a)
+    ] + [
+        a
+        for a in ("_instantiatedSession", "_activeSession")
+        if not hasattr(SparkSession, a)
+    ]
+    if not missing:
+        with SparkContext._lock:
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+    return missing
+
+
+def fresh_session(
+    app_name: str,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Stop any active session, reset the process-global caches
+    (guarded), build a new session, and VERIFY it is alive — a pyspark
+    upgrade that breaks the private-attr reset raises here instead of
+    letting a dead session cascade errors through the caller's run."""
+    import sys
+
+    try:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    missing = reset_pyspark_singletons()
+    if missing:
+        print(
+            f"session: pyspark internals moved ({missing}); reset degraded",
+            file=sys.stderr,
+        )
+    spark = get_spark(
+        app_name=app_name,
+        shuffle_partitions=shuffle_partitions,
+        extra_conf=extra_conf,
+        master=master,
+    )
+    if context_dead(spark):
+        raise RuntimeError(
+            "fresh session is dead after reset (pyspark internals "
+            "changed?); failing loudly instead of cascading errors"
+        )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def session_tmp_path(spark: SparkSession, name: str) -> str:
     """A scratch path under the system temp dir keyed on the session's
     applicationId (like the memo caches): two concurrent sessions on one

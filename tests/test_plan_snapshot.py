@@ -110,6 +110,48 @@ def test_snapshot_covers_registry():
     )
 
 
+@pytest.mark.parametrize("name", sorted(SNAP.get("twin_plans", {})))
+def test_twin_plan_matches_snapshot(spark, name):
+    """Batch twins of the drained streaming entries
+    (plans/stream_twins.py): the twin applies the streaming query's
+    transformation + post-drain projection to a batch read, so this pin
+    catches shared-code plan drift that the session-variant streaming
+    plan itself cannot expose."""
+    from sentinel_landsat_database_creation_spark.plans.stream_twins import (
+        TWIN_BUILDERS,
+    )
+
+    assert name in TWIN_BUILDERS, (
+        f"{name} has a twin pin but no builder — re-run "
+        "scripts/gen_plan_snapshot.py after removing a twin"
+    )
+    df = TWIN_BUILDERS[name](spark, SF_DIR)
+    got = plan_hash(df)
+    want = SNAP["twin_plans"][name]
+    assert got == want, (
+        f"twin of {name}: analyzed plan changed since the committed "
+        "snapshot. If deliberate, re-run scripts/gen_plan_snapshot.py, "
+        "commit the snapshot, and move the streaming entry back into "
+        "the driver-check prefix this round.\n"
+        f"normalized plan follows:\n{normalized_plan(df)[:4000]}"
+    )
+
+
+def test_every_twin_is_pinned():
+    """A twin builder whose plan the generator found session-unstable
+    would silently drop out of twin_plans and re-open the gap it was
+    built to close — require full coverage."""
+    from sentinel_landsat_database_creation_spark.plans.stream_twins import (
+        TWIN_BUILDERS,
+    )
+
+    missing = sorted(set(TWIN_BUILDERS) - set(SNAP.get("twin_plans", {})))
+    assert not missing, (
+        f"twin builders without a pinned plan: {missing} — re-run "
+        "scripts/gen_plan_snapshot.py (it hard-fails on unstable twins)"
+    )
+
+
 def test_tail_entries_are_pinned():
     """The rotation policy's load-bearing set: every _PROVEN_TAIL entry
     must carry a plan pin (a tail entry in 'excluded' would re-open the

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/slc_scaleup/sf1"
+SF10 = "/tmp/slc_scaleup/sf10"
 COPIES = 10
 
 # Hash/shuffle-shaped queries: per-task state is rows of hashes and
@@ -211,6 +212,90 @@ def build_sf1(spark) -> None:
     print(f"sf1 build: {time.perf_counter() - t0:.1f}s")
 
 
+def build_sf10(spark) -> None:
+    """Second decade (round-5 VERDICT item 5): scale SF1 by another 10x
+    with a SECOND level of the same structure-preserving transforms —
+    a fresh token suffix (cross-copy shingle overlap stays zero), a
+    fresh diagonal sign pattern (within-copy geometry exact), and
+    disjoint id strides one decimal order above SF1's. Only the tables
+    the sublinear cohort reads are scaled (documents, embeddings,
+    events, lineitem + dim passthroughs); the payload fixtures stay
+    one-decade (their cost is linear-by-construction and measured at
+    sf1)."""
+    if os.path.exists(os.path.join(SF10, "_DONE")):
+        return
+    if not os.path.exists(os.path.join(SF1, "_DONE")):
+        raise RuntimeError("build_sf1 must land before build_sf10")
+    os.makedirs(SF10, exist_ok=True)
+    t0 = time.perf_counter()
+
+    def copies(df, transform):
+        out = None
+        for k in range(COPIES):
+            c = transform(df, k)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    copies(
+        docs,
+        lambda d, k: d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 100_000_000)
+        ).withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1y{k}")),
+    ).write.mode("overwrite").parquet(f"{SF10}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+
+    def emb_copy(d, k):
+        def signed(x, i):
+            h = (i.cast("long") * 2246822519 + F.lit(k * 68821)) % 89
+            return F.when(h % 2 == 0, x).otherwise(-x)
+
+        px = F.transform("embedding", lambda x, i: signed(x, i))
+        return d.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(k * 1_000_000_000)
+        ).withColumn("embedding", px)
+
+    copies(emb, emb_copy).write.mode("overwrite").parquet(
+        f"{SF10}/embeddings.parquet"
+    )
+
+    # single flat events.parquet, as in build_sf1 (streaming globs it)
+    ev = spark.read.parquet(f"{SF1}/events.parquet")
+    tmp_ev = f"{SF10}/_tmp_events"
+    copies(
+        ev,
+        lambda d, k: d.withColumn(
+            "user_id", F.col("user_id") + F.lit(k * 10_000_000_000)
+        ).withColumn(
+            "event_id", F.col("event_id") + F.lit(k * 100_000_000_000)
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_ev)
+    import glob as _glob
+    import shutil
+
+    part = _glob.glob(f"{tmp_ev}/part-*.parquet")[0]
+    shutil.move(part, f"{SF10}/events.parquet")
+    shutil.rmtree(tmp_ev)
+
+    li = spark.read.parquet(f"{SF1}/lineitem.parquet")
+    copies(
+        li,
+        lambda d, k: d.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000_000)
+        ),
+    ).write.mode("overwrite").parquet(f"{SF10}/lineitem.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        spark.read.parquet(f"{SF1}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SF10}/{t}.parquet")
+
+    with open(os.path.join(SF10, "_DONE"), "w") as f:
+        f.write("ok")
+    print(f"sf10 build: {time.perf_counter() - t0:.1f}s")
+
+
 def _context_dead(spark) -> bool:
     try:
         return spark.sparkContext._jsc.sc().isStopped()
@@ -267,12 +352,15 @@ def run_set(
 def main() -> None:
     spark = _fresh_session("scale-build")
     build_sf1(spark)
+    build_sf10(spark)
     spark.stop()
 
     t01: dict = {}
     t1: dict = {}
+    t10: dict = {}
     m01: dict = {}
     m1: dict = {}
+    m10: dict = {}
 
     # Disk-backed memo blocks for BOTH scale factors (same conditions
     # on both sides of the exponent): the default on-heap
@@ -297,6 +385,13 @@ def main() -> None:
     m1.update(b)
     spark.stop()
 
+    print("run table queries @ sf10 (local[32]) — second decade ...")
+    spark = _fresh_session("scale-sf10")
+    a, b, spark = run_set(spark, SF10, TABLE_QUERIES, "scale-sf10")
+    t10.update(a)
+    m10.update(b)
+    spark.stop()
+
     print("run capped queries @ sf0.1 (local[8]) ...")
     spark = _fresh_session("scale-p01", CAPPED_CONF, "local[8]")
     a, b, spark = run_set(
@@ -317,13 +412,15 @@ def main() -> None:
 
     import math
 
-    exponents = {}
-    for name in QUERIES:
-        a, b = t01.get(name), t1.get(name)
-        if a and b and a > 0:
-            exponents[name] = round(math.log10(b / a), 3)
-        else:
-            exponents[name] = None
+    def expo(lo: dict, hi: dict, name: str):
+        a, b = lo.get(name), hi.get(name)
+        return round(math.log10(b / a), 3) if a and b and a > 0 else None
+
+    exponents = {name: expo(t01, t1, name) for name in QUERIES}
+    # second decade (round-5 VERDICT item 5): sf1 -> sf10 for the
+    # sublinear cohort, confirming the first decade's exponents aren't
+    # flattered by fixed-overhead amortization at small sf
+    exponents2 = {name: expo(t1, t10, name) for name in TABLE_QUERIES}
     payload = {
         "metric": "scaleup_decade",
         "copies": COPIES,
@@ -331,12 +428,16 @@ def main() -> None:
         "capped_master": "local[8]",
         "capped_conf": CAPPED_CONF,
         "quadratic_baselines_excluded": QUADRATIC_BASELINES,
+        "second_decade_queries": TABLE_QUERIES,
         "memo_storage": "DISK_ONLY",
         "sf01": t01,
         "sf1": t1,
+        "sf10": t10,
         "memo_sf01": m01,
         "memo_sf1": m1,
+        "memo_sf10": m10,
         "exponent": exponents,
+        "exponent_decade2": exponents2,
     }
     out = Path(__file__).resolve().parents[1] / "BENCH_SCALE.json"
     out.write_text(json.dumps(payload, indent=1) + "\n")

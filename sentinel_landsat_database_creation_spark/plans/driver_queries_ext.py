@@ -50,6 +50,7 @@ from ..operators.textops import (
 from ..sources.testdata import normalize_event_ts, table
 from ..streaming.drain import drain_checkpoint_dir
 from . import crop_volume as _cv
+from . import scene_compressed as _scg
 from . import scene_volume as _sv
 
 import contextlib
@@ -2709,4 +2710,11 @@ REGISTRY_EXT = {
     # fixture scale by a DuckDB recursive CTE carrying (cursor,
     # surviving-list) state — see SQL_CROP_VOLUME_GREEDY's comment.
     "crop_volume_greedy": (_cv.q_crop_volume_greedy, _cv.SQL_CROP_VOLUME_GREEDY),
+    # r6: the E3 pipeline over Deflate/tiled/float-predictor + LZW
+    # GeoTIFFs — drives the compressed codec paths added to
+    # sources/tiffcodec.py through the full Spark plan
+    "scene_tensors_compressed": (
+        _scg.q_scene_tensors_compressed,
+        _scg.SQL_SCENE_TENSORS_COMPRESSED,
+    ),
 }

@@ -105,10 +105,15 @@ def _band_rows(
     b0: int,
     bands: tuple[str, ...],
     slots: int = 32,
+    consts: tuple[int, int, int, int] = (7919, 104729, 1299709, 104723),
 ) -> DataFrame:
     """One row per (pair, band): deterministic integer-valued float
     pixels from the closed-form spec, generated as native expressions
-    (the Python boundary is crossed only inside the op-8 encoder)."""
+    (the Python boundary is crossed only inside the op-8 encoder).
+    ``consts`` = (pid, band, index, modulus) multipliers; the defaults
+    are this fixture's spec, plans/scene_compressed.py passes its own
+    so the two fixtures can never satisfy each other's oracles."""
+    c_pid, c_band, c_idx, c_mod = consts
     pid = (F.col("id") / 4).cast("long")
     bi = (F.col("id") % 4).cast("long")
     n_px = width * width
@@ -116,8 +121,8 @@ def _band_rows(
         F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1).cast("long")),
         lambda i: (
             (
-                (pid * F.lit(7919) + (bi + F.lit(b0)) * F.lit(104729) + i * F.lit(1299709))
-                % F.lit(104723)
+                (pid * F.lit(c_pid) + (bi + F.lit(b0)) * F.lit(c_band) + i * F.lit(c_idx))
+                % F.lit(c_mod)
             )
             % F.lit(1000)
         ).cast("double"),
@@ -251,29 +256,40 @@ def q_scene_tensors_volume(spark: SparkSession, sf: str) -> DataFrame:
     return hr.unionByName(lr).orderBy("pair_id", "side")
 
 
-# Oracle at the driver's sf0.01 fixture (6 pairs, 64x64 HR, 21x21 LR):
-# per (pair, side) sums of the closed-form integer pixel values. The
-# QA decoys and band filtering have no closed-form footprint here —
-# a filter bug surfaces as wrong n_bands/stack composition (stack_bands
-# drops scenes whose band count != 4) or contaminated sums.
-SQL_SCENE_TENSORS_VOLUME = """
+# Oracle GENERATED from the fixture parameters so the same closed form
+# can check any tier (round-5 VERDICT item 3; scripts/verify_scale.py
+# uses the sf1-tier instantiation). The driver compares the sf0.01
+# instantiation (6 pairs, 64x64 HR, 21x21 LR), which also proves the
+# generator. Per (pair, side) sums of the closed-form integer pixel
+# values; the QA decoys and band filtering have no closed-form
+# footprint here — a filter bug surfaces as wrong n_bands/stack
+# composition (stack_bands drops scenes whose band count != 4) or
+# contaminated sums.
+def scale_oracle_sql(
+    n_pairs: int,
+    hrw: int,
+    lrw: int,
+    consts: tuple[int, int, int, int] = (7919, 104729, 1299709, 104723),
+) -> str:
+    c_pid, c_band, c_idx, c_mod = consts
+    return f"""
 WITH hr AS (
-  SELECT pid, 'hr' AS side, 64 AS height, 64 AS width, 4 AS n_bands,
+  SELECT pid, 'hr' AS side, {hrw} AS height, {hrw} AS width, 4 AS n_bands,
          sum(v) AS px_sum,
          count(*) FILTER (WHERE v >= 500) AS n_high
   FROM (
-    SELECT pid, ((pid*7919 + b*104729 + i*1299709) % 104723) % 1000 AS v
-    FROM range(0, 6) t1(pid), range(0, 4) t2(b), range(0, 4096) t3(i)
+    SELECT pid, ((pid*{c_pid} + b*{c_band} + i*{c_idx}) % {c_mod}) % 1000 AS v
+    FROM range(0, {n_pairs}) t1(pid), range(0, 4) t2(b), range(0, {hrw * hrw}) t3(i)
   )
   GROUP BY pid
 ),
 lr AS (
-  SELECT pid, 'lr' AS side, 21 AS height, 21 AS width, 4 AS n_bands,
+  SELECT pid, 'lr' AS side, {lrw} AS height, {lrw} AS width, 4 AS n_bands,
          sum(v) AS px_sum,
          count(*) FILTER (WHERE v >= 500) AS n_high
   FROM (
-    SELECT pid, ((pid*7919 + b*104729 + i*1299709) % 104723) % 1000 AS v
-    FROM range(0, 6) t1(pid), range(4, 8) t2(b), range(0, 441) t3(i)
+    SELECT pid, ((pid*{c_pid} + b*{c_band} + i*{c_idx}) % {c_mod}) % 1000 AS v
+    FROM range(0, {n_pairs}) t1(pid), range(4, 8) t2(b), range(0, {lrw * lrw}) t3(i)
   )
   GROUP BY pid
 )
@@ -284,3 +300,6 @@ SELECT CAST(pid AS BIGINT) AS pair_id, side,
 FROM (SELECT * FROM hr UNION ALL SELECT * FROM lr)
 ORDER BY pair_id, side
 """
+
+
+SQL_SCENE_TENSORS_VOLUME = scale_oracle_sql(6, 64, 21)

@@ -121,14 +121,19 @@ def encode_rasters(
     out_dir: str,
     origin: tuple[float, float] | None = None,
     pixel_size: tuple[float, float] | None = None,
+    compression: str | None = None,
+    tile: tuple[int, int] | None = None,
+    predictor: int = 1,
 ) -> DataFrame:
     """Op 8 (``array2raster``, reference
     data_pair/fct_data_extraction.py:14-20): write one single-band
     float32 GeoTIFF per raster row as ``{out_dir}/{scene}_{band}.tif``,
-    via the pure-Python encoder (uncompressed, optional
+    via the pure-Python encoder (optional
     ModelPixelScale/ModelTiepoint geo-tags mirroring the reference's
-    geotransform args). Returns (scene, band, path, n_bytes) rows;
-    trigger with an action.
+    geotransform args; ``compression``/``tile``/``predictor`` forward
+    to tiffcodec.encode_gray for the cloud-optimized layouts real
+    distribution files use). Returns (scene, band, path, n_bytes)
+    rows; trigger with an action.
 
     Files write from executors, so ``out_dir`` must be a filesystem all
     executors share (local path on local[*], NFS/fuse mount on a
@@ -146,7 +151,14 @@ def encode_rasters(
                 pdf["scene"], pdf["band"], pdf["height"], pdf["width"], pdf["pixels"]
             ):
                 data = tiffcodec.encode_gray(
-                    int(h), int(w), px, origin=origin, pixel_size=pixel_size
+                    int(h),
+                    int(w),
+                    px,
+                    origin=origin,
+                    pixel_size=pixel_size,
+                    compression=compression,
+                    tile=tile,
+                    predictor=predictor,
                 )
                 path = os.path.join(out_dir, f"{scene}_{band}.tif")
                 # a scene value may carry a directory prefix

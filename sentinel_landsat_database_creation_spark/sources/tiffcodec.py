@@ -154,16 +154,19 @@ def _lzw_encode(data: bytes) -> bytes:
         table[wc] = next_code
         next_code += 1
         w = bytes([b])
-        # early change, mirrored from the decoder: bump the width as
-        # soon as the last code of the current width is ASSIGNED
-        if next_code >= (1 << nbits) - 1:
-            if nbits < 12:
-                nbits += 1
-            else:  # table full: reset
-                emit(CLEAR)
-                table = {bytes([i]): i for i in range(256)}
-                next_code = 258
-                nbits = 9
+        # Width alignment with the early-change decoder: the decoder
+        # adds its (k-1)-th entry while processing code k, so its table
+        # trails the encoder's by one — it widens after its length
+        # reaches (1<<nbits)-1, which is the moment the ENCODER's
+        # next_code reaches (1<<nbits). At 12 bits, reset well before
+        # any table can reach 4095.
+        if nbits == 12 and next_code >= 4093:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        elif next_code >= (1 << nbits):
+            nbits += 1
     if w:
         emit(table[w])
     emit(EOI)

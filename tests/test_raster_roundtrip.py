@@ -24,17 +24,18 @@ def test_codec_roundtrip_float32_with_geotags():
     assert out == px  # float32-exact values stay exact
 
 
-def test_codec_rejects_compressed_and_garbage():
+def test_codec_rejects_unsupported_codec_and_garbage():
     with pytest.raises(ValueError, match="byte-order"):
         tiffcodec.decode_gray(b"PK\x03\x04junkjunk")
     buf = bytearray(tiffcodec.encode_gray(1, 2, [1.0, 2.0]))
-    # flip the Compression tag (259) value to 5 (LZW)
+    # flip the Compression tag (259) value to 7 (JPEG — a codec the
+    # fallback will never carry; Deflate/LZW decode natively since r6)
     n = struct.unpack_from("<H", buf, 8)[0]
     for i in range(n):
         off = 10 + i * 12
         if struct.unpack_from("<H", buf, off)[0] == 259:
-            struct.pack_into("<I", buf, off + 8, 5)
-    with pytest.raises(ValueError, match="uncompressed"):
+            struct.pack_into("<I", buf, off + 8, 7)
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
         tiffcodec.decode_gray(bytes(buf))
 
 

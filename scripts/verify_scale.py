@@ -55,12 +55,25 @@ from bench_scale import (  # noqa: E402
     build_sf1,
 )
 
-# probe queries whose REGISTRY oracle runs over the (scaled) tables
+# probe queries whose REGISTRY oracle runs over the (scaled) tables.
+# Beyond bench_scale's timing cohort, the ANN/dedup scale paths are
+# cheap to verify here and widen the 10x evidence: lsh_topk/ivf_topk
+# (the bucketed/partition-pruned similarity paths), simhash_docs,
+# dedup_docs_exact and normalized_dedup (hash-only dedup shuffles).
 TABLE_ORACLE_QUERIES = TABLE_QUERIES + [
     "neardup_pipeline",
     "dedup_clusters",
     "delta_neardup",
+    "lsh_topk",
+    "ivf_topk",
+    "simhash_docs",
+    "dedup_docs_exact",
+    "normalized_dedup",
 ]
+
+# second decade: when bench_scale's sf10 synthetic exists, the
+# sublinear cohort is hash-verified there too (results_sf10)
+TIER2_QUERIES = TABLE_QUERIES + ["dedup_docs_exact", "normalized_dedup"]
 
 EXCLUDED = {
     "crop_volume_greedy": (
@@ -121,10 +134,13 @@ def _compare(qname: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
     return rec
 
 
-def _run_spark_set(queries: list[str], capped: bool, results: dict) -> dict:
-    """Run a query set at SF1, collecting pandas results. Capped sets
-    run at local[8] + the payload-sized conf, mirroring bench_scale's
-    measurement conditions (the honest probe's memory:core story)."""
+def _run_spark_set(
+    queries: list[str], capped: bool, results: dict, tier_dir: str
+) -> dict:
+    """Run a query set at ``tier_dir``, collecting pandas results.
+    Capped sets run at local[8] + the payload-sized conf, mirroring
+    bench_scale's measurement conditions (the honest probe's
+    memory:core story)."""
     from sentinel_landsat_database_creation_spark.plans.driver_queries import (
         REGISTRY,
     )
@@ -139,7 +155,7 @@ def _run_spark_set(queries: list[str], capped: bool, results: dict) -> dict:
     for q in queries:
         t0 = time.perf_counter()
         try:
-            out[q] = REGISTRY[q][0](spark, SF1).toPandas()
+            out[q] = REGISTRY[q][0](spark, tier_dir).toPandas()
             print(f"  spark {q}: {len(out[q])} rows in {time.perf_counter()-t0:.1f}s")
         except Exception as exc:  # noqa: BLE001 — record, keep verifying
             results[q] = {
@@ -154,34 +170,15 @@ def _run_spark_set(queries: list[str], capped: bool, results: dict) -> dict:
     return out
 
 
-def main() -> None:
-    os.environ["SPARK_GRAFT_MEMO_STORAGE"] = "DISK_ONLY"
-    spark = _fresh_session("vscale-build")
-    build_sf1(spark)
-    spark.stop()
-
-    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
-        REGISTRY,
-    )
-
-    results: dict[str, dict] = {}
-    # split mirrors bench_scale: the payload/pair-space queries only fit
-    # the 1 GB harness heap under the capped local[8] conditions
-    table_res = _run_spark_set(TABLE_QUERIES, capped=False, results=results)
-    capped = [q for q in CAPPED_QUERIES if q not in EXCLUDED]
-    capped_res = _run_spark_set(capped, capped=True, results=results)
-    spark_frames = {**table_res, **capped_res}
-
+def _oracle_compare(
+    spark_frames: dict, oracles: dict, tier_dir: str, results: dict
+) -> None:
     con = duckdb.connect()
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     for t in tables:
-        p = f"{SF1}/{t}.parquet"
+        p = f"{tier_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-
-    oracles = {q: REGISTRY[q][1] for q in TABLE_ORACLE_QUERIES}
-    oracles.update(_generated_oracles())
-
     for q, sdf in spark_frames.items():
         t0 = time.perf_counter()
         try:
@@ -200,19 +197,69 @@ def main() -> None:
         status = "MATCH" if results[q]["values_match"] else f"FAIL ({results[q]['err']})"
         print(f"  {q}: {status} [{len(sdf)} rows, oracle {time.perf_counter()-t0:.1f}s]")
 
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_MEMO_STORAGE"] = "DISK_ONLY"
+    spark = _fresh_session("vscale-build")
+    build_sf1(spark)
+    spark.stop()
+
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    results: dict[str, dict] = {}
+    # split mirrors bench_scale: the payload/pair-space queries only fit
+    # the 1 GB harness heap under the capped local[8] conditions
+    table_res = _run_spark_set(
+        TABLE_ORACLE_QUERIES, capped=False, results=results, tier_dir=SF1
+    )
+    capped = [
+        q
+        for q in CAPPED_QUERIES
+        if q not in EXCLUDED and q not in TABLE_ORACLE_QUERIES
+    ]
+    capped_res = _run_spark_set(capped, capped=True, results=results, tier_dir=SF1)
+    spark_frames = {**table_res, **capped_res}
+
+    oracles = {q: REGISTRY[q][1] for q in TABLE_ORACLE_QUERIES}
+    oracles.update(_generated_oracles())
+    _oracle_compare(spark_frames, oracles, SF1, results)
+
+    # second decade, when bench_scale has landed the sf10 synthetic
+    from bench_scale import SF10
+
+    results10: dict[str, dict] = {}
+    if os.path.exists(os.path.join(SF10, "_DONE")):
+        print("second decade (sf10) ...")
+        frames10 = _run_spark_set(
+            TIER2_QUERIES, capped=False, results=results10, tier_dir=SF10
+        )
+        _oracle_compare(
+            frames10, {q: REGISTRY[q][1] for q in TIER2_QUERIES}, SF10, results10
+        )
+
     n_pass = sum(1 for r in results.values() if r.get("values_match"))
+    n_pass10 = sum(1 for r in results10.values() if r.get("values_match"))
     payload = {
         "metric": "correctness_scale_10x",
         "tier": SF1,
         "n_checked": len(results),
         "n_pass": n_pass,
         "results": dict(sorted(results.items())),
+        "tier2": SF10 if results10 else None,
+        "n_checked_tier2": len(results10),
+        "n_pass_tier2": n_pass10,
+        "results_tier2": dict(sorted(results10.items())),
         "excluded": EXCLUDED,
     }
     out = Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json"
     out.write_text(json.dumps(payload, indent=1) + "\n")
-    print(f"\nSCALE VERIFY: {n_pass}/{len(results)} pass -> {out.name}")
-    if n_pass != len(results):
+    print(
+        f"\nSCALE VERIFY: {n_pass}/{len(results)} pass at 10x, "
+        f"{n_pass10}/{len(results10)} at 100x -> {out.name}"
+    )
+    if n_pass != len(results) or n_pass10 != len(results10):
         sys.exit(1)
 
 

@@ -980,3 +980,60 @@ def test_lsh_index_compact_preserves_probe_and_bounds_files(spark, tmp_path):
     assert after_files < before_files, "compaction must shrink file count"
     assert not os.path.exists(path.rstrip("/") + "__compacting")
     assert not os.path.exists(path.rstrip("/") + "__old")
+
+
+def test_lsh_index_compact_crash_recovery(spark, tmp_path):
+    """Crash-safety of the compact swap (round-5 ADVICE): (a) a run
+    that died BETWEEN the two swap moves leaves the live index parked
+    at __old with the canonical path absent — the next compact must
+    restore and proceed; (b) stale __old/__compacting leftovers from a
+    crash BEFORE the swap must be pre-removed, not become nesting
+    targets for shutil.move."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        lsh_index_compact,
+        lsh_index_write,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 5 + j) % 19}" for j in range(10)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    path = os.path.join(str(tmp_path), "idx")
+    lsh_index_write(docs, path)
+    want = sorted(
+        (r["doc_id"], r["bucket"]) for r in spark.read.parquet(path).collect()
+    )
+
+    # (a) simulate death between move(path, old) and move(tmp, path)
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    assert not os.path.exists(path)
+    lsh_index_compact(spark, path)
+    got = sorted(
+        (r["doc_id"], r["bucket"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == want, "recovery from __old must lose no rows"
+    assert not os.path.exists(old)
+
+    # (b) stale leftovers alongside a LIVE index: pre-removed, and the
+    # swap must rename — never nest the index inside the stale target
+    os.makedirs(old, exist_ok=True)
+    with open(os.path.join(old, "stale"), "w") as f:
+        f.write("junk")
+    tmp = path.rstrip("/") + "__compacting"
+    os.makedirs(tmp, exist_ok=True)
+    lsh_index_compact(spark, path)
+    got = sorted(
+        (r["doc_id"], r["bucket"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == want
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    assert not os.path.exists(os.path.join(path, os.path.basename(old)))

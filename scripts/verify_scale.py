@@ -72,8 +72,10 @@ TABLE_ORACLE_QUERIES = TABLE_QUERIES + [
 ]
 
 # second decade: when bench_scale's sf10 synthetic exists, the
-# sublinear cohort is hash-verified there too (results_sf10)
-TIER2_QUERIES = TABLE_QUERIES + ["dedup_docs_exact", "normalized_dedup"]
+# decade-2 cohort is hash-verified there too (results_tier2) — same
+# membership and capped conditions as bench_scale.DECADE2_QUERIES
+# (minhash_estimate and stream_sessions are documented out there)
+from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 
 EXCLUDED = {
     "crop_volume_greedy": (
@@ -231,9 +233,12 @@ def main() -> None:
 
     results10: dict[str, dict] = {}
     if os.path.exists(os.path.join(SF10, "_DONE")):
-        print("second decade (sf10) ...")
+        # capped conditions, as in bench_scale's second decade: at sf10
+        # the memo builds and 64m-threshold broadcasts OOM the 1 GB
+        # harness heap at 32 slots
+        print("second decade (sf10, local[8] capped) ...")
         frames10 = _run_spark_set(
-            TIER2_QUERIES, capped=False, results=results10, tier_dir=SF10
+            TIER2_QUERIES, capped=True, results=results10, tier_dir=SF10
         )
         _oracle_compare(
             frames10, {q: REGISTRY[q][1] for q in TIER2_QUERIES}, SF10, results10

@@ -1300,6 +1300,14 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # crop_volume_greedy (freshest volume anchor, kept under driver check
 # while its sibling crop_volume spills under its plan pin).
 #
+# Late-r6 plan change inside the prefix: the second-decade scale
+# probe caught simhash_docs serializing its vocab join onto one
+# AQE-coalesced reducer; the fix (explicit broadcast,
+# operators/dedup.py:simhash_docs) moves its plan — it already sits
+# in this round's prefix (rotated in with the r4 cohort), so the
+# driver re-verifies it; the snapshot pin is regenerated with the
+# change.
+#
 # The 47 spilled below are the rest of the r5 prefix — every one
 # r5-green (CORRECTNESS_r05: rows+schema+hash) and untouched in r6
 # except behavior-preserving hardening: zorder_layout,

@@ -83,7 +83,7 @@ from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 
 # Results too large to collect to the driver at the 100x tier are
 # compared via an IN-ENGINE digest instead of a row-by-row frame diff:
-# both engines aggregate (count, sum of a 48-bit md5 prefix over the
+# both engines aggregate (count, sum of a 32-bit md5 prefix over the
 # '|'-joined sorted columns) so verification cost stays in the engines
 # and the comparison is O(1) rows — the only comparison strategy that
 # survives arbitrary scale. Sound here because every registry output
@@ -153,7 +153,7 @@ def _compare(qname: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
 
 def _digest_spark(df) -> tuple[pd.DataFrame, list[str]]:
     """(n_rows, digest) of a DataFrame, computed in-engine: sum of a
-    48-bit md5 prefix over the '|'-joined sorted columns. Returns the
+    32-bit md5 prefix over the '|'-joined sorted columns. Returns the
     1-row pandas frame plus the source column order the oracle wrapper
     must reproduce."""
     from pyspark.sql import functions as F

@@ -48,9 +48,15 @@ def decode_png(payload: bytes):
             raise ValueError("truncated PNG chunk")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                width, height, depth, color_type, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            except struct.error as exc:
+                # struct.error is not a ValueError/OSError subclass, so it
+                # would sail past decode_image's corrupt-skip catch and
+                # fail the whole task on one bad object — normalize.
+                raise ValueError(f"bad PNG IHDR chunk: {exc}") from exc
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if color_type not in _CHANNELS:
@@ -64,7 +70,13 @@ def decode_png(payload: bytes):
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # Same normalization as IHDR above: zlib.error subclasses plain
+        # Exception, and a single corrupt IDAT must hit the documented
+        # 100-TB-scan skip contract, not kill the task.
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     ch = _CHANNELS[color_type]
     stride = width * ch
     if len(raw) < height * (stride + 1):

@@ -169,6 +169,16 @@ def _lzw_encode(data: bytes) -> bytes:
             nbits += 1
     if w:
         emit(table[w])
+        # The decoder appends one implicit table entry while processing
+        # this final data code, then applies its early-change check
+        # (len(table) >= (1<<nbits)-1 -> widen).  At that moment its
+        # table length equals our next_code, so if next_code has reached
+        # (1<<nbits)-1 the decoder reads EOI at the WIDER width — emit
+        # it there or libtiff-semantics readers (incl. _lzw_decode)
+        # misparse the 9/10/11-bit EOI as a spurious wider code
+        # (libtiff LZWPostEncode does the same accounting).
+        if next_code >= (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
     emit(EOI)
     if curbits:
         out.append((cur << (8 - curbits)) & 0xFF)

@@ -152,12 +152,29 @@ def test_decode_image_end_to_end_with_real_pngs(spark):
         decode_image,
     )
 
+    good6 = make_png(_rand_img(6, 6, 1, 14), 0, [0])
+    idat_at = good6.index(b"IDAT")
+    # flip bytes INSIDE the IDAT zlib stream: well-formed chunk layout,
+    # corrupt deflate payload -> zlib.error, which must surface as
+    # ValueError or the row-wise skip contract breaks (r6 ADVICE)
+    corrupt_idat = bytearray(good6)
+    for off in range(idat_at + 6, idat_at + 10):
+        corrupt_idat[off] ^= 0xFF
+    # IHDR declaring 4 data bytes (< the 13 the layout needs): the
+    # struct.unpack inside decode_png must not leak struct.error
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">I", 6))
+        + _chunk(b"IEND", b"")
+    )
     payloads = {
         1: make_png(_rand_img(16, 16, 1, 11), 0, [0, 1, 2, 3, 4]),
         2: make_png(_rand_img(20, 10, 3, 12), 2, [4, 3, 2, 1, 0]),
         3: make_png(_rand_img(8, 8, 4, 13), 6, [2]),
         4: b"\x89PNG\r\n\x1a\ngarbage-after-signature",
         5: b"not even a png",
+        6: bytes(corrupt_idat),
+        7: short_ihdr,
     }
     media = spark.createDataFrame(
         [(k, "image", bytearray(v)) for k, v in payloads.items()],
@@ -165,7 +182,7 @@ def test_decode_image_end_to_end_with_real_pngs(spark):
     )
     out = decode_image(media, width=4, height=4, decoder=png_decode_resize)
     rows = {r["media_id"]: r for r in out.collect()}
-    assert sorted(rows) == [1, 2, 3]  # corrupt 4/5 skipped, not failed
+    assert sorted(rows) == [1, 2, 3]  # corrupt 4-7 skipped, not failed
     for k in (1, 2, 3):
         want = png_decode_resize(payloads[k], 4, 4)
         assert rows[k]["pixels"] == want

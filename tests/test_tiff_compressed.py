@@ -73,6 +73,56 @@ def test_lzw_raw_roundtrip_incl_width_bumps_and_resets():
     assert tc._lzw_decode(tc._lzw_encode(rep)) == rep
 
 
+def test_lzw_eoi_at_table_width_boundaries():
+    """Regression for the EOI width off-by-one: when the FINAL data code
+    lands the decoder's implicit table append exactly on the early-change
+    boundary (table size 511/1023/2047), the decoder widens before
+    reading EOI — the encoder must emit EOI at the widened width
+    (libtiff LZWPostEncode semantics) or the 9/10/11-bit EOI is misread
+    as a wider spurious code and decode returns extra bytes.
+
+    Constructs prefixes of a seeded random buffer whose encoder
+    ``next_code`` at the final emit is exactly each boundary value, by
+    mirroring the table-growth recurrence (growth only; no 12-bit reset
+    below 4093, so the mirror is exact here)."""
+    import random
+
+    random.seed(1234)
+    buf = bytes(random.getrandbits(8) for _ in range(6000))
+
+    # One mirror pass: next_code after consuming n bytes IS the value at
+    # the final emit for prefix buf[:n] (the final emit adds no entry).
+    hits = {}
+    table = {bytes([i]) for i in range(256)}
+    next_code, w = 258, b""
+    for n, b in enumerate(buf, start=1):
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+        else:
+            table.add(wc)
+            next_code += 1
+            w = bytes([b])
+        if next_code in (511, 1023, 2047) and next_code not in hits:
+            hits[next_code] = n
+        if len(hits) == 3:
+            break
+    assert sorted(hits) == [511, 1023, 2047], f"mirror failed to land: {hits}"
+    for boundary, n in sorted(hits.items()):
+        data = buf[:n]
+        out = tc._lzw_decode(tc._lzw_encode(data))
+        assert out == data, (
+            f"boundary {boundary}: decode returned {len(out)} bytes "
+            f"for {len(data)} input"
+        )
+    # fuzz sweep across the same neighborhood (catches off-by-one in
+    # the mirror itself): every prefix near each boundary roundtrips
+    for n0 in hits.values():
+        for n in range(max(1, n0 - 3), n0 + 4):
+            data = buf[:n]
+            assert tc._lzw_decode(tc._lzw_encode(data)) == data
+
+
 def test_lzw_spec_vector():
     """First-principles check against the TIFF 6.0 §13 coding scheme:
     encode a short known string and verify the exact emitted code

@@ -51,6 +51,7 @@ from ..sources.testdata import normalize_event_ts, table
 from ..streaming.drain import drain_checkpoint_dir
 from . import crop_volume as _cv
 from . import scene_compressed as _scg
+from . import scene_int16 as _si16
 from . import scene_volume as _sv
 
 import contextlib
@@ -939,6 +940,108 @@ def q_lsh_append_probe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_LSH_APPEND_PROBE = SQL_DELTA_NEARDUP
+
+
+def q_lsh_index_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Index maintenance part 3 under the driver's hash gate
+    (operators/dedup.py:lsh_index_compact; previously pytest-only):
+    write gen-1 (odd doc_ids), APPEND gen-2 (even, %10!=0), then
+    COMPACT the grown directory through the crash-safe sibling swap —
+    and verify the compacted files' CONTENT exactly, not just a probe
+    through them: per band, (row count, distinct buckets, 32-bit-md5
+    digest over bucket:doc_id), read FROM THE POST-SWAP FILES. The
+    digest is the verify_scale trick (sum of md5-prefix per row), so a
+    compaction that loses, duplicates, or corrupts even one index row
+    hash-mismatches, where a probe-only check could pass silently (the
+    candidate stage dedups). The oracle re-derives every bucket row
+    from the documents table alone.
+
+    Scale shape: compaction is one full-index shuffle, by design
+    (that's the operation); the summary here adds one map-side-combined
+    groupBy over (doc x bands) short strings — nothing leaves the
+    engine but 4 rows of longs."""
+    import os as _os
+    import time as _time
+
+    from ..operators.dedup import (
+        log_setup_time,
+        lsh_index_append,
+        lsh_index_compact,
+        lsh_index_write,
+    )
+    from ..session import session_tmp_path
+
+    d = table(spark, sf, "documents")
+    gen1 = d.filter(F.col("doc_id") % 2 == 1)
+    gen2 = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 != 0))
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = session_tmp_path(spark, f"lsh_index_cmp_{tag}")
+    # the compact swap recreates ``path`` itself, so the once-per-session
+    # marker lives BESIDE it (also applicationId-keyed via the parent)
+    done = path.rstrip("/") + "__done"
+    if not _os.path.exists(done):
+        t0 = _time.perf_counter()
+        lsh_index_write(gen1, path)
+        lsh_index_append(gen2, path)
+        lsh_index_compact(spark, path)
+        with open(done, "w") as f:
+            f.write("ok")
+        log_setup_time("setup:lsh_index_cmp", _time.perf_counter() - t0)
+    idx = spark.read.parquet(path)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("bucket"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        idx.select(
+            F.split(F.col("bucket"), r"\|").getItem(0).cast("long").alias("band"),
+            "bucket",
+            digest.alias("d"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("bucket").cast("long").alias("n_buckets"),
+            F.sum("d").cast("long").alias("digest"),
+        )
+        .orderBy("band")
+    )
+
+
+def _sql_lsh_index_compact(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    buckets = ", ".join(
+        "'"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SH2}),
+csig AS (SELECT doc_id, {sigs} FROM sh WHERE doc_id % 10 != 0 AND len(s) > 0),
+cb AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM csig)
+SELECT CAST(string_split(bucket, '|')[1] AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       CAST(sum(CAST(('0x' || substr(md5(bucket || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS digest
+FROM cb
+GROUP BY band ORDER BY band
+"""
+
+
+SQL_LSH_INDEX_COMPACT = _sql_lsh_index_compact()
 
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -2717,4 +2820,15 @@ REGISTRY_EXT = {
         _scg.q_scene_tensors_compressed,
         _scg.SQL_SCENE_TENSORS_COMPRESSED,
     ),
+    # r7: the int16-DN + scale_factor raster path (real HLS v2.0 layout)
+    # end-to-end — signed samples, horizontal predictor, LZW, and the
+    # GDAL_METADATA calibration surfaced as columns and applied as
+    # native integer-micro arithmetic
+    "scene_tensors_int16": (
+        _si16.q_scene_tensors_int16,
+        _si16.SQL_SCENE_TENSORS_INT16,
+    ),
+    # r7: LSH index compaction content-verified from the post-swap
+    # files (write -> append -> compact -> per-band digest)
+    "lsh_index_compact": (q_lsh_index_compact, SQL_LSH_INDEX_COMPACT),
 }

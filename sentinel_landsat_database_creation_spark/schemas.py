@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -48,6 +49,18 @@ BAND_RASTER_SCHEMA = StructType(
         StructField("height", IntegerType(), False),
         StructField("width", IntegerType(), False),
         StructField("pixels", ArrayType(FloatType(), False), False),
+    ]
+)
+
+# BAND_RASTER_SCHEMA plus the band calibration (GDAL scale/offset, the
+# int16-DN HLS v2.0 shape): pixels stay RAW DN exactly like rasterio's
+# .read(1); reflectance = DN*scale + offset is applied downstream as a
+# native Spark expression.
+BAND_RASTER_SCALED_SCHEMA = StructType(
+    list(BAND_RASTER_SCHEMA)
+    + [
+        StructField("scale", DoubleType(), False),
+        StructField("offset", DoubleType(), False),
     ]
 )
 

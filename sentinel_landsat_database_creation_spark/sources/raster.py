@@ -116,6 +116,61 @@ def decode_rasters(band_files: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, BAND_RASTER_SCHEMA)
 
 
+def decode_tiff_bytes_full(content: bytes):
+    """decode_tiff_bytes plus the band calibration (scale, offset) from
+    the GDAL metadata — the int16-DN HLS v2.0 read shape. rasterio
+    surfaces the same values as dataset.scales/offsets; the fallback
+    parses the GDAL_METADATA tag itself (tiffcodec.decode_gray_full).
+    Pixels stay RAW DN in both paths (rasterio's .read(1) does not
+    auto-calibrate); the engine applies DN*scale + offset as a native
+    expression downstream, JVM-side."""
+    if HAVE_RASTERIO:
+        with rasterio.open(io.BytesIO(bytes(content))) as src:
+            arr = src.read(1).astype("float32")
+            scale = float(src.scales[0]) if src.scales else 1.0
+            offset = float(src.offsets[0]) if src.offsets else 0.0
+        return int(arr.shape[0]), int(arr.shape[1]), arr.ravel(), scale, offset
+    return tiffcodec.decode_gray_full(bytes(content))
+
+
+def decode_rasters_scaled(band_files: DataFrame) -> DataFrame:
+    """Op 4, calibrated-integer variant: band-1 decode emitting raw DN
+    pixels PLUS the per-band (scale, offset) calibration — the columns
+    a physical-units pipeline (HLS reflectance) consumes. Same
+    mapInPandas boundary and Arrow shape as decode_rasters; the two
+    extra columns are scalars per file, so the batch payload is
+    unchanged."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            heights, widths, pixels, scales, offsets = [], [], [], [], []
+            for v in pdf["content"]:
+                h, w, px, sc, off = decode_tiff_bytes_full(v)
+                heights.append(h)
+                widths.append(w)
+                pixels.append(px)
+                scales.append(sc)
+                offsets.append(off)
+            yield pd.DataFrame(
+                {
+                    "scene": pdf["scene"],
+                    "band": pdf["band"],
+                    "height": heights,
+                    "width": widths,
+                    "pixels": pixels,
+                    "scale": scales,
+                    "offset": offsets,
+                }
+            )
+
+    from ..schemas import BAND_RASTER_SCALED_SCHEMA
+
+    cols = band_files.select("scene", "band", "content")
+    return cols.mapInPandas(run, BAND_RASTER_SCALED_SCHEMA)
+
+
 def encode_rasters(
     rasters: DataFrame,
     out_dir: str,
@@ -124,6 +179,9 @@ def encode_rasters(
     compression: str | None = None,
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
+    dtype: str = "float32",
+    scale: float | None = None,
+    offset: float | None = None,
 ) -> DataFrame:
     """Op 8 (``array2raster``, reference
     data_pair/fct_data_extraction.py:14-20): write one single-band
@@ -159,6 +217,9 @@ def encode_rasters(
                     compression=compression,
                     tile=tile,
                     predictor=predictor,
+                    dtype=dtype,
+                    scale=scale,
+                    offset=offset,
                 )
                 path = os.path.join(out_dir, f"{scene}_{band}.tif")
                 # a scene value may carry a directory prefix

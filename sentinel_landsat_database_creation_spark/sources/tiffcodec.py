@@ -52,7 +52,13 @@ _T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
+# GDAL's per-band metadata tag (ASCII XML; the public GDAL GeoTIFF
+# driver spec): carries the band SCALE/OFFSET real HLS v2.0 int16
+# bands ship (reflectance = DN * 0.0001), which rasterio exposes as
+# dataset.scales / dataset.offsets.
+_T_GDAL_METADATA = 42112
 
+_TYPE_ASCII = 2
 _TYPE_SHORT = 3  # uint16
 _TYPE_LONG = 4  # uint32
 _TYPE_DOUBLE = 12
@@ -213,14 +219,30 @@ def _predict3_decode(seg: bytes, rows: int, w: int, bpp: int) -> bytes:
     return planes.tobytes()
 
 
-def _predict2_decode(seg: bytes, rows: int, w: int, samples: int, dt) -> bytes:
-    """Horizontal differencing over integer samples (per channel).
-    Cumsum in the sample dtype wraps exactly like the encoder's
-    subtraction did."""
+def _predict2_encode(seg: bytes, rows: int, w: int, samples: int, dt) -> bytes:
+    """Horizontal differencing over integer samples (per channel), the
+    encoder side of _predict2_decode: subtract the left neighbor in the
+    sample dtype (wraps mod 2^bits, as specified in TIFF 6.0 §14)."""
     import numpy as np
 
     a = np.frombuffer(seg, dt).reshape(rows, w, samples)
-    return np.cumsum(a, axis=1, dtype=dt).tobytes()
+    diff = a.copy()
+    diff[:, 1:, :] -= a[:, :-1, :]
+    return diff.tobytes()
+
+
+def _predict2_decode(seg: bytes, rows: int, w: int, samples: int, dt) -> bytes:
+    """Horizontal differencing over integer samples (per channel).
+    Cumsum in the sample dtype wraps exactly like the encoder's
+    subtraction did. np.cumsum silently NORMALIZES a byte-swapped
+    dtype to native order (values right, storage order wrong), so the
+    result is forced back to ``dt`` before serializing — without the
+    astype, big-endian predictor-2 files decoded to byte-swapped
+    garbage (caught by the MM int16 foreign-layout test)."""
+    import numpy as np
+
+    a = np.frombuffer(seg, dt).reshape(rows, w, samples)
+    return np.cumsum(a, axis=1, dtype=dt).astype(dt, copy=False).tobytes()
 
 
 def _compress(seg: bytes, compression: int) -> bytes:
@@ -263,7 +285,9 @@ def _emit_tiff(entries: list[tuple[int, int, list]], segments: list[bytes]) -> b
     land out-of-line after the IFD, in tag order (spec: IFD sorted by
     ascending tag)."""
 
-    def pack_values(typ: int, values: list) -> bytes:
+    def pack_values(typ: int, values) -> bytes:
+        if typ == _TYPE_ASCII:  # values = the NUL-terminated bytes; the
+            return values  # IFD count is its byte length (len works)
         ch = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
         return struct.pack(f"<{len(values)}{ch}", *values)
 
@@ -312,32 +336,49 @@ def encode_gray(
     compression: str | None = None,
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
+    dtype: str = "float32",
+    scale: float | None = None,
+    offset: float | None = None,
 ) -> bytes:
-    """Encode ``height*width`` float pixels (row-major) as a
-    little-endian single-band float32 TIFF. ``origin`` (originX,
-    originY) and ``pixel_size`` (pixelWidth, pixelHeight) add the
-    GeoTIFF ModelTiepoint/ModelPixelScale tags, mirroring the
-    geotransform the reference feeds GDAL
-    (data_pair/fct_data_extraction.py:15-17).
+    """Encode ``height*width`` pixels (row-major) as a little-endian
+    single-band TIFF. ``origin`` (originX, originY) and ``pixel_size``
+    (pixelWidth, pixelHeight) add the GeoTIFF ModelTiepoint/
+    ModelPixelScale tags, mirroring the geotransform the reference
+    feeds GDAL (data_pair/fct_data_extraction.py:15-17).
 
     ``compression`` ("deflate" | "lzw" | None), ``tile`` (tw, th —
-    multiples of 16 per spec §15), and ``predictor`` (1 = none, 3 =
-    TechNote-3 floating point) write the cloud-optimized layouts real
-    HLS/S2 distribution files use; the defaults keep the historical
-    uncompressed single-strip output byte-identical."""
+    multiples of 16 per spec §15), and ``predictor`` (1 = none, 2 =
+    horizontal integer differencing, 3 = TechNote-3 floating point)
+    write the cloud-optimized layouts real HLS/S2 distribution files
+    use; the defaults keep the historical uncompressed single-strip
+    float32 output byte-identical.
+
+    ``dtype="int16"`` writes signed 16-bit DN samples (SampleFormat=2,
+    the layout real HLS v2.0 bands ship); ``scale``/``offset`` record
+    the band's physical calibration (reflectance = DN*scale + offset)
+    in the GDAL_METADATA tag exactly where GDAL/rasterio read it
+    (dataset.scales / dataset.offsets)."""
     if len(pixels) != height * width:
         raise ValueError(f"expected {height * width} pixels, got {len(pixels)}")
     comp = _COMPRESSION_NAMES.get(compression)
     if comp is None:
         raise ValueError(f"unknown compression {compression!r}")
-    if predictor not in (1, 3):
+    if dtype not in ("float32", "int16"):
+        raise ValueError(f"encoder supports float32/int16, not {dtype!r}")
+    is_int = dtype == "int16"
+    if is_int:
+        if predictor not in (1, 2):
+            raise ValueError("int16 encoder supports predictor 1 or 2 only")
+    elif predictor not in (1, 3):
         raise ValueError("float32 encoder supports predictor 1 or 3 only")
-    if predictor == 3 and comp == _C_NONE:
+    if predictor != 1 and comp == _C_NONE:
         raise ValueError("predictor without compression is pointless; pick one")
 
     import numpy as np
 
-    arr = np.asarray(pixels, dtype="<f4").reshape(height, width)
+    arr = np.asarray(pixels, dtype="<i2" if is_int else "<f4").reshape(
+        height, width
+    )
 
     def segment_bytes(a) -> bytes:
         # predictor 3 operates on BIG-endian sample bytes (TechNote 3:
@@ -345,19 +386,37 @@ def encode_gray(
         if predictor == 3:
             rows, w = a.shape
             return _predict3_encode(a.astype(">f4").tobytes(), rows, w, 4)
-        return a.astype("<f4").tobytes()
+        if predictor == 2:
+            rows, w = a.shape
+            dt = np.dtype("<i2")
+            return _predict2_encode(a.astype(dt).tobytes(), rows, w, 1, dt)
+        return a.astype("<i2" if is_int else "<f4").tobytes()
 
     entries: list[tuple[int, int, list]] = [
         (_T_WIDTH, _TYPE_LONG, [width]),
         (_T_HEIGHT, _TYPE_LONG, [height]),
-        (_T_BITS, _TYPE_SHORT, [32]),
+        (_T_BITS, _TYPE_SHORT, [16 if is_int else 32]),
         (_T_COMPRESSION, _TYPE_SHORT, [comp]),
         (_T_PHOTOMETRIC, _TYPE_SHORT, [1]),  # BlackIsZero
         (_T_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1]),
-        (_T_SAMPLE_FORMAT, _TYPE_SHORT, [3]),  # IEEE float
+        (_T_SAMPLE_FORMAT, _TYPE_SHORT, [2 if is_int else 3]),
     ]
     if predictor != 1:
         entries.append((_T_PREDICTOR, _TYPE_SHORT, [predictor]))
+    if scale is not None or offset is not None:
+        items = []
+        if scale is not None:
+            items.append(
+                f'<Item name="SCALE" sample="0" role="scale">{scale!r}</Item>'
+            )
+        if offset is not None:
+            items.append(
+                f'<Item name="OFFSET" sample="0" role="offset">{offset!r}</Item>'
+            )
+        xml = "<GDALMetadata>\n" + "\n".join(items) + "\n</GDALMetadata>\n"
+        entries.append(
+            (_T_GDAL_METADATA, _TYPE_ASCII, xml.encode("ascii") + b"\0")
+        )
     if origin is not None and pixel_size is not None:
         # ModelPixelScale = (pw, ph, 0); ModelTiepoint = raster (0,0,0)
         # -> model (originX, originY, 0). GDAL's geotransform uses a
@@ -377,7 +436,7 @@ def encode_gray(
         for y0 in range(0, height, th):
             for x0 in range(0, width, tw):
                 # edge tiles pad to full tile size (spec §15)
-                t = np.zeros((th, tw), dtype="<f4")
+                t = np.zeros((th, tw), dtype="<i2" if is_int else "<f4")
                 clip = arr[y0 : y0 + th, x0 : x0 + tw]
                 t[: clip.shape[0], : clip.shape[1]] = clip
                 segments.append(_compress(segment_bytes(t), comp))
@@ -413,7 +472,43 @@ def decode_gray(buf: bytes) -> tuple[int, int, list[float]]:
     return _decode_gray_impl(buf, as_list=True)
 
 
-def _decode_gray_impl(buf: bytes, as_list: bool):
+def decode_gray_full(buf: bytes):
+    """decode_gray_np plus the band calibration: (height, width,
+    float32 pixels, scale, offset), where scale/offset come from the
+    GDAL_METADATA tag (the place GDAL records them and rasterio
+    surfaces them as dataset.scales/offsets) and default to 1.0/0.0
+    when absent. Pixels stay RAW DN — like ``rasterio.open().read(1)``,
+    which does NOT auto-apply calibration; the engine applies
+    reflectance = DN*scale + offset as a native Spark expression
+    downstream so the physical-units math runs JVM-side."""
+    return _decode_gray_impl(buf, as_list=False, want_meta=True)
+
+
+_GDAL_ITEM_RE = None
+
+
+def _parse_gdal_scale_offset(xml: str) -> tuple[float, float]:
+    global _GDAL_ITEM_RE
+    if _GDAL_ITEM_RE is None:
+        import re
+
+        _GDAL_ITEM_RE = re.compile(
+            r'<Item\s+name="(SCALE|OFFSET)"[^>]*>([^<]+)</Item>'
+        )
+    scale, offset = 1.0, 0.0
+    for name, val in _GDAL_ITEM_RE.findall(xml):
+        try:
+            v = float(val)
+        except ValueError:
+            continue
+        if name == "SCALE":
+            scale = v
+        else:
+            offset = v
+    return scale, offset
+
+
+def _decode_gray_impl(buf: bytes, as_list: bool, want_meta: bool = False):
     if len(buf) < 8:
         raise ValueError("not a TIFF: truncated header")
     bom = buf[:2]
@@ -429,6 +524,7 @@ def _decode_gray_impl(buf: bytes, as_list: bool):
 
     (n_entries,) = struct.unpack(f"{e}H", buf[ifd_offset : ifd_offset + 2])
     tags: dict[int, list[int]] = {}
+    scale, offset = 1.0, 0.0
     for i in range(n_entries):
         off = ifd_offset + 2 + i * 12
         tag, typ, count = struct.unpack(f"{e}HHI", buf[off : off + 8])
@@ -438,6 +534,12 @@ def _decode_gray_impl(buf: bytes, as_list: bool):
         else:
             (voff,) = struct.unpack(f"{e}I", buf[off + 8 : off + 12])
             raw = buf[voff : voff + size]
+        if typ == _TYPE_ASCII:
+            if want_meta and tag == _T_GDAL_METADATA:
+                scale, offset = _parse_gdal_scale_offset(
+                    raw.rstrip(b"\0").decode("ascii", "replace")
+                )
+            continue
         if typ == _TYPE_SHORT:
             vals = list(struct.unpack(f"{e}{count}H", raw))
         elif typ == _TYPE_LONG:
@@ -482,12 +584,22 @@ def _decode_gray_impl(buf: bytes, as_list: bool):
             if samples > 1:  # band 1 of pixel-interleaved data, like .read(1)
                 values = values[::samples]
             arr = values.astype("float32")
-            return height, width, (arr.tolist() if as_list else arr)
+            px = arr.tolist() if as_list else arr
+            return (
+                (height, width, px, scale, offset)
+                if want_meta
+                else (height, width, px)
+            )
         except ImportError:  # pragma: no cover - numpy is a pyspark dep
             values = struct.unpack(f"{e}{n}{fmt}", raw[: n * struct.calcsize(fmt)])
             if samples > 1:
                 values = values[::samples]
-            return height, width, [float(v) for v in values]
+            px = [float(v) for v in values]
+            return (
+                (height, width, px, scale, offset)
+                if want_meta
+                else (height, width, px)
+            )
 
     # general path: per-segment decompress + predictor-undo + assemble
     import numpy as np
@@ -537,4 +649,5 @@ def _decode_gray_impl(buf: bytes, as_list: bool):
             out[y0 : y0 + rows] = s
             y0 += rows
     flat = out.ravel()
-    return height, width, (flat.tolist() if as_list else flat)
+    px = flat.tolist() if as_list else flat
+    return (height, width, px, scale, offset) if want_meta else (height, width, px)

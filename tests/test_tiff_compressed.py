@@ -215,6 +215,100 @@ def test_unsupported_compression_still_rejected():
 
 
 # ---------------------------------------------------------------------------
+def _dn(h, w, lo=-2000, hi=10000, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(lo, hi + 1, size=h * w).astype(np.int16)
+
+
+@pytest.mark.parametrize("compression", [None, "lzw", "deflate"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("tile", [None, (16, 16)])
+def test_int16_roundtrip_layouts(compression, predictor, tile):
+    """int16 DN (incl. negatives) through every layout the encoder
+    writes, with the calibration surfaced by decode_gray_full."""
+    if predictor == 2 and compression is None:
+        pytest.skip("predictor without compression is rejected by design")
+    h, w = 37, 29
+    dn = _dn(h, w)
+    buf = tc.encode_gray(
+        h,
+        w,
+        dn,
+        compression=compression,
+        tile=tile,
+        predictor=predictor,
+        dtype="int16",
+        scale=0.0001,
+        offset=-0.1,
+    )
+    hh, ww, px, scale, offset = tc.decode_gray_full(buf)
+    assert (hh, ww) == (h, w)
+    assert (scale, offset) == (0.0001, -0.1)
+    assert np.array_equal(np.asarray(px).astype(np.int16), dn)
+    # plain decode: same DN, no calibration in the tuple
+    h2, w2, px2 = tc.decode_gray_np(buf)
+    assert np.array_equal(np.asarray(px2), np.asarray(px))
+
+
+def test_int16_no_metadata_defaults():
+    buf = tc.encode_gray(4, 5, list(range(20)), dtype="int16")
+    _, _, _, scale, offset = tc.decode_gray_full(buf)
+    assert (scale, offset) == (1.0, 0.0)
+
+
+def test_int16_encoder_rejections():
+    px = list(range(16))
+    with pytest.raises(ValueError, match="predictor 1 or 2"):
+        tc.encode_gray(4, 4, px, dtype="int16", compression="deflate", predictor=3)
+    with pytest.raises(ValueError, match="predictor 1 or 3"):
+        tc.encode_gray(4, 4, [float(v) for v in px], compression="deflate", predictor=2)
+    with pytest.raises(ValueError, match="float32/int16"):
+        tc.encode_gray(4, 4, px, dtype="uint8")
+
+
+def test_foreign_bigendian_int16_lzw_predictor2_with_gdal_metadata():
+    """A hand-built MM-endian int16 file (multistrip, LZW + horizontal
+    predictor) with the GDAL_METADATA calibration XML exactly as GDAL
+    writes it — bytes this repo's encoder never produced."""
+    h, w, rps = 11, 7, 4
+    dn = _dn(h, w, seed=9).reshape(h, w)
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = dn[y0 : y0 + rps]
+        # difference in native int16 (wraps mod 2^16), store big-endian
+        native = rows.copy()
+        native[:, 1:] -= rows[:, :-1]
+        strips.append(tc._lzw_encode(native.astype(">i2").tobytes()))
+    xml = (
+        b'<GDALMetadata>\n  <Item name="SCALE" sample="0" role="scale">'
+        b'0.0001</Item>\n  <Item name="OFFSET" sample="0" role="offset">'
+        b"-0.1</Item>\n</GDALMetadata>\n\0"
+    )
+    inline = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 16),
+        (259, 3, 1, 5),  # LZW
+        (262, 3, 1, 1),
+        (277, 3, 1, 1),
+        (278, 4, 1, rps),
+        (317, 3, 1, 2),  # horizontal predictor
+        (339, 3, 1, 2),  # signed int samples
+    ]
+    arrays = {
+        273: (4, [0] * len(strips)),
+        279: (4, [len(s) for s in strips]),
+        42112: (2, xml),
+    }
+    buf = _ifd(inline, arrays, ">", strips)
+    hh, ww, px, scale, offset = tc.decode_gray_full(buf)
+    assert (hh, ww) == (h, w)
+    assert (scale, offset) == (0.0001, -0.1)
+    assert np.array_equal(
+        np.asarray(px).astype(np.int16).reshape(h, w), dn
+    )
+
+
 # hand-built TIFF writers (independent of tiffcodec's encoder)
 
 
@@ -229,10 +323,12 @@ def _ifd(entries_inline, arrays, endian, data_segments):
     n = len(entries_inline) + len(arrays)
     ifd_size = 2 + n * 12 + 4
     extra_base = 8 + ifd_size
-    type_sizes = {3: 2, 4: 4}
+    type_sizes = {2: 1, 3: 2, 4: 4}
 
     def arr_raw(tag):
         typ, vals = arrays[tag]
+        if typ == 2:  # ASCII: vals is the NUL-terminated bytes
+            return vals
         ch = {3: "H", 4: "I"}[typ]
         return struct.pack(f"{e}{len(vals)}{ch}", *vals)
 

@@ -75,6 +75,84 @@ def _regressions_vs_prior(
 _BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
 
 
+def _adjudicate_regressions(regressions: dict, sf_dir: str) -> None:
+    """Close the loop on flagged slowdowns instead of leaving them for
+    hand adjudication (round-6 VERDICT item 2: seven r6 flags were
+    almost-certainly same-host contention, but 'almost certainly' is
+    what this gate exists to eliminate). Each flagged query re-runs in
+    a FRESH session at the end of the run — one cold pass to land its
+    session memos/fixtures, then a warm isolated sample (the r5
+    memo-attribution work established isolated warm numbers match
+    full-run warm numbers). The flag record gains:
+
+      isolated:     the isolated warm seconds (memo lines subtracted)
+      adjudication: 'confirmed' if the isolated number still clears the
+                    same >1.3x-and->0.3s-absolute bar vs the prior
+                    baseline (real plan/code drift), else 'noise'
+                    (back-to-back-run contention).
+
+    Cost is bounded: 2 executions per flagged query, only when flags
+    exist."""
+    flagged = regressions.get("flagged") or {}
+    if not flagged:
+        return
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        drain_memo_build_log,
+    )
+    from sentinel_landsat_database_creation_spark.session import fresh_session
+
+    try:
+        spark = fresh_session("bench-adjudicate")
+    except Exception as exc:  # noqa: BLE001 — leave flags unadjudicated
+        regressions["adjudication_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        return
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = sf_dir.rstrip("/")
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()
+    drain_memo_build_log()
+    for name, rec in flagged.items():
+        fn = REGISTRY[name][0]
+        try:
+            # 4 uncharged passes (memos/fixtures + JIT tiering), then
+            # MEDIAN of 3 measured samples. The warm-up depth is
+            # evidence-driven: the baseline numbers come from queries
+            # running mid-session fully JIT-warm, and a fresh session
+            # measured 1.48/1.43/1.30/1.17/1.05/1.04... on consecutive
+            # executions of an UNCHANGED pinned plan — fewer warm-ups
+            # left ~30% of residual JIT in the sample and 'confirmed' a
+            # regression that converges to its baseline.
+            for _ in range(4):
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            drain_memo_build_log()
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                s = time.perf_counter() - t0
+                for _label, secs in drain_memo_build_log():
+                    s -= secs
+                samples.append(max(s, 0.0))
+            iso = sorted(samples)[1]
+        except Exception as exc:  # noqa: BLE001 — adjudication must not
+            # fail the bench; record and move on
+            rec["adjudication"] = "error"
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        rec["isolated"] = round(iso, 4)
+        prev = rec["prev"]
+        rec["adjudication"] = (
+            "confirmed"
+            if iso > prev * 1.3 and iso - prev >= 0.3
+            else "noise"
+        )
+    spark.stop()
+
+
 def _record_baseline(timings: dict[str, float], sf: float) -> None:
     """Persist this run's warm per-query numbers as the next run's
     comparison baseline, keyed by sf so a local sf0.01 iteration loop
@@ -118,6 +196,23 @@ def main() -> None:
     failed_timings: dict[str, float] = {}
     restarts = 0
     drain_memo_build_log()  # discard warm-up noise
+
+    # The documented contract is WARM-state plan costs (per-query
+    # numbers must not swing with registry order), but JIT/codegen
+    # warm-up used to land on whichever queries ran first — invisible
+    # while the prefix order was stable, a spray of spurious 2-4x
+    # "regressions" the round the registry rotated (r7). One uncharged
+    # cold pass of the first registry entry absorbs the bulk of it;
+    # memo builds it triggers still land in their memo: lines (wall
+    # time conserved — the memoized table would otherwise be built by
+    # the first measured query).
+    first_fn = next(iter(REGISTRY.values()))[0]
+    try:
+        first_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — the measured loop will surface it
+        pass
+    for label, secs in drain_memo_build_log():
+        memo_timings[label] = memo_timings.get(label, 0.0) + secs
     for name, (fn, _) in REGISTRY.items():
         # One query killing the JVM (e.g. an OOM under accumulated
         # session state) must not cascade into failures for every query
@@ -175,6 +270,10 @@ def main() -> None:
     if not errors:
         # a crash-looping run must not become the next round's baseline
         _record_baseline(dict(timings), float(sf))
+    if regressions is not None:
+        # fresh_session below replaces the live singleton, so the main
+        # session is done measuring by this point
+        _adjudicate_regressions(regressions, sf_dir)
     timings.update(memo_timings)
     total = round(sum(timings.values()), 4)
     payload = {
@@ -207,6 +306,15 @@ def main() -> None:
                 "restarts": restarts,
                 "n_regressed": (
                     len(regressions["flagged"]) if regressions else 0
+                ),
+                "n_confirmed": (
+                    sum(
+                        1
+                        for r in regressions["flagged"].values()
+                        if r.get("adjudication") == "confirmed"
+                    )
+                    if regressions
+                    else 0
                 ),
                 "sf": float(sf),
             }

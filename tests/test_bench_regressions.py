@@ -59,6 +59,83 @@ def test_flags_only_real_drift(monkeypatch, tmp_path):
     assert out["flagged"]["big_slow"]["ratio"] == 1.5
 
 
+def test_adjudication_confirms_and_clears(monkeypatch, spark):
+    """_adjudicate_regressions re-runs flagged queries isolated and
+    stamps confirmed/noise: a query that is STILL slow in the fresh
+    session confirms; one that is fast again is noise. Uses the live
+    test session (fresh_session monkeypatched, stop intercepted) with
+    sleep-backed fake registry entries so the isolated sample is
+    controlled."""
+    import time as _t
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    from sentinel_landsat_database_creation_spark import session as _sess
+
+    monkeypatch.setattr(
+        _sess, "fresh_session", lambda *a, **k: _NoStop(spark)
+    )
+
+    def slow_fn(sp, sf):
+        _t.sleep(0.6)
+        return sp.range(1)
+
+    def fast_fn(sp, sf):
+        return sp.range(1)
+
+    def broken_fn(sp, sf):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(
+        bench,
+        "REGISTRY",
+        {
+            "still_slow": (slow_fn, None),
+            "was_noise": (fast_fn, None),
+            "breaks": (broken_fn, None),
+        },
+    )
+    regressions = {
+        "flagged": {
+            # prev tiny -> the 0.6s sleep clears 1.3x and +0.3s: confirmed
+            "still_slow": {"prev": 0.05, "now": 1.2, "ratio": 24.0},
+            # prev large -> isolated run is fast again: noise
+            "was_noise": {"prev": 0.5, "now": 1.0, "ratio": 2.0},
+            "breaks": {"prev": 0.5, "now": 1.0, "ratio": 2.0},
+        }
+    }
+    bench._adjudicate_regressions(regressions, "/root/testdata/sf0.001")
+    f = regressions["flagged"]
+    assert f["still_slow"]["adjudication"] == "confirmed"
+    assert f["still_slow"]["isolated"] >= 0.5
+    assert f["was_noise"]["adjudication"] == "noise"
+    assert f["breaks"]["adjudication"] == "error"
+    assert "boom" in f["breaks"]["error"]
+    # the intercepted stop leaves the shared session alive
+    assert spark.range(1).count() == 1
+
+
+def test_adjudication_noop_without_flags(monkeypatch):
+    # must not build any session when nothing is flagged
+    from sentinel_landsat_database_creation_spark import session as _sess
+
+    def _explode(*a, **k):
+        raise AssertionError("fresh_session must not be called")
+
+    monkeypatch.setattr(_sess, "fresh_session", _explode)
+    regressions = {"flagged": {}}
+    bench._adjudicate_regressions(regressions, "/root/testdata/sf0.001")
+    assert regressions == {"flagged": {}}
+
+
 def test_record_baseline_is_per_sf(monkeypatch, tmp_path):
     p = _with_baseline(monkeypatch, tmp_path, {"0.1": {"queries": {"a": 1.0}}})
     bench._record_baseline({"b": 2.0}, 0.01)

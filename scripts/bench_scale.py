@@ -84,6 +84,10 @@ CAPPED_QUERIES = [
     "crop_volume",
     "crop_volume_greedy",
     "scene_tensors_volume",
+    # r7: the int16-DN + calibration pipeline (10x pairs at sf>=0.5 via
+    # its params_for tier; the Python-LZW decode loop is the per-file
+    # cost, the plan is the same one-boundary pair-parallel shape)
+    "scene_tensors_int16",
 ]
 
 QUERIES = TABLE_QUERIES + CAPPED_QUERIES

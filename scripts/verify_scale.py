@@ -92,27 +92,50 @@ from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 # at sf10; its full-frame collect killed the 1 GB Spark driver.
 DIGEST_TIER2 = {"user_sessions", "minhash_lsh"}
 
+# Payload-pipeline tier-2 conditions: CAPPED_CONF with the per-slot
+# memory knobs one notch tighter (rationale at the call site).
+PAYLOAD_TIER2_CONF = dict(
+    CAPPED_CONF,
+    **{
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "32",
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    },
+)
+
 EXCLUDED = {
     "crop_volume_greedy": (
-        "recursive-CTE oracle state is quadratic in per-pair candidate "
-        "count (~4000 at this tier vs ~200 at sf0.01); semantics pinned "
-        "by the sf0.01 hash oracle + unit tests + the native twin "
-        "crop_volume, which IS verified here"
+        "the 256px-tier instantiation only: recursive-CTE oracle state "
+        "is quadratic in per-pair candidate count (~4000 at this tier "
+        "vs ~200 at sf0.01), which no SQL engine evaluates in useful "
+        "time. The PAIR-count scale axis — the one the operator scales "
+        "along in production (pairs partition freely; per-pair "
+        "candidates are bounded by mask density by design) — IS "
+        "verified here since r7: crop_volume_greedy_scale runs the "
+        "same compat pipeline at 10x the driver fixture's pairs "
+        "against greedy_oracle_sql(60). Candidate-count semantics stay "
+        "pinned by the sf0.01 hash oracle + unit tests + the native "
+        "twin crop_volume (also verified here at the 256px tier)."
     ),
 }
 
 
 def _generated_oracles() -> dict[str, str]:
     from sentinel_landsat_database_creation_spark.plans import crop_volume as cv
+    from sentinel_landsat_database_creation_spark.plans import (
+        scene_int16 as si16,
+    )
     from sentinel_landsat_database_creation_spark.plans import scene_volume as sv
 
     cp = cv.params_for(SF1)
     sp = sv.params_for(SF1)
+    ip = si16.params_for(SF1)
     return {
         "crop_volume": cv.scale_oracle_sql(cp["n_pairs"], cp["hrw"], cp["lrw"]),
         "scene_tensors_volume": sv.scale_oracle_sql(
             sp["n_pairs"], sp["hrw"], sp["lrw"]
         ),
+        "scene_tensors_int16": si16.scale_oracle_sql(ip["n_pairs"], ip["w"]),
     }
 
 
@@ -179,6 +202,18 @@ FROM ({inner_sql}) _digest_src
 """
 
 
+def _safe_err(exc: Exception) -> str:
+    """Stringify without trusting the exception: a Py4JJavaError's
+    __str__ calls back into the gateway, so formatting the error from
+    a DEAD JVM raised ConnectionRefusedError and killed the whole
+    verification run (measured r7) — exactly the cascade this function
+    exists to stop."""
+    try:
+        return f"{type(exc).__name__}: {exc}"[:300]
+    except Exception:  # noqa: BLE001 — __str__ needs the dead gateway
+        return f"{type(exc).__name__} (unprintable: gateway dead)"
+
+
 def _run_spark_set(
     queries: list[str],
     capped: bool,
@@ -186,50 +221,85 @@ def _run_spark_set(
     tier_dir: str,
     digest: frozenset = frozenset(),
     digest_cols: dict | None = None,
+    conf: dict | None = None,
+    master: str | None = None,
 ) -> dict:
     """Run a query set at ``tier_dir``, collecting pandas results (or
     in-engine digests for ``digest`` members). Capped sets run at
     local[8] + the payload-sized conf, mirroring bench_scale's
-    measurement conditions (the honest probe's memory:core story)."""
+    measurement conditions (the honest probe's memory:core story).
+
+    Like bench.py/bench_scale.run_set, one query killing the 1 GB
+    harness JVM must not void the rest of the cohort: a dead context
+    is rebuilt and the failed query RETRIED once in the fresh session
+    (heap pressure accumulated from earlier collects, not the query's
+    own plan, is the usual killer — r7 measured exactly that after
+    eight 500k-row toPandas collects in one session)."""
     from sentinel_landsat_database_creation_spark.plans.driver_queries import (
         REGISTRY,
     )
+    from sentinel_landsat_database_creation_spark.session import context_dead
 
     name = "vscale-capped" if capped else "vscale"
-    spark = _fresh_session(
-        name,
-        CAPPED_CONF if capped else None,
-        "local[8]" if capped else None,
-    )
+    if conf is None:
+        conf = CAPPED_CONF if capped else None
+    if master is None:
+        master = "local[8]" if capped else None
+    spark = _fresh_session(name, conf, master)
     out: dict[str, pd.DataFrame] = {}
-    for q in queries:
+
+    def run_one(q):
         t0 = time.perf_counter()
+        df = REGISTRY[q][0](spark, tier_dir)
+        if q in digest:
+            res, cols = _digest_spark(df)
+            if digest_cols is not None:
+                digest_cols[q] = cols
+            print(
+                f"  spark {q}: digest over {int(res['n_rows'][0])} rows "
+                f"in {time.perf_counter()-t0:.1f}s"
+            )
+        else:
+            res = df.toPandas()
+            print(
+                f"  spark {q}: {len(res)} rows in "
+                f"{time.perf_counter()-t0:.1f}s"
+            )
+        return res
+
+    for q in queries:
+        if context_dead(spark):
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 — dead gateway
+                pass
+            spark = _fresh_session(name, conf, master)
+            print("  [session revived]")
         try:
-            df = REGISTRY[q][0](spark, tier_dir)
-            if q in digest:
-                out[q], cols = _digest_spark(df)
-                if digest_cols is not None:
-                    digest_cols[q] = cols
-                print(
-                    f"  spark {q}: digest over "
-                    f"{int(out[q]['n_rows'][0])} rows in "
-                    f"{time.perf_counter()-t0:.1f}s"
-                )
-            else:
-                out[q] = df.toPandas()
-                print(
-                    f"  spark {q}: {len(out[q])} rows in "
-                    f"{time.perf_counter()-t0:.1f}s"
-                )
-        except Exception as exc:  # noqa: BLE001 — record, keep verifying
+            out[q] = run_one(q)
+        except Exception as exc:  # noqa: BLE001 — maybe the JVM died:
+            # revive and retry once before recording a failure
+            first = _safe_err(exc)
+            if context_dead(spark):
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                spark = _fresh_session(name, conf, master)
+                print(f"  [session died on {q} ({first}); revived, retrying]")
+                try:
+                    out[q] = run_one(q)
+                    continue
+                except Exception as exc2:  # noqa: BLE001
+                    first = _safe_err(exc2)
             results[q] = {
                 "rows_match": False,
                 "schema_match": False,
                 "values_match": False,
                 "n_rows": None,
-                "err": f"spark error: {type(exc).__name__}: {exc}"[:300],
+                "err": f"spark error: {first}",
             }
-            print(f"  spark {q}: FAILED {exc}"[:200])
+            print(f"  spark {q}: FAILED {first}")
     spark.stop()
     return out
 
@@ -294,21 +364,64 @@ def main() -> None:
               f"{prior['n_pass']}/{prior['n_checked']})")
     else:
         # split mirrors bench_scale: the payload/pair-space queries only
-        # fit the 1 GB harness heap under the capped local[8] conditions
+        # fit the 1 GB harness heap under the capped local[8] conditions.
+        # The uncapped cohort itself runs as TWO sessions: eight+ 500k-row
+        # collects in one 1 GB JVM accumulated enough heap pressure to
+        # kill the gateway mid-cohort (measured r7) — the queries are
+        # independent, so session-scoped accumulation is pure harness
+        # artifact, not plan cost.
         table_res = _run_spark_set(
-            TABLE_QUERIES + EXTRA_UNCAPPED,
+            TABLE_QUERIES,
             capped=False,
             results=results,
             tier_dir=SF1,
+        )
+        table_res.update(
+            _run_spark_set(
+                EXTRA_UNCAPPED,
+                capped=False,
+                results=results,
+                tier_dir=SF1,
+            )
         )
         capped = [q for q in CAPPED_QUERIES if q not in EXCLUDED]
         capped_res = _run_spark_set(
             capped, capped=True, results=results, tier_dir=SF1
         )
+
+        # the greedy walk's pair-scale twin (round-6 VERDICT item 4):
+        # 10x the driver fixture's pairs at the oracle-tractable raster
+        # shape — see EXCLUDED["crop_volume_greedy"] for the axis split
+        from sentinel_landsat_database_creation_spark.plans import (
+            crop_volume as _cv,
+        )
+
+        gname = "crop_volume_greedy_scale"
+        gspark = _fresh_session("vscale-greedy", CAPPED_CONF, "local[8]")
+        try:
+            t0 = time.perf_counter()
+            gdf = _cv.greedy_scale_twin(gspark, n_pairs=60).toPandas()
+            capped_res[gname] = gdf
+            print(
+                f"  spark {gname}: {len(gdf)} rows in "
+                f"{time.perf_counter()-t0:.1f}s"
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep verifying
+            results[gname] = {
+                "rows_match": False,
+                "schema_match": False,
+                "values_match": False,
+                "n_rows": None,
+                "err": f"spark error: {type(exc).__name__}: {exc}"[:300],
+            }
+            print(f"  spark {gname}: FAILED {exc}"[:200])
+        gspark.stop()
+
         spark_frames = {**table_res, **capped_res}
 
         oracles = {q: REGISTRY[q][1] for q in TABLE_ORACLE_QUERIES}
         oracles.update(_generated_oracles())
+        oracles[gname] = _cv.greedy_oracle_sql(60)
         _oracle_compare(spark_frames, oracles, SF1, results)
 
     # second decade, when bench_scale has landed the sf10 synthetic
@@ -329,9 +442,44 @@ def main() -> None:
             digest=frozenset(DIGEST_TIER2),
             digest_cols=dcols,
         )
+        # round-6 VERDICT item 5: one mapInPandas payload pipeline in
+        # the tier-2 cohort. scene_tensors_volume's params_for selects
+        # its sf>=5 fixture from the SF10 dir name (4000 pairs — 4x the
+        # tier-1 fixture; the in-engine digest keeps the comparison
+        # O(1) rows) and its oracle comes from the same closed-form
+        # generator the driver gate proves at sf0.01. Dedicated session
+        # with the payload knobs one notch tighter: at 4000 pairs the
+        # stacking shuffle's DECOMPRESSED reduce buffers exceed the
+        # 1 GB harness heap at 8 slots / 16m advisory (measured r7:
+        # java.lang.OutOfMemoryError: Java heap space; local[4] + 4m
+        # advisory + 32-record Arrow batches runs it in ~8 min) — the
+        # same memory-per-slot knob a cluster sizes, turned one more
+        # notch for 4x the payload.
+        print("tier-2 payload pipeline (scene_tensors_volume, local[4]) ...")
+        frames10.update(
+            _run_spark_set(
+                ["scene_tensors_volume"],
+                capped=True,
+                results=results10,
+                tier_dir=SF10,
+                digest=frozenset({"scene_tensors_volume"}),
+                digest_cols=dcols,
+                conf=PAYLOAD_TIER2_CONF,
+                master="local[4]",
+            )
+        )
+        from sentinel_landsat_database_creation_spark.plans import (
+            scene_volume as _sv,
+        )
+
+        sp10 = _sv.params_for(SF10)
+        oracles10 = {q: REGISTRY[q][1] for q in TIER2_QUERIES}
+        oracles10["scene_tensors_volume"] = _sv.scale_oracle_sql(
+            sp10["n_pairs"], sp10["hrw"], sp10["lrw"]
+        )
         _oracle_compare(
             frames10,
-            {q: REGISTRY[q][1] for q in TIER2_QUERIES},
+            oracles10,
             SF10,
             results10,
             digest_cols=dcols,

@@ -325,7 +325,19 @@ SQL_CROP_VOLUME = scale_oracle_sql(6, 64, 21)
 #   the loop exits when the cursor passes the tail — the recursive
 #   part's WHERE i < len(lst) - 1. The terminal state per pair is the
 #   one with the largest cursor (max_by).
-SQL_CROP_VOLUME_GREEDY = """
+#
+# GENERATOR (round-6 VERDICT item 4): parameterized over n_pairs ONLY
+# — the raster dims stay the driver fixture's 64/21 because the
+# recursion state is quadratic in the PER-PAIR candidate count (the
+# 256px tier's ~4000 candidates exceed any SQL engine's useful
+# evaluation range), while pair count is the axis the operator
+# actually scales along at 100 TB (pairs partition freely; per-pair
+# candidates are bounded by mask density BY DESIGN). The sf0.01
+# instantiation below is the driver oracle; scripts/verify_scale.py
+# instantiates n_pairs=60 against the same-shape 10x-pair fixture
+# (greedy_scale_twin).
+def greedy_oracle_sql(n_pairs: int) -> str:
+    return f"""
 WITH RECURSIVE
 centers AS (
   SELECT p // 64 AS r, p % 64 AS c, p AS ord
@@ -333,7 +345,7 @@ centers AS (
   WHERE ((p // 64)*31 + (p % 64)*17) % 16 = 0
     AND p // 64 > 6 AND p % 64 > 6 AND p // 64 < 249 AND p % 64 < 249
 ),
-pairs AS (SELECT unnest(range(0, 6)) AS pid),
+pairs AS (SELECT unnest(range(0, {n_pairs})) AS pid),
 hro AS (SELECT b, rr, cc FROM range(0, 4) t1(b), range(0, 12) t2(rr), range(0, 12) t3(cc)),
 lro AS (SELECT b, rr, cc FROM range(4, 8) t1(b), range(0, 4) t2(rr), range(0, 4) t3(cc)),
 hstat AS (
@@ -414,3 +426,25 @@ FROM surv s
 JOIN flagged f ON f.pid = s.pid AND f.r = s.r AND f.c = s.c
 GROUP BY s.pid ORDER BY pair_id
 """
+
+
+SQL_CROP_VOLUME_GREEDY = greedy_oracle_sql(6)
+
+
+def greedy_scale_twin(spark: SparkSession, n_pairs: int = 60) -> DataFrame:
+    """The greedy walk's at-scale correctness twin (round-6 VERDICT
+    item 4): the SAME compat pipeline (tensors -> slices -> quality ->
+    sequential per-pair greedy walk -> summary) over the driver
+    fixture's raster shape with 10x the PAIR count — the axis the
+    operator scales along in production (pairs partition freely;
+    per-pair candidate count is bounded by mask density by design, so
+    it does not grow with corpus size). Checked by
+    scripts/verify_scale.py against greedy_oracle_sql(n_pairs); the
+    candidate-count axis stays sealed at sf0.01 where the recursive
+    oracle's quadratic state is tractable."""
+    mask = volume_mask(spark, 64)
+    tensors = volume_tensors(spark, n_pairs, 64, 21)
+    cfg = CropConfig(
+        batch_size=BATCH, scale=SCALE, pct_overlap=PCT, compat=True
+    )
+    return _summarize(build_crop_dataset(tensors, mask, cfg))

@@ -331,8 +331,10 @@ def q_compat_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     compat/golden.py module docstring); everything upstream is the
     distributed pairing plan shared with q_pairing_compat."""
     import os
+    import time
 
     from ..compat.golden import write_pair_csv
+    from ..operators.dedup import log_setup_time
     from ..session import session_tmp_path
 
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
@@ -340,7 +342,12 @@ def q_compat_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         session_tmp_path(spark, f"compat_csv_{tag}"), "pairs.csv"
     )
     if not os.path.exists(out):
+        # once per session (applicationId-keyed path), charged to a
+        # setup: bench line like the other fixture/index landings —
+        # the measured query is the read-back line audit
+        t0 = time.perf_counter()
         write_pair_csv(_pairing_compat_pairs(spark, sf).orderBy("data_1"), out)
+        log_setup_time("setup:compat_csv_write", time.perf_counter() - t0)
     whole = spark.read.text(out, wholetext=True)
     return (
         whole.select(

@@ -74,6 +74,15 @@ def params_for(sf_dir: str) -> dict:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = 0.01
+    if sf >= 5:  # tier-2 scale probe (scripts/verify_scale.py): the
+        # Arrow-boundary pipeline's correctness point beyond the sf1
+        # tier (round-6 VERDICT item 5) — 4x tier-1 pairs / 40x bench
+        # (~2.6 GB, 40k files; the full 10x decade would be a 6.5 GB /
+        # 100k-file fixture whose listing alone stresses the deliberate
+        # 1 GB harness driver; the plan is pair-parallel either way and
+        # the scaling axis, pair count, is exercised identically).
+        # Same 8-slot Arrow-concurrency cap as the sf1 tier.
+        return {"n_pairs": 4000, "hrw": 192, "lrw": 64, "slots": 8}
     if sf >= 0.5:  # scale-up probe (scripts/bench_scale.py): 10x bench.
         # slots=8: every concurrent Arrow-boundary task holds netty
         # direct-memory arenas (32 MB chunks); 32 concurrent encode

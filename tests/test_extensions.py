@@ -878,6 +878,25 @@ def test_train_centroids_hand_computed(spark):
     assert train_centroids(e, n_centroids=2, n_iters=1) == cents
 
 
+def test_train_centroids_kd_ceiling_guard(spark, monkeypatch):
+    """The driver-recurrence bound (round-6 VERDICT item 6): crossing
+    the K*d ceiling raises the design-note error BEFORE any Lloyd
+    iteration collects, and the guard names the distributed fix."""
+    import pytest as _pytest
+
+    from sentinel_landsat_database_creation_spark.operators import (
+        similarity as sim,
+    )
+
+    vecs = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(4)]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "TRAIN_KD_CEILING", 7)  # K*d = 2*4 = 8 > 7
+    with _pytest.raises(ValueError, match="broadcast join"):
+        sim.train_centroids(e, n_centroids=2, n_iters=1)
+    monkeypatch.setattr(sim, "TRAIN_KD_CEILING", 8)  # at the ceiling: ok
+    assert len(sim.train_centroids(e, n_centroids=2, n_iters=1)) == 2
+
+
 def test_train_centroids_empty_cell_carries(spark):
     """A centroid that attracts nothing keeps its previous sum and
     reports n=0 (the oracle's LEFT JOIN does the same)."""

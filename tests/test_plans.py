@@ -381,3 +381,23 @@ def test_scene_volume_python_boundary_and_payload_discipline(spark):
     )
     assert bf.count() == 4 * sv.params_for("/root/testdata/sf0.01")["n_pairs"]
     assert decode_rasters(bf).count() == bf.count()
+
+
+def test_greedy_scale_twin_matches_generated_oracle(spark):
+    """The pair-scale twin (round-6 VERDICT item 4) at a small n: the
+    compat greedy pipeline over 8 pairs at the driver fixture's raster
+    shape must match greedy_oracle_sql(8) — pins the generator and the
+    twin's wiring so scripts/verify_scale.py's 60-pair run can't drift
+    silently between scale runs."""
+    import duckdb
+    import pandas as pd
+
+    from sentinel_landsat_database_creation_spark.plans.crop_volume import (
+        greedy_oracle_sql,
+        greedy_scale_twin,
+    )
+
+    sdf = greedy_scale_twin(spark, n_pairs=8).toPandas()
+    odf = duckdb.connect().execute(greedy_oracle_sql(8)).df()
+    assert len(sdf) == 8
+    pd.testing.assert_frame_equal(sdf.astype(odf.dtypes.to_dict()), odf)

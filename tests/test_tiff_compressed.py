@@ -123,6 +123,40 @@ def test_lzw_eoi_at_table_width_boundaries():
             assert tc._lzw_decode(tc._lzw_encode(data)) == data
 
 
+def test_lzw_fuzz_roundtrip_dense():
+    """Dense seeded fuzz, the methodology that first exposed the EOI
+    width off-by-one (~3/2000 random ~1KB inputs failed pre-fix): many
+    independent buffers across entropy regimes so the final-emit table
+    size sweeps the full 258..4095 range, including stream-end landings
+    on and around every width boundary. Pure-Python codec, so sizes are
+    kept small; runtime ~2 s. Seed/count mutate-checked: with the
+    LZWPostEncode accounting in _lzw_encode reverted, this exact sweep
+    fails (the landing is ~1/450 per input, so the density is load-
+    bearing — don't shrink the count)."""
+    import random
+
+    rng = random.Random(7)
+    fails = []
+    for i in range(2000):
+        regime = i % 3
+        n = rng.randrange(1, 1400)
+        if regime == 0:  # full-entropy bytes
+            data = rng.randbytes(n)
+        elif regime == 1:  # low-alphabet (dense table growth per byte)
+            data = bytes(rng.choices(range(4), k=n))
+        else:  # runs + literals mix (long matches, sparse growth)
+            parts, m = [], 0
+            while m < n:
+                r = rng.randrange(1, 40)
+                parts.append(bytes([rng.getrandbits(8)]) * r)
+                m += r
+            data = b"".join(parts)[:n]
+        out = tc._lzw_decode(tc._lzw_encode(data))
+        if out != data:
+            fails.append((i, regime, n, len(out)))
+    assert not fails, f"{len(fails)} roundtrip failures: {fails[:5]}"
+
+
 def test_lzw_spec_vector():
     """First-principles check against the TIFF 6.0 §13 coding scheme:
     encode a short known string and verify the exact emitted code

@@ -1380,6 +1380,20 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # content-digested from the post-swap files, previously pytest-only).
 # 47 + 3 = 50 = the driver's checked prefix, exactly.
 #
+# Late-r7 amendment (still within the math): two of the 47 rotated
+# r5-cohort entries — salted_agg_check + salted_join_check, one
+# family, one skew.py helper pair — were MERGED into
+# salted_skew_checks (their equi-join; q_salted_skew_checks has the
+# coverage argument), freeing one prefix slot that funds the new
+# pii_scrub entry. Neither old entry was displaced to the tail (they
+# were retired INTO the merged entry, whose r7 check covers both
+# semantics), so no staleness rule is touched: prefix = 45 surviving
+# r5-cohort + salted_skew_checks + pii_scrub + 3 new = 50. This is
+# also the designated mechanism for future capacity (see CLAUDE.md):
+# a merge must happen while BOTH parents sit in the current prefix,
+# because merged entries are new (never driver-checked) and may not
+# displace anything staleness-bound.
+#
 # The 50 spilled below are the r6 prefix — every one r6-green
 # (CORRECTNESS_r06: rows+schema+hash, err null) and untouched in r7
 # except documented result-preserving work:

@@ -2344,11 +2344,6 @@ def q_salted_agg_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_SALTED_AGG_CHECK = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       CAST(max(event_id) AS BIGINT) AS max_event
-FROM events GROUP BY event_type ORDER BY event_type
-"""
 
 
 def q_salted_join_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -2375,12 +2370,185 @@ def q_salted_join_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_SALTED_JOIN_CHECK = """
-WITH d AS (SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type)
-SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(min(n_type) AS BIGINT) AS n_type
-FROM events e JOIN d USING (event_type)
-GROUP BY e.event_type ORDER BY event_type
+def q_salted_skew_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Both skew-mitigation contracts under ONE driver hash — merged in
+    r7 from the r5-green ``salted_agg_check`` + ``salted_join_check``
+    entries (same family, same ``operators/skew.py`` helpers) to free a
+    checked-prefix slot for ``pii_scrub`` without displacing anything;
+    coverage is preserved because the merged row goes green only if
+    BOTH the salted two-stage aggregation and the salted replicated
+    join reproduce their unsalted algebra exactly. The component
+    builders stay as the single source of each check's shape; this
+    entry equi-joins their per-type outputs (tiny: one row per
+    event_type) so either contract breaking flips the hash."""
+    a = q_salted_agg_check(spark, sf)
+    j = q_salted_join_check(spark, sf)
+    return a.join(j, "event_type").orderBy("event_type")
+
+
+SQL_SALTED_SKEW_CHECKS = """
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(event_id) AS BIGINT) AS max_event
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type
+), j AS (
+  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(n_type) AS BIGINT) AS n_type
+  FROM events e JOIN d USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT a.event_type, a.n, a.max_event, j.n_rows, j.n_type
+FROM a JOIN j ON a.event_type = j.event_type
+ORDER BY a.event_type
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over a deterministic contact-bearing corpus
+    (operators/textops.py:scrub_pii / pii_counts). The synthetic
+    ``documents`` text carries no PII, so a scrub over it would be
+    vacuously green; instead the entry builds the corpus it scrubs —
+    the same prove-on-your-own-fixture pattern the scene_tensors_*
+    entries use — by joining each document to a customer row
+    (broadcast dim, ``doc_id % 100 = c_custkey``) and appending a
+    deterministic contact tail (email handle from c_name, phone/IP
+    from c_custkey arithmetic) whose shape varies by ``doc_id % 3``
+    (email-only / phone-only / all three), so every pattern exercises
+    both its match and no-match paths under the driver hash.
+
+    Scale shape: one broadcast hash join (100-row dim) + per-row
+    native regex projection — no shuffle except the final presentation
+    sort; at 100 TB this is scan-speed work."""
+    from ..operators.textops import pii_counts, scrub_pii
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    k = F.col("c_custkey")
+    cust = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")),
+                F.lit("@example.com"),
+            ).alias("email"),
+            F.concat(
+                (k % 25 + 10).cast("string"),
+                F.lit("-"),
+                ((k * 7) % 900 + 100).cast("string"),
+                F.lit("-"),
+                ((k * 13) % 900 + 100).cast("string"),
+                F.lit("-"),
+                ((k * 29) % 9000 + 1000).cast("string"),
+            ).alias("phone"),
+            F.concat(
+                ((k * 3) % 223 + 1).cast("string"),
+                F.lit("."),
+                ((k * 5) % 256).cast("string"),
+                F.lit("."),
+                ((k * 11) % 256).cast("string"),
+                F.lit("."),
+                ((k * 17) % 254 + 1).cast("string"),
+            ).alias("ip"),
+        )
+    )
+    m = F.col("doc_id") % 3
+    aug = (
+        docs.join(
+            F.broadcast(cust), docs.doc_id % 100 == cust.c_custkey
+        ).select(
+            "doc_id",
+            F.when(
+                m == 0, F.concat("text", F.lit(" contact "), "email")
+            )
+            .when(m == 1, F.concat("text", F.lit(" call "), "phone"))
+            .otherwise(
+                F.concat(
+                    "text",
+                    F.lit(" contact "),
+                    "email",
+                    F.lit(" call "),
+                    "phone",
+                    F.lit(" node "),
+                    "ip",
+                )
+            )
+            .alias("t"),
+        )
+    )
+    counts = pii_counts(F.col("t"))
+    return (
+        aug.select(
+            "doc_id",
+            counts["email"].alias("n_emails"),
+            counts["phone"].alias("n_phones"),
+            counts["ip"].alias("n_ips"),
+            # one evaluation of the 3-pattern chain, then two cheap
+            # consumers (CollapseProject keeps multiply-referenced
+            # non-trivial aliases in their own stage)
+            scrub_pii(F.col("t")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            F.length("s").cast("long").alias("scrub_len"),
+            F.md5(F.col("s").cast("binary")).alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Regex literals mirrored from operators/textops.py:PII_PATTERNS —
+# the patterns are the cross-engine contract (Java regex == RE2 on
+# this syntax subset); tests/test_extensions.py pins the mirror.
+SQL_PII_SCRUB = r"""
+WITH cust AS (
+  SELECT c_custkey,
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+           || '@example.com' AS email,
+         concat(c_custkey % 25 + 10, '-', (c_custkey * 7) % 900 + 100,
+                '-', (c_custkey * 13) % 900 + 100,
+                '-', (c_custkey * 29) % 9000 + 1000) AS phone,
+         concat((c_custkey * 3) % 223 + 1, '.', (c_custkey * 5) % 256,
+                '.', (c_custkey * 11) % 256,
+                '.', (c_custkey * 17) % 254 + 1) AS ip
+  FROM customer WHERE c_custkey < 100
+), aug AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN d.text || ' contact ' || email
+           WHEN 1 THEN d.text || ' call ' || phone
+           ELSE d.text || ' contact ' || email || ' call ' || phone
+                || ' node ' || ip
+         END AS t
+  FROM documents d JOIN cust ON d.doc_id % 100 = cust.c_custkey
+), scrubbed AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+  FROM aug
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(
+         t, '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_extract_all(
+         t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(length(s) AS BIGINT) AS scrub_len,
+       md5(s) AS scrub_md5
+FROM scrubbed
+ORDER BY doc_id
 """
 
 
@@ -2790,8 +2958,11 @@ REGISTRY_EXT = {
     "ivf_train_centroids": (q_ivf_train_centroids, SQL_IVF_TRAIN_CENTROIDS),
     "ann_recall_trained": (q_ann_recall_trained, SQL_ANN_RECALL_TRAINED),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
-    "salted_agg_check": (q_salted_agg_check, SQL_SALTED_AGG_CHECK),
-    "salted_join_check": (q_salted_join_check, SQL_SALTED_JOIN_CHECK),
+    # r7 merge: the two r5-green salted checks now ride one hash
+    # (q_salted_skew_checks docstring has the why); the freed slot
+    # funds pii_scrub in the same checked prefix.
+    "salted_skew_checks": (q_salted_skew_checks, SQL_SALTED_SKEW_CHECKS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "corpus_pruned_read": (q_corpus_pruned_read, SQL_CORPUS_PRUNED_READ),
     "corpus_dedup_write": (q_corpus_dedup_write, SQL_CORPUS_DEDUP_WRITE),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),

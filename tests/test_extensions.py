@@ -1056,3 +1056,66 @@ def test_lsh_index_compact_crash_recovery(spark, tmp_path):
     assert got == want
     assert not os.path.exists(old) and not os.path.exists(tmp)
     assert not os.path.exists(os.path.join(path, os.path.basename(old)))
+
+
+def test_scrub_pii_hand_computed(spark):
+    """Real PII strings through scrub_pii/pii_counts: multiple matches
+    per kind, adjacent kinds, and clean text — expected outputs written
+    by hand, not by the implementation."""
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        ("a@b.io or c.d+x@e-f.org", "<EMAIL> or <EMAIL>", 2, 0, 0),
+        ("call 25-989-741-2988 now", "call <PHONE> now", 0, 1, 0),
+        ("host 10.0.255.1 up", "host <IP> up", 0, 0, 1),
+        (
+            "x@y.com 12-345-678-9012 1.2.3.4",
+            "<EMAIL> <PHONE> <IP>",
+            1,
+            1,
+            1,
+        ),
+        # email domain containing digits+dots must NOT leave an IP-ish
+        # remnant: email wins by pattern order
+        ("u@1.2.3.4a.net ok", "<EMAIL> ok", 1, 0, 0),
+        ("no pii here 123", "no pii here 123", 0, 0, 0),
+        # word-boundary guards: digit runs glued to letters don't match
+        ("id987-654-321-0000x", "id987-654-321-0000x", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], ["t"]
+    )
+    c = pii_counts(F.col("t"))
+    out = df.select(
+        "t",
+        scrub_pii(F.col("t")).alias("s"),
+        c["email"].alias("ne"),
+        c["phone"].alias("np"),
+        c["ip"].alias("ni"),
+    ).collect()
+    by_text = {r["t"]: r for r in out}
+    for t, want_s, ne, np_, ni in rows:
+        r = by_text[t]
+        assert r["s"] == want_s, (t, r["s"])
+        assert (r["ne"], r["np"], r["ni"]) == (ne, np_, ni), (t, r)
+
+
+def test_pii_sql_mirrors_patterns():
+    """The DuckDB oracle inlines the regex literals; this pins the
+    mirror so PII_PATTERNS and SQL_PII_SCRUB cannot drift apart (each
+    pattern and its replacement token must appear verbatim in the
+    SQL)."""
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        PII_PATTERNS,
+    )
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        SQL_PII_SCRUB,
+    )
+
+    for kind, pat, repl in PII_PATTERNS:
+        # counts CTE + scrub CTE: the pattern appears at least twice
+        assert SQL_PII_SCRUB.count(pat) >= 2, (kind, pat)
+        assert repl in SQL_PII_SCRUB, (kind, repl)

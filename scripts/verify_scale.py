@@ -58,7 +58,11 @@ from bench_scale import (  # noqa: E402
 # Beyond bench_scale's timing cohort, the ANN/dedup scale paths are
 # cheap to verify here and widen the 10x evidence: lsh_topk/ivf_topk
 # (the bucketed/partition-pruned similarity paths), simhash_docs,
-# dedup_docs_exact and normalized_dedup (hash-only dedup shuffles).
+# dedup_docs_exact and normalized_dedup (hash-only dedup shuffles);
+# r7 adds its two new documents-table operators the round they land —
+# winnow_fingerprint (row-local HOF selection + hash-only dictionary)
+# and pii_scrub (scan-speed regex projection over the derived contact
+# corpus; the % 100 customer join is SF-invariant).
 # These fit the uncapped local[32] session; the pair-space trio
 # (neardup_pipeline, dedup_clusters, delta_neardup) does NOT at sf1 —
 # it stays in the capped set exactly as bench_scale measures it.
@@ -68,6 +72,8 @@ EXTRA_UNCAPPED = [
     "simhash_docs",
     "dedup_docs_exact",
     "normalized_dedup",
+    "winnow_fingerprint",
+    "pii_scrub",
 ]
 TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
     "neardup_pipeline",

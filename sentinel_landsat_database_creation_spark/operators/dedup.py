@@ -1293,3 +1293,137 @@ def embedding_cosine_pairs(
             "cos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+# MOSS algorithm; public). Complements span_dedup: where span_dedup
+# explodes EVERY k-gram position into the cross-document dictionary,
+# winnowing selects a guaranteed-covering subset with expected density
+# 2/(w+1), so the shuffled fingerprint table is ~(w+1)/2 times smaller
+# for the same detection guarantee (any shared run of w+k-1 tokens
+# shares at least one selected fingerprint) — the 100 TB lever.
+
+_WINNOW_POS_OFF = 1 << 20  # packed-key position offset: docs must have
+_WINNOW_POS_MOD = 1 << 21  # fewer than 2^20 k-grams (1M tokens/doc)
+_WINNOW_POS_BITS = 21  # log2(_WINNOW_POS_MOD): h = key >> 21, exact
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Robust-winnowing fingerprint selection, entirely row-local:
+    ``(doc_id, p, h)`` — position (1-based k-gram index) and 32-bit
+    hash of each selected k-gram.
+
+    Selection rule (the paper's): in every window of ``w`` consecutive
+    k-gram hashes keep the minimum, breaking ties by the RIGHTMOST
+    position; record each kept (position, hash) once. Implemented by
+    packing (h, p) into one int64 — ``h * 2^21 + (2^20 - p)`` — whose
+    plain ``array_min`` over each window IS min-hash-then-rightmost,
+    so the whole selection runs as native array HOFs inside the row:
+    no explode, no shuffle, no window function. Short docs (0 < n < w
+    k-grams) winnow their single truncated window; ``slice`` past the
+    array end truncates, which is exactly that semantics.
+
+    Only the selected fingerprints (density 2/(w+1)) ever leave the
+    row via explode — contrast span_dedup's full-position explode.
+    Packing bound: p < 2^20; h < 2^32 keeps the key < 2^53, exact in
+    int64 and in any engine's arithmetic.
+    """
+    fps = _winnow_fps_expr(k, w)
+    return docs.select(
+        "doc_id", F.explode(fps).alias("key")
+    ).select(
+        "doc_id",
+        (F.lit(_WINNOW_POS_OFF) - F.col("key") % _WINNOW_POS_MOD).alias("p"),
+        F.shiftright("key", _WINNOW_POS_BITS).alias("h"),
+    )
+
+
+def _winnow_fps_expr(k: int, w: int) -> "F.Column":
+    """The selected-fingerprint packed-key array for the row's ``text``
+    column — the shared core of winnow_fingerprints / winnow_summary."""
+    if w < 1 or k < 1:
+        raise ValueError("winnow needs k >= 1, w >= 1")
+    toks = F.split("text", " ")
+    sh = shingles(toks, k) if k > 1 else toks
+    key = lambda s, i: (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        * _WINNOW_POS_MOD
+        + (F.lit(_WINNOW_POS_OFF) - (i + 1))
+    )
+    keys = F.transform(sh, key)
+    n_pos = F.size(keys)
+    n_win = F.greatest(n_pos - (w - 1), F.least(n_pos, F.lit(1)))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda s: F.array_min(F.slice(keys, s, w)),
+    )
+    return F.when(n_pos > 0, F.array_distinct(wins)).otherwise(
+        F.array_repeat(F.lit(0).cast("long"), 0)
+    )
+
+
+def winnow_summary(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """Per-document winnowing profile with cross-document sharing:
+    ``(doc_id, n_kgrams, n_fp, n_shared_fp, sum_h, sum_p)`` where
+    n_shared_fp counts this doc's DISTINCT fingerprint hashes that some
+    other document also selected (the near-dup signal winnowing exists
+    for), and sum_h / sum_p pin the exact selected set order-free.
+
+    Shuffle budget: n_kgrams / n_fp / sum_h / sum_p never leave the
+    row — they are array-fold projections over the same selected-set
+    expression, so the per-doc profile costs ZERO shuffle. Only the
+    cross-doc signal shuffles: distinct (doc_id, h) pairs (hash-only
+    rows at 2/(w+1) density) -> tiny duplicated-hash dictionary ->
+    one join back to the spine. Docs with fewer than k tokens surface
+    with all-zero counts (left join keeps the spine complete) — the
+    same no-silent-drop rule the catalog operators follow.
+    """
+    fps = _winnow_fps_expr(k, w)
+    z = F.lit(0).cast("long")
+    toks = F.split("text", " ")
+    n_kg = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    spine = docs.select(
+        "doc_id", n_kg.cast("long").alias("n_kgrams"), fps.alias("fps")
+    ).select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.aggregate(
+            "fps", z, lambda a, x: a + F.shiftright(x, _WINNOW_POS_BITS)
+        ).alias("sum_h"),
+        F.aggregate(
+            "fps",
+            z,
+            lambda a, x: a + (F.lit(_WINNOW_POS_OFF) - x % _WINNOW_POS_MOD),
+        ).alias("sum_p"),
+    )
+    doc_h = (
+        docs.select("doc_id", F.explode(fps).alias("key"))
+        .select("doc_id", F.shiftright("key", _WINNOW_POS_BITS).alias("h"))
+        .distinct()
+    )
+    shared_h = (
+        doc_h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    shared = (
+        doc_h.join(shared_h, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    return spine.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        "n_fp",
+        F.coalesce(F.col("n_shared_fp").cast("long"), z).alias(
+            "n_shared_fp"
+        ),
+        "sum_h",
+        "sum_p",
+    )

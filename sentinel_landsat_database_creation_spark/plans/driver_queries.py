@@ -799,6 +799,116 @@ ORDER BY vec_id, pos
 """
 
 
+def q_embed_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Both embeddings-table shape checks under ONE driver hash —
+    merged in r7 from the r5-green ``embed_quality`` + ``embed_slice``
+    entries (one table, adjacent ops 14/26 + 43 shapes) to free a
+    checked-prefix slot for ``winnow_fingerprint``; coverage is
+    preserved because the merged row goes green only if BOTH the HOF
+    filter-count columns and the exploded slice values are exact (the
+    slice rows fan each vec to 8, carrying the quality columns on
+    every row — any drift in either component flips the hash)."""
+    a = q_embed_quality(spark, sf)
+    s = q_embed_slice(spark, sf)
+    return s.join(a, "vec_id").orderBy("vec_id", "pos")
+
+
+SQL_EMBED_CHECKS = """
+WITH a AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         CAST(len(list_filter(embedding, x -> x > 0.5)) AS BIGINT) AS n_big,
+         CAST(label AS BIGINT) AS label
+  FROM embeddings
+), s AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(t.i + 8 AS BIGINT) AS pos,
+         CAST(embedding[CAST(t.i AS INTEGER) + 8] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 9)) AS i) t
+)
+SELECT s.vec_id, s.pos, s.val, a.n_pos, a.n_big, a.label
+FROM s JOIN a ON s.vec_id = a.vec_id
+ORDER BY s.vec_id, s.pos
+"""
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003) over the documents table: per-doc selected-set
+    profile + cross-document sharing counts
+    (operators/dedup.py:winnow_summary; k=4-gram, window w=5).
+
+    Scale shape: selection is row-local array HOFs (no explode of
+    unselected positions, no window function, no shuffle); only the
+    2/(w+1)-density fingerprints reach the two hash-only groupBys.
+    The oracle re-derives the identical packed-key selection with
+    DuckDB list HOFs — min over ``h * 2^21 + (2^20 - p)`` is the
+    paper's min-hash-rightmost-tie rule in both engines."""
+    from ..operators.dedup import winnow_summary
+
+    d = table(spark, sf, "documents")
+    return (
+        winnow_summary(d, k=4, w=5)
+        .select(
+            F.col("doc_id").cast("long"),
+            "n_kgrams",
+            "n_fp",
+            "n_shared_fp",
+            "sum_h",
+            "sum_p",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_WINNOW_FINGERPRINT = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+keys AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 4 THEN
+           list_transform(range(1, len(tk) - 2),
+             i -> CAST(('0x' || substr(md5(
+                    list_aggregate(tk[i:i+3], 'string_agg', '_')), 1, 8))
+                  AS BIGINT) * 2097152 + (1048576 - i))
+         ELSE CAST([] AS BIGINT[]) END AS ks
+  FROM d
+),
+sel AS (
+  SELECT doc_id, len(ks) AS n_kgrams,
+         CASE WHEN len(ks) > 0 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(ks) - 4, 1) + 1),
+             s -> list_min(ks[s:s+4])))
+         ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM keys
+),
+fpd AS (
+  SELECT doc_id, key // 2097152 AS h, 1048576 - (key % 2097152) AS p
+  FROM (SELECT doc_id, unnest(fps) AS key FROM sel)
+),
+doch AS (SELECT DISTINCT doc_id, h FROM fpd),
+sharedh AS (SELECT h FROM doch GROUP BY h HAVING count(*) >= 2),
+prof AS (
+  SELECT doc_id, count(*) AS n_fp, sum(h) AS sum_h, sum(p) AS sum_p
+  FROM fpd GROUP BY doc_id
+),
+shr AS (
+  SELECT doc_id, count(*) AS n_shared FROM doch
+  WHERE h IN (SELECT h FROM sharedh) GROUP BY doc_id
+)
+SELECT CAST(sel.doc_id AS BIGINT) AS doc_id,
+       CAST(sel.n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(coalesce(prof.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared_fp,
+       CAST(coalesce(prof.sum_h, 0) AS BIGINT) AS sum_h,
+       CAST(coalesce(prof.sum_p, 0) AS BIGINT) AS sum_p
+FROM sel
+LEFT JOIN prof ON sel.doc_id = prof.doc_id
+LEFT JOIN shr ON sel.doc_id = shr.doc_id
+ORDER BY sel.doc_id
+"""
+
+
 def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> signup -> purchase:
     a user advances to a stage only with an event strictly after their
@@ -1349,8 +1459,11 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "shipping_lag": (q_shipping_lag, SQL_SHIPPING_LAG),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
-    "embed_quality": (q_embed_quality, SQL_EMBED_QUALITY),
-    "embed_slice": (q_embed_slice, SQL_EMBED_SLICE),
+    # r7 merge: the two embeddings-table shape checks ride one hash
+    # (q_embed_checks docstring); the freed slot funds the winnowing
+    # fingerprint entry in the same checked prefix.
+    "embed_checks": (q_embed_checks, SQL_EMBED_CHECKS),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
 }
 
 
@@ -1380,19 +1493,20 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # content-digested from the post-swap files, previously pytest-only).
 # 47 + 3 = 50 = the driver's checked prefix, exactly.
 #
-# Late-r7 amendment (still within the math): two of the 47 rotated
-# r5-cohort entries — salted_agg_check + salted_join_check, one
-# family, one skew.py helper pair — were MERGED into
-# salted_skew_checks (their equi-join; q_salted_skew_checks has the
-# coverage argument), freeing one prefix slot that funds the new
-# pii_scrub entry. Neither old entry was displaced to the tail (they
-# were retired INTO the merged entry, whose r7 check covers both
-# semantics), so no staleness rule is touched: prefix = 45 surviving
-# r5-cohort + salted_skew_checks + pii_scrub + 3 new = 50. This is
-# also the designated mechanism for future capacity (see CLAUDE.md):
-# a merge must happen while BOTH parents sit in the current prefix,
-# because merged entries are new (never driver-checked) and may not
-# displace anything staleness-bound.
+# Late-r7 amendment (still within the math): two PAIRS of the 47
+# rotated r5-cohort entries were MERGED, each freeing one prefix slot
+# for a new query: salted_agg_check + salted_join_check ->
+# salted_skew_checks (funds pii_scrub), and embed_quality +
+# embed_slice -> embed_checks (funds winnow_fingerprint). The merged
+# entries' docstrings carry the coverage arguments (each goes green
+# only if BOTH parents' semantics are exact). No old entry was
+# displaced to the tail (they were retired INTO their merge, whose r7
+# check covers both semantics), so no staleness rule is touched:
+# prefix = 43 surviving r5-cohort + 2 merges + 2 merge-funded new +
+# 3 new = 50. This is also the designated mechanism for future
+# capacity (see CLAUDE.md): a merge must happen while BOTH parents
+# sit in the current prefix, because merged entries are new (never
+# driver-checked) and may not displace anything staleness-bound.
 #
 # The 50 spilled below are the r6 prefix — every one r6-green
 # (CORRECTNESS_r06: rows+schema+hash, err null) and untouched in r7

@@ -1119,3 +1119,89 @@ def test_pii_sql_mirrors_patterns():
         # counts CTE + scrub CTE: the pattern appears at least twice
         assert SQL_PII_SCRUB.count(pat) >= 2, (kind, pat)
         assert repl in SQL_PII_SCRUB, (kind, repl)
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Independent reference: robust winnowing per Schleimer et al.
+    §4 — min hash per window, rightmost on ties — written directly
+    from the paper, no packed-key trick."""
+    import hashlib
+
+    toks = text.split(" ")
+    grams = [
+        "_".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    if not hs:
+        return set()
+    out = set()
+    n_win = max(len(hs) - w + 1, 1)
+    for s in range(n_win):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost index achieving the min
+        p = s + max(i for i, h in enumerate(win) if h == m)
+        out.add((p + 1, hs[p]))  # 1-based position
+    return out
+
+
+def test_winnow_fingerprints_match_paper_reference(spark):
+    """The packed-key HOF selection must equal a from-the-paper
+    reference implementation on texts engineered for ties and
+    boundary cases (repeated k-grams force equal hashes inside one
+    window, exercising the rightmost rule)."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "a b c d e f g h i j k l",          # plain
+        "x y x y x y x y x y x y",          # every window full of ties
+        "a b c d a b c d a b c d a b",      # period-4 repeats, k=4
+        "one two three four",               # exactly k tokens -> 1 kgram
+        "one two three",                    # < k tokens -> no kgrams
+        "p q r s t",                        # n_pos=2 < w -> one window
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["p"], r["h"])
+        for r in winnow_fingerprints(df, k=4, w=5).collect()
+    }
+    want = {
+        (i, p, h)
+        for i, t in enumerate(texts)
+        for (p, h) in _winnow_ref(t, 4, 5)
+    }
+    assert got == want
+
+
+def test_winnow_summary_shared_counts(spark):
+    """Two docs sharing an 8-token run must share a fingerprint
+    (the paper's coverage guarantee: any match of length w + k - 1
+    yields at least one common selected k-gram); a disjoint doc must
+    not, and a sub-k doc surfaces with zeros."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        winnow_summary,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    rows = [
+        (0, "u v w " + shared_run + " m n o"),
+        (1, shared_run + " p q r s t"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnow_summary(df, k=4, w=5).collect()}
+    assert out[0]["n_shared_fp"] > 0
+    assert out[1]["n_shared_fp"] > 0
+    assert out[2]["n_shared_fp"] == 0
+    assert out[3]["n_kgrams"] == 0
+    assert out[3]["n_fp"] == 0 and out[3]["sum_h"] == 0
+    # coverage guarantee across all docs: density ~2/(w+1), never 0
+    for i in (0, 1, 2):
+        assert 0 < out[i]["n_fp"] <= out[i]["n_kgrams"]

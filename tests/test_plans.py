@@ -50,9 +50,19 @@ def test_catalog_event_labels_no_python_eval(spark):
     assert "BroadcastHashJoin" in plan  # tiny week-label table broadcast
 
 
-def test_embed_quality_stays_native(spark):
-    plan = _plan(spark, "embed_quality")
+def test_embed_checks_stays_native(spark):
+    plan = _plan(spark, "embed_checks")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_fingerprint_shape(spark):
+    """Winnowing selection is row-local HOFs: native end to end, no
+    window function, and the only Generate-side shuffles are the
+    hash-only distinct/dictionary aggregations."""
+    plan = _plan(spark, "winnow_fingerprint")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_token_stats_stays_native(spark):

@@ -64,6 +64,12 @@ TABLE_QUERIES = [
     "stream_sessions",
     "user_sessions",
     "pricing_summary",
+    # r7's new documents-table operators, probed the round they land:
+    # winnowing is row-local selection + hash-only dictionary rows,
+    # pii_scrub a scan-speed regex projection (expect e near
+    # normalized_dedup's per-byte-CPU ~1.0; that is the correct shape)
+    "winnow_fingerprint",
+    "pii_scrub",
 ]
 
 # Memory-bound queries: per-task (or driver-broadcast) working sets
@@ -104,6 +110,10 @@ DECADE2_QUERIES = [
     "dedup_docs_exact",
     "simhash_docs",
     "normalized_dedup",
+    # r7: both fit the capped heap — winnow state is row-local arrays
+    # + hash-only dictionary rows; pii_scrub is a pure projection
+    "winnow_fingerprint",
+    "pii_scrub",
 ]
 SECOND_DECADE_NOT_RUN = {
     "minhash_estimate": (

@@ -1332,9 +1332,9 @@ def winnow_fingerprints(
     Packing bound: p < 2^20; h < 2^32 keeps the key < 2^53, exact in
     int64 and in any engine's arithmetic.
     """
-    fps = _winnow_fps_expr(k, w)
-    return docs.select(
-        "doc_id", F.explode(fps).alias("key")
+    sel = winnow_selected_materialized(docs, k, w)
+    return sel.select(
+        "doc_id", F.explode("fps").alias("key")
     ).select(
         "doc_id",
         (F.lit(_WINNOW_POS_OFF) - F.col("key") % _WINNOW_POS_MOD).alias("p"),
@@ -1342,9 +1342,37 @@ def winnow_fingerprints(
     )
 
 
-def _winnow_fps_expr(k: int, w: int) -> "F.Column":
-    """The selected-fingerprint packed-key array for the row's ``text``
-    column — the shared core of winnow_fingerprints / winnow_summary."""
+def winnow_selected_materialized(
+    docs: DataFrame, k: int, w: int
+) -> DataFrame:
+    """``(doc_id, n_kgrams, fps)`` — the per-doc selected packed-key
+    fingerprint array, materialized once per (session, corpus, k, w)
+    via the shared memo (the shingle-table pattern). The checkpoint is
+    load-bearing for COST, not just reuse: Catalyst inlines the
+    selection expression into ``explode``'s Generate input (the
+    multi-reference CollapseProject guard does not protect Generate),
+    and with the k-gram key array inlined into the per-window lambda
+    every window re-ran the full shingle+md5 chain — measured 31 s for
+    the explode path at sf0.1 vs 0.9 s reading the materialized table.
+    """
+    return _memo_checkpoint(
+        docs, ("winnow", k, w), lambda: _winnow_select(docs, k, w)
+    )
+
+
+def _winnow_select(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """``(doc_id, n_kgrams, fps)`` — one-pass winnowing selection.
+
+    STAGING IS LOAD-BEARING: the k-gram key array must be materialized
+    by its own projection before any per-window lambda touches it.
+    Catalyst inlines a Column-expression alias into lambda bodies, and
+    HOF lambdas are interpreted per element — with the key array
+    inlined, every one of the ~n windows re-ran the full shingle+md5
+    chain (O(n^2) md5 per doc; measured 98 s at sf0.1 vs ~2 s staged).
+    Multiple references from the NEXT projection keep the alias out of
+    CollapseProject, so the lambdas see a plain attribute (same lesson
+    as operators/similarity.py:dot_cast).
+    """
     if w < 1 or k < 1:
         raise ValueError("winnow needs k >= 1, w >= 1")
     toks = F.split("text", " ")
@@ -1354,16 +1382,23 @@ def _winnow_fps_expr(k: int, w: int) -> "F.Column":
         * _WINNOW_POS_MOD
         + (F.lit(_WINNOW_POS_OFF) - (i + 1))
     )
-    keys = F.transform(sh, key)
-    n_pos = F.size(keys)
+    n_kg = F.greatest(F.size(toks) - (k - 1), F.lit(0)).cast("long")
+    staged = docs.select(
+        "doc_id",
+        n_kg.alias("n_kgrams"),
+        F.transform(sh, key).alias("ks"),
+    )
+    ks = F.col("ks")
+    n_pos = F.size(ks)
     n_win = F.greatest(n_pos - (w - 1), F.least(n_pos, F.lit(1)))
     wins = F.transform(
         F.sequence(F.lit(1), n_win),
-        lambda s: F.array_min(F.slice(keys, s, w)),
+        lambda s: F.array_min(F.slice(ks, s, w)),
     )
-    return F.when(n_pos > 0, F.array_distinct(wins)).otherwise(
+    fps = F.when(n_pos > 0, F.array_distinct(wins)).otherwise(
         F.array_repeat(F.lit(0).cast("long"), 0)
     )
+    return staged.select("doc_id", "n_kgrams", fps.alias("fps"))
 
 
 def winnow_summary(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
@@ -1382,13 +1417,9 @@ def winnow_summary(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     with all-zero counts (left join keeps the spine complete) — the
     same no-silent-drop rule the catalog operators follow.
     """
-    fps = _winnow_fps_expr(k, w)
     z = F.lit(0).cast("long")
-    toks = F.split("text", " ")
-    n_kg = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    spine = docs.select(
-        "doc_id", n_kg.cast("long").alias("n_kgrams"), fps.alias("fps")
-    ).select(
+    sel = winnow_selected_materialized(docs, k, w)
+    spine = sel.select(
         "doc_id",
         "n_kgrams",
         F.size("fps").cast("long").alias("n_fp"),
@@ -1402,7 +1433,7 @@ def winnow_summary(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
         ).alias("sum_p"),
     )
     doc_h = (
-        docs.select("doc_id", F.explode(fps).alias("key"))
+        sel.select("doc_id", F.explode("fps").alias("key"))
         .select("doc_id", F.shiftright("key", _WINNOW_POS_BITS).alias("h"))
         .distinct()
     )

@@ -388,37 +388,35 @@ def run_set(
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
-            # a dead JVM (one-off OOM under accumulated session state)
-            # gets one retry in a fresh session — same policy as
-            # verify_scale._run_spark_set; a repeat failure records
-            # None honestly
+            # ANY failure gets one retry in a fresh session, dead JVM
+            # or not: at the capped tiers the measured failure mode is
+            # accumulated session state (memo blocks, arrow arenas)
+            # squeezing the deliberate 1 GB heap — a query-level OOM
+            # with a surviving context is the same confounder as a
+            # JVM death (r7: winnow@sf10 failed mid-probe, passed
+            # 33.6 s in a fresh session). A repeat failure in the
+            # clean session records None honestly.
             try:
                 err = f"{type(exc).__name__}: {exc}"[:300]
             except Exception:  # noqa: BLE001 — __str__ needs the gateway
                 err = type(exc).__name__
-            if _context_dead(spark):
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = _fresh_session(session_name, extra_conf, master)
+            print(f"  [{name} failed ({err}); retrying in fresh session]")
+            drain_memo_build_log()
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc2:  # noqa: BLE001
                 try:
-                    spark.stop()
+                    err = f"{type(exc2).__name__}: {exc2}"[:300]
                 except Exception:  # noqa: BLE001
-                    pass
-                spark = _fresh_session(session_name, extra_conf, master)
-                print(f"  [session died on {name} ({err}); retrying fresh]")
-                drain_memo_build_log()
-                t0 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                except Exception as exc2:  # noqa: BLE001
-                    try:
-                        err = f"{type(exc2).__name__}: {exc2}"[:300]
-                    except Exception:  # noqa: BLE001
-                        err = type(exc2).__name__
-                    timings[name] = None
-                    print(f"  {name}@{sf_dir}: FAILED {err}")
-                    drain_memo_build_log()
-                    continue
-            else:
+                    err = type(exc2).__name__
                 timings[name] = None
                 print(f"  {name}@{sf_dir}: FAILED {err}")
                 drain_memo_build_log()

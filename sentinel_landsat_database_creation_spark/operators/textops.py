@@ -107,7 +107,21 @@ def chunk_documents(
 
     Chunk starts run 0, stride, 2*stride, … up to the last start that
     still begins inside the document; the final chunk may be short.
-    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Known cost bound (audited r7, the winnow Generate-inlining lesson —
+    operators/dedup.py:winnow_selected_materialized): Catalyst inlines
+    ``toks`` into the per-chunk lambda under the Generate, so each
+    row's text is re-split once per chunk — O(n_chunks · n_tokens)
+    char work per doc. Benign for chunking-scale inputs (docs are
+    length-trimmed upstream; <= ~10k tokens keeps the re-split cost
+    below the chunk materialization itself, measured 0.6 s at sf0.1),
+    and the alternative shapes are worse at the margin this operator
+    serves: carrying the token array through the Generate copies it
+    into every chunk row (the same quadratic in bytes), a
+    memo-checkpoint adds a materialization to a single-consumer
+    pipeline. For book-length corpora, checkpoint a (doc_id, toks)
+    table first and chunk from that."""
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chunks = F.when(n_tok <= chunk_tokens, F.lit(1)).otherwise(

@@ -839,7 +839,11 @@ def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.py:winnow_summary; k=4-gram, window w=5).
 
     Scale shape: selection is row-local array HOFs (no explode of
-    unselected positions, no window function, no shuffle); only the
+    unselected positions, no window function, no shuffle),
+    materialized ONCE per session through the shared memo before any
+    explode touches it (winnow_selected_materialized: Generate would
+    otherwise inline the selection into its input and rebuild the key
+    array per window — the measured 31 s -> 0.9 s story); only the
     2/(w+1)-density fingerprints reach the two hash-only groupBys.
     The oracle re-derives the identical packed-key selection with
     DuckDB list HOFs — min over ``h * 2^21 + (2^20 - p)`` is the

@@ -1205,3 +1205,64 @@ def test_winnow_summary_shared_counts(spark):
     # coverage guarantee across all docs: density ~2/(w+1), never 0
     for i in (0, 1, 2):
         assert 0 < out[i]["n_fp"] <= out[i]["n_kgrams"]
+
+
+def test_scrub_pii_fuzz_matches_python_re(spark):
+    """Seeded fuzz: random token soup with PII fragments injected at
+    random positions, Spark's scrub/counts vs a Python ``re``
+    reference — a THIRD regex engine (the oracle already pins RE2).
+    The patterns live in the Java/RE2/Python common subset; this
+    sweep is what catches an accidental drift out of it (e.g. a
+    possessive quantifier or lookaround creeping in)."""
+    import random
+    import re
+
+    from sentinel_landsat_database_creation_spark.operators.textops import (
+        PII_PATTERNS,
+        pii_counts,
+        scrub_pii,
+    )
+
+    rng = random.Random(20260814)
+    words = ["alpha", "beta", "x9", "q", "data", "12", "a-b", "v.w"]
+    pii_makers = [
+        lambda r: f"user{r.randrange(99)}@ex-{r.randrange(9)}.org",
+        lambda r: f"{r.randrange(10,99)}-{r.randrange(100,999)}"
+        f"-{r.randrange(100,999)}-{r.randrange(1000,9999)}",
+        lambda r: f"{r.randrange(256)}.{r.randrange(256)}"
+        f".{r.randrange(256)}.{r.randrange(256)}",
+        # near-misses that must NOT match
+        lambda r: f"user{r.randrange(99)}atex.org",
+        lambda r: f"{r.randrange(10,99)}-{r.randrange(100,999)}-x",
+        lambda r: f"{r.randrange(256)}.{r.randrange(256)}.{r.randrange(256)}",
+    ]
+    rows = []
+    for i in range(120):
+        toks = rng.choices(words, k=rng.randrange(3, 20))
+        for _ in range(rng.randrange(0, 4)):
+            toks.insert(
+                rng.randrange(len(toks) + 1), rng.choice(pii_makers)(rng)
+            )
+        rows.append((i, " ".join(toks)))
+
+    def ref(text):
+        counts = [len(re.findall(p, text)) for _, p, _ in PII_PATTERNS]
+        s = text
+        for _, p, repl in PII_PATTERNS:
+            s = re.sub(p, repl, s)
+        return (*counts, s)
+
+    df = spark.createDataFrame(rows, ["i", "t"])
+    c = pii_counts(F.col("t"))
+    got = {
+        r["i"]: (r["ne"], r["np"], r["ni"], r["s"])
+        for r in df.select(
+            "i",
+            c["email"].alias("ne"),
+            c["phone"].alias("np"),
+            c["ip"].alias("ni"),
+            scrub_pii(F.col("t")).alias("s"),
+        ).collect()
+    }
+    for i, text in rows:
+        assert got[i] == ref(text), (i, text, got[i], ref(text))

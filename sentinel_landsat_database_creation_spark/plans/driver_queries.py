@@ -764,15 +764,6 @@ def q_embed_quality(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-SQL_EMBED_QUALITY = """
-SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-       CAST(len(list_filter(embedding, x -> x > 0.5)) AS BIGINT) AS n_big,
-       CAST(label AS BIGINT) AS label
-FROM embeddings ORDER BY vec_id
-"""
-
-
 def q_embed_slice(spark: SparkSession, sf: str) -> DataFrame:
     """Crop-slice shape (op 43) on the embedding column: positions 9..16
     exploded to rows — exact float values, no arithmetic."""
@@ -788,15 +779,6 @@ def q_embed_slice(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
-
-
-SQL_EMBED_SLICE = """
-SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       CAST(t.i + 8 AS BIGINT) AS pos,
-       CAST(embedding[CAST(t.i AS INTEGER) + 8] AS DOUBLE) AS val
-FROM embeddings, (SELECT unnest(range(1, 9)) AS i) t
-ORDER BY vec_id, pos
-"""
 
 
 def q_embed_checks(spark: SparkSession, sf: str) -> DataFrame:

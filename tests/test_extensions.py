@@ -1266,3 +1266,40 @@ def test_scrub_pii_fuzz_matches_python_re(spark):
     }
     for i, text in rows:
         assert got[i] == ref(text), (i, text, got[i], ref(text))
+
+
+def test_winnow_coverage_guarantee_property(spark):
+    """The paper's central guarantee (Schleimer et al. §3, Theorem):
+    if two documents share a substring of at least w + k - 1 tokens,
+    robust winnowing selects at least one fingerprint inside the
+    shared run in BOTH documents — regardless of surrounding context.
+    Randomized check: plant a shared run of exactly w + k - 1 random
+    tokens inside two otherwise-random docs at random offsets; the
+    pair must always report n_shared_fp >= 1 for both members."""
+    import random
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        winnow_summary,
+    )
+
+    k, w = 4, 5
+    rng = random.Random(424242)
+
+    def tokens(n, tag):
+        # per-doc unique vocabulary so only the planted run is shared
+        return [f"{tag}{rng.randrange(10**6)}" for _ in range(n)]
+
+    rows = []
+    for pair in range(30):
+        run = [f"run{pair}_{j}" for j in range(w + k - 1)]
+        for side in (0, 1):
+            ctx = tokens(rng.randrange(0, 30), f"d{pair}_{side}_")
+            pos = rng.randrange(len(ctx) + 1)
+            doc = ctx[:pos] + run + ctx[pos:]
+            rows.append((pair * 2 + side, " ".join(doc)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnow_summary(df, k=k, w=w).collect()}
+    misses = [
+        i for i, _ in rows if out[i]["n_shared_fp"] < 1
+    ]
+    assert not misses, f"coverage guarantee violated for docs {misses}"

@@ -61,6 +61,11 @@ TABLE_QUERIES = [
     "minhash_lsh",
     "minhash_estimate",
     "span_dedup",
+    # r7 (late): the removal twin shares span_dedup's memo'd occurrence
+    # stream; its extra state is per-DOCUMENT (window partitioned by
+    # doc_id, ranges array bounded by doc length), so it scales with
+    # the same hash/shuffle shape
+    "span_scrub",
     "stream_sessions",
     "user_sessions",
     "pricing_summary",
@@ -105,6 +110,7 @@ QUERIES = TABLE_QUERIES + CAPPED_QUERIES
 DECADE2_QUERIES = [
     "minhash_lsh",
     "span_dedup",
+    "span_scrub",
     "user_sessions",
     "pricing_summary",
     "dedup_docs_exact",

@@ -668,6 +668,25 @@ def neardup_pipeline(
     )
 
 
+def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
+    """Positional rolling-window occurrence stream — one row per
+    (doc_id, pos, s) where ``s`` is the '_'-joined ``span_tokens``-token
+    window starting at 0-based token index ``pos``. Memoized once per
+    (source, span_tokens) and shared by ``span_dedup`` (which projects
+    pos away) and ``scrub_spans`` (which needs it): the extra int per
+    row is noise next to the span string, and sharing means one explode
+    pass instead of two when both operators run in a session."""
+    toks = F.split(F.col("text"), " ")
+    return _memo_checkpoint(
+        docs,
+        ("spanpos", span_tokens),
+        lambda: docs.select(
+            "doc_id",
+            F.posexplode(shingles(toks, span_tokens)).alias("pos", "s"),
+        ),
+    )
+
+
 def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
     """Cross-document span-level duplication (the memorization-risk
     metric): for every rolling ``span_tokens``-token window, find spans
@@ -695,19 +714,13 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
 
     A document consisting entirely of spans seen elsewhere has
     dup_ratio 1.0 — the "drop or strip" signal."""
-    toks = F.split(F.col("text"), " ")
     # the occurrence stream feeds BOTH the shared-span dictionary and
     # the semi-join probe; inline, the rolling-window explode (an
     # 8-token string concat per position over every document) ran
     # twice — materialized once it's the usual halving (measured r5:
-    # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spans)
-    occ = _memo_checkpoint(
-        docs,
-        ("spans", span_tokens),
-        lambda: docs.select(
-            "doc_id", F.explode(shingles(toks, span_tokens)).alias("s")
-        ),
-    )
+    # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spanpos,
+    # shared with scrub_spans since r7)
+    occ = _span_occurrences(docs, span_tokens).select("doc_id", "s")
     shared = (
         occ.groupBy("s")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
@@ -738,6 +751,83 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
+    )
+
+
+def scrub_spans(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
+    """Duplicate-span REMOVAL — the transform half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better":
+    ``span_dedup`` only *reports* how much of a document is cross-
+    document boilerplate; this operator actually cuts it out. Every
+    rolling ``span_tokens``-token window that appears in more than one
+    document is a duplicate hit; per document, overlapping/adjacent hit
+    windows are merged into MAXIMAL token ranges, those ranges are
+    removed, and the scrubbed text survives. Returns
+    (doc_id, n_tokens, n_ranges, n_removed, kept_md5) — kept_md5 is
+    the md5 of the space-rejoined surviving tokens (md5('') for a
+    fully-boilerplate document), so the driver hash pins the exact
+    scrubbed text without shipping it.
+
+    Range-merge rule: a hit at pos covers tokens [pos, pos+k-1]; the
+    next hit starts a NEW range only when its start is more than k
+    past the previous hit (pos - prev > k), i.e. at least one token
+    between the ranges survives. Equal-to-k gaps produce touching
+    ranges and are merged — ranges are therefore disjoint and maximal,
+    and n_removed = Σ(b - a + 1) counts each dropped token once.
+
+    Scale shape (100 TB): the occurrence stream is the shared
+    ``_span_occurrences`` memo (explode once, narrow rows); the shared-
+    span dictionary is one map-side-combining groupBy exactly like
+    span_dedup's; hit positions come back through a left_semi equi-join
+    (no pair space). The ONLY window function is partitioned BY
+    DOCUMENT and ordered by pos — state bounded by a single document's
+    hit count, never a global sort. Per-doc ranges return to the text
+    row as one collected array (bounded by n_tokens/k, in practice the
+    handful of boilerplate blocks), and the final token filter is a
+    row-local HOF: O(n_tokens x n_ranges) in the interpreter per
+    document, the cheap alternative to a per-token anti range-join
+    whose shuffle would carry every token of the corpus."""
+    from pyspark.sql.window import Window
+
+    k = span_tokens
+    toks = F.split(F.col("text"), " ")
+    occ = _span_occurrences(docs, k)
+    shared = (
+        occ.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("s")
+    )
+    hits = occ.join(shared, "s", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    is_new = F.coalesce(
+        (F.col("pos") - F.lag("pos").over(w) > k).cast("int"), F.lit(1)
+    )
+    seg = hits.select("doc_id", "pos", F.sum(is_new).over(w).alias("seg_id"))
+    ranges = seg.groupBy("doc_id", "seg_id").agg(
+        F.min("pos").alias("a"), (F.max("pos") + (k - 1)).alias("b")
+    )
+    rpd = ranges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranges"),
+        F.sum(F.col("b") - F.col("a") + 1).cast("long").alias("n_removed"),
+        F.sort_array(F.collect_list(F.struct("a", "b"))).alias("rs"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("rs"), lambda r: (i >= r["a"]) & (i <= r["b"])
+        ),
+    )
+    return docs.join(rpd, "doc_id", "left").select(
+        F.col("doc_id").cast("long"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce("n_ranges", F.lit(0)).cast("long").alias("n_ranges"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.md5(
+            F.when(F.col("rs").isNull(), F.col("text")).otherwise(
+                F.concat_ws(" ", kept)
+            )
+        ).alias("kept_md5"),
     )
 
 

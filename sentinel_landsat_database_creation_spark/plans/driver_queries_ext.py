@@ -675,6 +675,70 @@ FROM tot LEFT JOIN pd USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-span REMOVAL (operators/dedup.py:scrub_spans) — the
+    transform half of Lee et al. sub-document dedup: span_dedup reports
+    the boilerplate ratio, this entry pins the exact scrubbed text
+    (kept_md5) after merging overlapping duplicate windows into maximal
+    token ranges and cutting them. The oracle re-derives the identical
+    ranges with window functions and filters tokens with an indexed
+    list lambda — both engines md5 the space-rejoined survivors, so
+    the driver hash checks every removed token boundary."""
+    from ..operators.dedup import scrub_spans
+
+    return scrub_spans(table(spark, sf, "documents"), span_tokens=8).orderBy(
+        "doc_id"
+    )
+
+
+SQL_SPAN_SCRUB = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                     i -> {'pos': i - 1,
+                           's': list_aggregate(toks[i:i+7], 'string_agg', '_')})
+                ELSE CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[]) END,
+           recursive := true)
+  FROM d
+),
+shared AS (SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM occ WHERE s IN (SELECT s FROM shared)),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+seg AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+  FROM lagged
+),
+ranges AS (
+  SELECT doc_id, seg_id, min(pos) AS a, max(pos) + 7 AS b
+  FROM seg GROUP BY doc_id, seg_id
+),
+rpd AS (
+  SELECT doc_id, count(*) AS n_ranges, sum(b - a + 1) AS n_removed,
+         list({'a': a, 'b': b} ORDER BY a) AS rs
+  FROM ranges GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_ranges, 0) AS BIGINT) AS n_ranges,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(
+         CASE WHEN rs IS NULL THEN toks
+              ELSE list_filter(toks, (x, i) ->
+                     len(list_filter(rs, r -> i - 1 >= r.a AND i - 1 <= r.b))
+                       = 0)
+         END, ' '), '')) AS kept_md5
+FROM d LEFT JOIN rpd USING (doc_id) ORDER BY doc_id
+"""
+
+
 def q_delta_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental ingest dedup: the held-out bucket (doc_split's
     val+test) arrives as a new batch and is checked for exact-text
@@ -1212,16 +1276,48 @@ FROM v ORDER BY vec_id
 # multimodal
 
 
-def q_media_stats(spark: SparkSession, sf: str) -> DataFrame:
+def q_media_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Both media-table payload checks under ONE driver hash — merged
+    in r7 from the r5-green ``media_stats`` + ``media_features``
+    entries (same derived media table, adjacent metadata/feature ops)
+    to free a checked-prefix slot for ``span_scrub``; coverage is
+    preserved because the merged row goes green only if BOTH the
+    native metadata projection (octet_length + md5 over the binary
+    payload — media_stats' whole body) AND the real mapInPandas
+    Arrow feature path (multimodal.fake_features: md5-derived int16
+    features, byte length recomputed IN PYTHON as ``n_bytes_py``)
+    are exact. Keeping both byte-length columns pins the JVM and the
+    Python boundary against each other row by row, and the inner join
+    on media_id additionally pins row-count equality between the two
+    paths — any dropped/duplicated row in the Arrow path flips the
+    hash even if its values are right."""
+    from ..multimodal.media import fake_features
+
     media = media_from_documents(table(spark, sf, "documents"))
-    return media_stats(media).orderBy("media_id")
+    stats = media_stats(media)
+    feats = fake_features(media, n_features=4).select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").alias("n_bytes_py"),
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+    return stats.join(feats, "media_id").orderBy("media_id")
 
 
-SQL_MEDIA_STATS = """
-SELECT CAST(doc_id AS BIGINT) AS media_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents ORDER BY media_id
+SQL_MEDIA_CHECKS = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       h AS payload_md5,
+       'image' AS kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes_py,
+       CAST(('0x' || substr(h, 1, 4))::BIGINT AS DOUBLE) / 65535.0 AS f0,
+       CAST(('0x' || substr(h, 5, 4))::BIGINT AS DOUBLE) / 65535.0 AS f1,
+       CAST(('0x' || substr(h, 9, 4))::BIGINT AS DOUBLE) / 65535.0 AS f2,
+       CAST(('0x' || substr(h, 13, 4))::BIGINT AS DOUBLE) / 65535.0 AS f3
+FROM m ORDER BY media_id
 """
 
 
@@ -1618,39 +1714,6 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(i * step AS BIGINT) AS frame_offset,
        md5(substr(text, CAST(i * step + 1 AS INTEGER), 16)) AS frame_md5
 FROM f ORDER BY media_id, frame_idx
-"""
-
-
-def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic feature extraction over binary payloads through the
-    real mapInPandas path (multimodal.fake_features): n 16-bit values
-    from the payload md5, scaled to [0,1]. The DuckDB twin recomputes
-    the same bytes from hex md5 — each feature is one exact int16
-    divided by 65535.0, so floats hash-match bit-for-bit."""
-    from ..multimodal.media import fake_features
-
-    media = media_from_documents(table(spark, sf, "documents"))
-    f = fake_features(media, n_features=4)
-    return f.select(
-        "media_id",
-        "kind",
-        "n_bytes",
-        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
-    ).orderBy("media_id")
-
-
-SQL_MEDIA_FEATURES = """
-WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,
-                  octet_length(encode(text)) AS n_bytes
-           FROM documents)
-SELECT CAST(media_id AS BIGINT) AS media_id,
-       'image' AS kind,
-       CAST(n_bytes AS BIGINT) AS n_bytes,
-       CAST(('0x' || substr(h, 1, 4))::BIGINT AS DOUBLE) / 65535.0 AS f0,
-       CAST(('0x' || substr(h, 5, 4))::BIGINT AS DOUBLE) / 65535.0 AS f1,
-       CAST(('0x' || substr(h, 9, 4))::BIGINT AS DOUBLE) / 65535.0 AS f2,
-       CAST(('0x' || substr(h, 13, 4))::BIGINT AS DOUBLE) / 65535.0 AS f3
-FROM m ORDER BY media_id
 """
 
 
@@ -2966,8 +3029,12 @@ REGISTRY_EXT = {
     "corpus_pruned_read": (q_corpus_pruned_read, SQL_CORPUS_PRUNED_READ),
     "corpus_dedup_write": (q_corpus_dedup_write, SQL_CORPUS_DEDUP_WRITE),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
-    "media_stats": (q_media_stats, SQL_MEDIA_STATS),
-    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    # r7 merge (late, same mechanism as salted_skew_checks): the two
+    # r5-green media payload entries now ride one hash
+    # (q_media_checks docstring has the coverage argument); the freed
+    # slot funds span_scrub in the same checked prefix.
+    "media_checks": (q_media_checks, SQL_MEDIA_CHECKS),
+    "span_scrub": (q_span_scrub, SQL_SPAN_SCRUB),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
     "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),

@@ -540,6 +540,145 @@ def test_span_dedup_hand_computed(spark):
     assert out[4]["dup_ratio"] == 0.0
 
 
+def test_scrub_spans_hand_computed(spark):
+    """k=3 range mechanics: gap > k splits ranges, gap == k merges
+    (touching), overlapping hits merge, a fully-shared doc scrubs to
+    md5(''), a short doc is untouched."""
+    import hashlib
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        scrub_spans,
+    )
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    docs = spark.createDataFrame(
+        [
+            # shares a_b_c (pos 0) and e_f_g (pos 4) with doc 2:
+            # gap 4 > k=3 -> ranges [0,2] and [4,6], kept "x1 y1"
+            (1, "a b c x1 e f g y1"),
+            (2, "a b c z e f g"),  # ranges [0,2],[4,6], kept "z"
+            # doc 3 entirely inside doc 4: hits 0..3 overlap -> one
+            # range covering everything, kept ""
+            (3, "m n o p q r"),
+            (4, "w m n o p q r"),  # hits 1..4 -> range [1,6], kept "w"
+            # hits at 0 and 3 (gap == k): touching ranges merge ->
+            # [0,5], kept "u"; its partner's hits at 0 and 6 stay split
+            (5, "a b c d e f u"),
+            (6, "a b c q1 q2 q3 d e f"),
+            (7, "p p2 p3 p4"),  # no shared span: untouched
+            (8, "s t"),  # too short for any span: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_spans(docs, span_tokens=3).collect()}
+
+    def check(d, n_tokens, n_ranges, n_removed, kept):
+        r = out[d]
+        assert (r["n_tokens"], r["n_ranges"], r["n_removed"]) == (
+            n_tokens,
+            n_ranges,
+            n_removed,
+        ), (d, dict(r.asDict()))
+        assert r["kept_md5"] == h(kept), (d, kept)
+
+    check(1, 8, 2, 6, "x1 y1")
+    check(2, 7, 2, 6, "z")
+    check(3, 6, 1, 6, "")
+    check(4, 7, 1, 6, "w")
+    check(5, 7, 1, 6, "u")
+    check(6, 9, 2, 6, "q1 q2 q3")
+    check(7, 4, 0, 0, "p p2 p3 p4")
+    check(8, 2, 0, 0, "s t")
+
+
+def _scrub_ref(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """Independent pure-Python reference for scrub_spans."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    spans = {
+        d: ["_".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        for d, tk in toks.items()
+    }
+    span_docs = defaultdict(set)
+    for d, ss in spans.items():
+        for s in ss:
+            span_docs[s].add(d)
+    out = {}
+    for d, tk in toks.items():
+        hits = [i for i, s in enumerate(spans[d]) if len(span_docs[s]) >= 2]
+        segs: list[list[int]] = []
+        prev = None
+        for p in hits:
+            if prev is None or p - prev > k:
+                segs.append([p, p])
+            else:
+                segs[-1][1] = p
+            prev = p
+        ranges = [(a, b + k - 1) for a, b in segs]
+        removed = set()
+        for a, b in ranges:
+            removed.update(range(a, b + 1))
+        kept = " ".join(t for i, t in enumerate(tk) if i not in removed)
+        out[d] = (
+            len(tk),
+            len(ranges),
+            sum(b - a + 1 for a, b in ranges),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_scrub_spans_matches_python_reference(spark):
+    """Seeded random corpus with planted boilerplate blocks: every
+    column (incl. the scrubbed-text md5) must equal an independent
+    Python implementation's, and removed+kept must partition the
+    tokens."""
+    import random
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        scrub_spans,
+    )
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    blocks = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12)))
+        for _ in range(5)
+    ]
+    texts = {}
+    for d in range(40):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(blocks))
+            else:
+                parts.append(
+                    " ".join(
+                        rng.choice(vocab) for _ in range(rng.randint(1, 15))
+                    )
+                )
+        texts[d] = " ".join(parts)
+    k = 4
+    ref = _scrub_ref(texts, k)
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_ranges"],
+            r["n_removed"],
+            r["kept_md5"],
+        )
+        for r in scrub_spans(df, span_tokens=k).collect()
+    }
+    assert got == ref
+    assert any(v[2] > 0 for v in ref.values())  # scrubbing actually fired
+    assert any(v[1] > 1 for v in ref.values())  # multi-range docs exist
+
+
 def test_delta_dedup_flags_existing_content(spark):
     from sentinel_landsat_database_creation_spark.operators.dedup import (
         delta_dedup,

@@ -66,6 +66,10 @@ TABLE_QUERIES = [
     # doc_id, ranges array bounded by doc length), so it scales with
     # the same hash/shuffle shape
     "span_scrub",
+    # r7 (late): seeded shard+rank shuffle — one hash shuffle and a
+    # per-SHARD window (n_shards is the per-task sort-state knob), no
+    # global order anywhere
+    "epoch_shuffle",
     "stream_sessions",
     "user_sessions",
     "pricing_summary",
@@ -111,6 +115,7 @@ DECADE2_QUERIES = [
     "minhash_lsh",
     "span_dedup",
     "span_scrub",
+    "epoch_shuffle",
     "user_sessions",
     "pricing_summary",
     "dedup_docs_exact",

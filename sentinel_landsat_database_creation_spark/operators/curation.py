@@ -15,7 +15,7 @@ see SURVEY.md §6 for the extension rationale):
   fan-out is bounded by document length. 100 TB-safe.
 - ``stratified_sample``: per-class downsampling by content-independent
   hash bucket (md5 of the id), the same family as the 90/5/5 split in
-  ``q_doc_split`` — deterministic under reshuffles, repartitions, and
+  ``q_chunk_split`` — deterministic under reshuffles, repartitions, and
   incremental reruns, which per-partition RNG sampling is not. A narrow
   map + filter; no shuffle at all.
 - ``vocab_coverage``: two-pass dictionary filter — pass 1 aggregates the
@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles
 
-# doc_split's bucket boundary (plans/driver_queries_ext.py:q_doc_split):
+# the 90/5/5 split's bucket boundary (plans/driver_queries_ext.py:
+# q_chunk_split):
 # md5 first-byte < 230 -> train; the rest (val+test) is held out.
 TRAIN_BUCKET_BOUND = 230
 
@@ -405,4 +406,50 @@ def length_trim(
             F.min("n_chars").cast("long").alias("min_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
         )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame, seed: int, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic epoch shuffle — the training-order randomization a
+    data loader needs per epoch, computed WITHOUT a global sort: every
+    row gets (shard, pos) where ``shard`` is a seeded hash bucket and
+    ``pos`` is the row's rank within its shard by the same hash.
+    Re-running with the same seed reproduces the order bit-for-bit
+    (resumable training, auditable batches); a new seed is a fresh
+    permutation. Emits (id, shard, pos).
+
+    Why not ``ORDER BY rand()`` or a global ``row_number``: a global
+    order is ONE window task sorting the entire corpus — the canonical
+    100 TB scale-killer. Here the only window is PARTITIONED BY SHARD:
+    md5 keys are uniform, so each shard is ~corpus/n_shards regardless
+    of data skew (the hash launders any hot key), and n_shards is the
+    explicit knob that sizes per-task sort state — set it so a shard
+    matches what one task's external sort should own (e.g. ~1-4 GB);
+    the loader then interleaves shard files. Within a shard the order
+    is the md5 order, i.e. uniformly random with respect to any data
+    attribute, which is exactly the property epoch shuffling needs.
+
+    Determinism contract: shard = integer value of the first 4 hex
+    chars of md5(seed ':' id) mod n_shards; pos orders by the full
+    hash with the id as tie-break (md5 collisions on distinct ids are
+    not expected, but the tie-break keeps the contract total and the
+    oracle exact either way)."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    keyed = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        h.alias("h"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
     )

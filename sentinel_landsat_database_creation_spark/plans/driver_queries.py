@@ -1479,18 +1479,20 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # content-digested from the post-swap files, previously pytest-only).
 # 47 + 3 = 50 = the driver's checked prefix, exactly.
 #
-# Late-r7 amendment (still within the math): three PAIRS of the 47
+# Late-r7 amendment (still within the math): four PAIRS of the 47
 # rotated r5-cohort entries were MERGED, each freeing one prefix slot
 # for a new query: salted_agg_check + salted_join_check ->
 # salted_skew_checks (funds pii_scrub), embed_quality + embed_slice
-# -> embed_checks (funds winnow_fingerprint), and media_stats +
+# -> embed_checks (funds winnow_fingerprint), media_stats +
 # media_features -> media_checks (funds span_scrub, the Lee-et-al
-# duplicate-span REMOVAL twin of span_dedup). The merged entries'
+# duplicate-span REMOVAL twin of span_dedup), and doc_chunks +
+# doc_split -> chunk_split (funds epoch_shuffle, the seeded
+# no-global-sort training-order shuffle). The merged entries'
 # docstrings carry the coverage arguments (each goes green only if
 # BOTH parents' semantics are exact). No old entry was displaced to
 # the tail (they were retired INTO their merge, whose r7 check covers
-# both semantics), so no staleness rule is touched: prefix = 41
-# surviving r5-cohort + 3 merges + 3 merge-funded new + 3 new = 50.
+# both semantics), so no staleness rule is touched: prefix = 39
+# surviving r5-cohort + 4 merges + 4 merge-funded new + 3 new = 50.
 # This is also the designated mechanism for future capacity (see
 # CLAUDE.md): a merge must happen while BOTH parents sit in the
 # current prefix, because merged entries are new (never

@@ -529,30 +529,60 @@ FROM s ORDER BY doc_id
 SQL_LANG_GUESS = _sql_lang_guess()
 
 
-def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    """LLM-prep chunking: 32-token windows, stride 24 (overlap 8), one
-    row per chunk via native higher-order expressions + posexplode."""
+def q_chunk_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-prep chunking AND the deterministic train/val/test split
+    under ONE driver hash — merged in r7 from the r5-green
+    ``doc_chunks`` + ``doc_split`` entries (same documents table,
+    adjacent prep steps a loader runs together) to free a
+    checked-prefix slot for ``epoch_shuffle``. Coverage is preserved
+    and strictly SHARPENED: doc_chunks' full row set (32-token
+    windows, stride 24, exact chunk text) is emitted unchanged, and
+    doc_split's md5-bucket assignment (90/5/5 at bucket boundaries
+    230/243) now rides on EVERY chunk row at document granularity —
+    the old entry's per-(source, split) counts are a projection of
+    these labels, so any label flip that would have moved a count
+    flips at least one merged row's hash, and boundary drift on a
+    single document is visible even when the aggregate counts happen
+    to balance out."""
     from ..operators.textops import chunk_documents
 
-    docs = table(spark, sf, "documents")
-    return chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
-        "doc_id", "chunk_idx"
+    d = table(spark, sf, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 230, F.lit("train"))
+        .when(bucket < 243, F.lit("val"))
+        .otherwise(F.lit("test"))
     )
+    chunks = chunk_documents(d, chunk_tokens=32, stride=24)
+    labels = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        split.alias("split"),
+    )
+    return chunks.join(labels, "doc_id").orderBy("doc_id", "chunk_idx")
 
 
-SQL_DOC_CHUNKS = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+SQL_CHUNK_SPLIT = """
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
 c AS (
-  SELECT doc_id, toks,
+  SELECT doc_id, source, toks,
          CASE WHEN len(toks) <= 32 THEN 1
-              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 230 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 243 THEN 'val'
+              ELSE 'test' END AS split
   FROM t
 ),
-e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c)
+e AS (SELECT doc_id, source, split, toks, unnest(range(0, n_chunks)) AS i
+      FROM c)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(i AS BIGINT) AS chunk_idx,
        CAST(len(toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)]) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)], ' ') AS chunk_text
+       array_to_string(toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)], ' ') AS chunk_text,
+       source, split
 FROM e ORDER BY doc_id, chunk_idx
 """
 
@@ -605,36 +635,33 @@ FROM documents ORDER BY doc_id
 """
 
 
-def q_doc_split(spark: SparkSession, sf: str) -> DataFrame:
-    """Reproducible train/val/test assignment by content-independent
-    hash bucket (md5 of the id, 256 buckets: 90/5/5) — the standard
-    deterministic split that survives reshuffles, repartitions, and
-    incremental reruns. Emits per-(source, split) counts."""
+def q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle
+    (operators/curation.py:epoch_shuffle): every document gets a
+    (shard, pos) training-order coordinate from md5(seed ':' id) —
+    reproducible per seed, no global sort anywhere (the only window
+    is partitioned by shard; md5 uniformity makes the shards even
+    regardless of data skew). The oracle replays the identical hash
+    arithmetic, so the driver hash pins the full permutation."""
+    from ..operators.curation import epoch_shuffle
+
     d = table(spark, sf, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
-    split = (
-        F.when(bucket < 230, F.lit("train"))
-        .when(bucket < 243, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return (
-        d.select("source", split.alias("split"))
-        .groupBy("source", "split")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy("source", "split")
-    )
+    return epoch_shuffle(d, seed=7, n_shards=16).orderBy("shard", "pos")
 
 
-SQL_DOC_SPLIT = """
-WITH b AS (
-  SELECT source,
-         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 230 THEN 'train'
-              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 243 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
+SQL_EPOCH_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+),
+s AS (
+  SELECT doc_id, hh,
+         CAST(('0x' || substr(hh, 1, 4))::BIGINT % 16 AS INTEGER) AS shard
+  FROM h
 )
-SELECT source, split, CAST(count(*) AS BIGINT) AS n
-FROM b GROUP BY source, split ORDER BY source, split
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
 """
 
 
@@ -2995,8 +3022,12 @@ REGISTRY_EXT = {
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    # r7 merge (late, same mechanism as salted_skew_checks): chunking
+    # and the 90/5/5 split now ride one hash at chunk granularity
+    # (q_chunk_split docstring has the coverage argument); the freed
+    # slot funds epoch_shuffle in the same checked prefix.
+    "chunk_split": (q_chunk_split, SQL_CHUNK_SPLIT),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),

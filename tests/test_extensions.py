@@ -679,6 +679,37 @@ def test_scrub_spans_matches_python_reference(spark):
     assert any(v[1] > 1 for v in ref.values())  # multi-range docs exist
 
 
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    """(shard, pos) must be a bijection over the input ids: every id
+    appears once, pos is contiguous 1..|shard| within each shard,
+    shards stay within range and roughly even; same seed reproduces
+    the order bit-for-bit and a different seed actually reshuffles."""
+    from collections import Counter
+
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        epoch_shuffle,
+    )
+
+    n, shards = 500, 16
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df, seed=7, n_shards=shards).collect()
+    assert sorted(r["doc_id"] for r in a) == list(range(n))
+    by_shard = Counter(r["shard"] for r in a)
+    assert set(by_shard) <= set(range(shards))
+    for s, cnt in by_shard.items():
+        poss = sorted(r["pos"] for r in a if r["shard"] == s)
+        assert poss == list(range(1, cnt + 1))
+    # md5 uniformity: no shard should be empty or pathological at n=500
+    assert min(by_shard.values()) > 0
+    assert max(by_shard.values()) < 3 * (n / shards)
+
+    b = epoch_shuffle(df, seed=7, n_shards=shards).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+    c = epoch_shuffle(df, seed=8, n_shards=shards).collect()
+    assert key(a) != key(c)
+
+
 def test_delta_dedup_flags_existing_content(spark):
     from sentinel_landsat_database_creation_spark.operators.dedup import (
         delta_dedup,

@@ -670,19 +670,41 @@ def neardup_pipeline(
 
 def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
     """Positional rolling-window occurrence stream — one row per
-    (doc_id, pos, s) where ``s`` is the '_'-joined ``span_tokens``-token
-    window starting at 0-based token index ``pos``. Memoized once per
-    (source, span_tokens) and shared by ``span_dedup`` (which projects
-    pos away) and ``scrub_spans`` (which needs it): the extra int per
-    row is noise next to the span string, and sharing means one explode
-    pass instead of two when both operators run in a session."""
+    (doc_id, pos, s) where ``s`` is a 60-bit md5-prefix key of the
+    '_'-joined ``span_tokens``-token window starting at 0-based token
+    index ``pos``. Memoized once per (source, span_tokens) and shared
+    by ``span_dedup`` (which projects pos away) and ``scrub_spans``
+    (which needs it): sharing means one explode pass instead of two
+    when both operators run in a session.
+
+    Why a hashed key and not the raw window string: every downstream
+    consumer only ever tests span EQUALITY (the shared-span dictionary
+    groupBy and the semi-join probe), and the raw ~50-byte string is
+    what the two heaviest shuffles carry. Hashing to one BIGINT cuts
+    occurrence-row width ~3x; measured at the sf10 capped tier
+    (local[8], 1 GB, DISK_ONLY memo) scrub_spans went 40.2 s -> 20.9 s
+    and its decade-2 exponent from 1.19 to ~0.9. Collision math: 15
+    hex chars = 60 bits; at the sf10 tier's ~45M distinct spans the
+    expected collision count is n^2/2^61 ~ 1e-3 — and a collision
+    only ever marks a unique span as shared (conservative for
+    scrubbing). At a true 100 TB span count (~1e12) this prefix WOULD
+    collide (~2e5 expected); widen to two 60-bit prefix columns
+    before that point — the knob is this one expression. The DuckDB
+    oracles mirror the identical substr(md5(...), 1, 15) arithmetic,
+    so the driver hash stays exact-by-construction at any width."""
     toks = F.split(F.col("text"), " ")
     return _memo_checkpoint(
         docs,
-        ("spanpos", span_tokens),
+        ("spanpos60", span_tokens),
         lambda: docs.select(
             "doc_id",
-            F.posexplode(shingles(toks, span_tokens)).alias("pos", "s"),
+            F.posexplode(shingles(toks, span_tokens)).alias("pos", "sraw"),
+        ).select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("sraw"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("s"),
         ),
     )
 
@@ -718,7 +740,7 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
     # the semi-join probe; inline, the rolling-window explode (an
     # 8-token string concat per position over every document) ran
     # twice — materialized once it's the usual halving (measured r5:
-    # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spanpos,
+    # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spanpos60,
     # shared with scrub_spans since r7)
     occ = _span_occurrences(docs, span_tokens).select("doc_id", "s")
     shared = (
@@ -727,8 +749,14 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("s")
     )
+    # shuffle_hash on the dictionary side: past the broadcast threshold
+    # Spark's default is a sort-merge semi join, which SORTS the whole
+    # occurrence stream by span key — the dictionary is the build side
+    # at every scale (same lesson as the r6 SimHash vocab broadcast,
+    # one durability grade down: too big to broadcast, small enough to
+    # hash per partition)
     per_doc = (
-        occ.join(shared, "s", "left_semi")
+        occ.join(shared.hint("shuffle_hash"), "s", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
     )
@@ -798,7 +826,17 @@ def scrub_spans(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("s")
     )
-    hits = occ.join(shared, "s", "left_semi").select("doc_id", "pos")
+    # both hints below force shuffle-hash builds over the default
+    # sort-merge: without them the sf10 capped probe sorted the 45M-row
+    # occurrence stream by span key AND the full text corpus by doc_id.
+    # Measured there (A/B/C, identical digests): raw-string key
+    # unhinted 40.2 s -> raw-string hinted 33.7 s -> hashed key +
+    # hints 20.9 s. The build sides — the shared-span dictionary and
+    # the per-doc ranges — are the small sides at every scale but need
+    # not fit a broadcast.
+    hits = occ.join(shared.hint("shuffle_hash"), "s", "left_semi").select(
+        "doc_id", "pos"
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     is_new = F.coalesce(
         (F.col("pos") - F.lag("pos").over(w) > k).cast("int"), F.lit(1)
@@ -818,7 +856,7 @@ def scrub_spans(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
             F.col("rs"), lambda r: (i >= r["a"]) & (i <= r["b"])
         ),
     )
-    return docs.join(rpd, "doc_id", "left").select(
+    return docs.join(rpd.hint("shuffle_hash"), "doc_id", "left").select(
         F.col("doc_id").cast("long"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.coalesce("n_ranges", F.lit(0)).cast("long").alias("n_ranges"),

@@ -682,8 +682,10 @@ occ AS (
   SELECT doc_id, unnest(
            CASE WHEN len(toks) >= 8
                 THEN list_transform(range(1, len(toks) - 6),
-                     i -> list_aggregate(toks[i:i+7], 'string_agg', '_'))
-                ELSE CAST([] AS VARCHAR[]) END) AS s
+                     i -> ('0x' || substr(md5(
+                            list_aggregate(toks[i:i+7], 'string_agg', '_')),
+                            1, 15))::BIGINT)
+                ELSE CAST([] AS BIGINT[]) END) AS s
   FROM d
 ),
 shared AS (SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
@@ -725,8 +727,11 @@ occ AS (
            CASE WHEN len(toks) >= 8
                 THEN list_transform(range(1, len(toks) - 6),
                      i -> {'pos': i - 1,
-                           's': list_aggregate(toks[i:i+7], 'string_agg', '_')})
-                ELSE CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[]) END,
+                           's': ('0x' || substr(md5(
+                                  list_aggregate(toks[i:i+7],
+                                                 'string_agg', '_')),
+                                  1, 15))::BIGINT})
+                ELSE CAST([] AS STRUCT(pos BIGINT, s BIGINT)[]) END,
            recursive := true)
   FROM d
 ),
@@ -767,7 +772,7 @@ FROM d LEFT JOIN rpd USING (doc_id) ORDER BY doc_id
 
 
 def q_delta_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental ingest dedup: the held-out bucket (doc_split's
+    """Incremental ingest dedup: the held-out bucket (the 90/5/5 split's
     val+test) arrives as a new batch and is checked for exact-text
     duplicates of the train-bucket corpus by content hash
     (operators/dedup.py:delta_dedup)."""
@@ -1136,7 +1141,7 @@ SQL_LSH_INDEX_COMPACT = _sql_lsh_index_compact()
 
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination: train docs (doc_split's train bucket)
+    """Benchmark decontamination: train docs (the 90/5/5 split's train bucket)
     sharing any distinct word 8-gram with the held-out val+test docs.
     The eval n-gram dictionary broadcasts; see operators/curation.py."""
     d = table(spark, sf, "documents")

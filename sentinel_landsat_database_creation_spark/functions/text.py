@@ -71,6 +71,37 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokens(F.lower(text)), " "))
 
 
+def hash60(col: Column | str) -> Column:
+    """60-bit equality/ordering key: the first 15 hex chars of md5,
+    read as a BIGINT. The narrow shuffle key for hash-heavy dedup
+    paths (span_dedup/scrub_spans since r7; designated for the MinHash
+    shingle/signature family in r8) — one long instead of a ~50-byte
+    string per shuffled row.
+
+    Cross-engine contract (pinned by tests/test_hash60.py over an
+    adversarial unicode corpus): Spark's ``conv(substring(md5(s),1,15),
+    16,10)`` == DuckDB's ``('0x' || substr(md5(s),1,15))::BIGINT`` ==
+    Python's ``int(hashlib.md5(s.encode()).hexdigest()[:15], 16)`` for
+    every UTF-8 string — all three hash the UTF-8 bytes and render
+    lowercase hex, and 15 hex chars = 60 bits < 2^63 so the cast never
+    wraps. Oracles must mirror the DuckDB form verbatim.
+
+    Ordering lemma (what makes the r8 MinHash narrowing EXACT, not
+    approximate): md5 hex is fixed-width with digit order = numeric
+    order, so for any set S of digests, min over the 60-bit prefixes
+    equals the prefix of the lexicographic min — ``min(prefix(x)) ==
+    prefix(min(x))``. Signatures computed as mins of hash60 values are
+    therefore identical to prefixes of the hex-string signature;
+    band-bucket collisions from the dropped 68 bits only ever ADD
+    candidate pairs, which every consumer verifies downstream.
+
+    Collision budget: expected colliding pairs ~ n^2 / 2^61; at 1e9
+    distinct keys that is ~0.4 expected collisions, at 1e12 (a true
+    100 TB span corpus) ~2e5 — past ~1e10 keys widen to two such
+    prefix columns (120 bits); the knob is this one expression."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
     """MinHash signature as an array of n lexicographic-min md5 hex
     digests, one per salted hash family member. Salting the input string

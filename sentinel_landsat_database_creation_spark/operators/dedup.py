@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
+from ..functions.text import hash60, shingles
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -682,16 +682,19 @@ def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
     groupBy and the semi-join probe), and the raw ~50-byte string is
     what the two heaviest shuffles carry. Hashing to one BIGINT cuts
     occurrence-row width ~3x; measured at the sf10 capped tier
-    (local[8], 1 GB, DISK_ONLY memo) scrub_spans went 40.2 s -> 20.9 s
-    and its decade-2 exponent from 1.19 to ~0.9. Collision math: 15
+    (local[8], 1 GB, DISK_ONLY memo) scrub_spans went 40.2 s -> 22.6 s
+    (isolated A/B 20.9 s) and its decade-2 exponent from 1.19 to 0.64
+    (span_dedup 0.81 -> 0.72), recorded probe in BENCH_SCALE.json.
+    Collision math: 15
     hex chars = 60 bits; at the sf10 tier's ~45M distinct spans the
     expected collision count is n^2/2^61 ~ 1e-3 — and a collision
     only ever marks a unique span as shared (conservative for
     scrubbing). At a true 100 TB span count (~1e12) this prefix WOULD
     collide (~2e5 expected); widen to two 60-bit prefix columns
-    before that point — the knob is this one expression. The DuckDB
-    oracles mirror the identical substr(md5(...), 1, 15) arithmetic,
-    so the driver hash stays exact-by-construction at any width."""
+    before that point — the knob is ``functions.text.hash60`` (its
+    docstring holds the full cross-engine contract + ordering lemma).
+    The DuckDB oracles mirror the identical substr(md5(...), 1, 15)
+    arithmetic, so the driver hash stays exact at any width."""
     toks = F.split(F.col("text"), " ")
     return _memo_checkpoint(
         docs,
@@ -699,13 +702,7 @@ def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
         lambda: docs.select(
             "doc_id",
             F.posexplode(shingles(toks, span_tokens)).alias("pos", "sraw"),
-        ).select(
-            "doc_id",
-            "pos",
-            F.conv(F.substring(F.md5("sraw"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("s"),
-        ),
+        ).select("doc_id", "pos", hash60("sraw").alias("s")),
     )
 
 

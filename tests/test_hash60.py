@@ -1,0 +1,144 @@
+"""Cross-engine contract for functions.text.hash60 — the 60-bit
+md5-prefix BIGINT key the span pipeline shuffles on (r7) and the
+MinHash family is designated to adopt in r8.
+
+The driver's correctness gate only ever exercises the key over the
+synthetic corpus's token alphabet; this suite pins the THREE-engine
+agreement (Spark conv/substring/md5, DuckDB hex-literal cast, Python
+hashlib) on an adversarial corpus — unicode planes, combining marks,
+whitespace/control characters, md5 digests with leading-zero prefixes
+— plus the ordering lemma the r8 narrowing's exactness rests on:
+min(prefix(x)) == prefix(min(x)) for fixed-width hex.
+
+One Spark job / one DuckDB query over the whole corpus (per-example
+sessions would be minutes, not seconds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import string
+
+import duckdb
+import pytest
+
+from sentinel_landsat_database_creation_spark.functions.text import hash60
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\t\n\r",
+    "a",
+    "0" * 64,
+    "the_quick_brown_fox_jumps_over_the_lazy_dog",  # span-ish shape
+    "tok1_tok2_tok3_tok4_tok5_tok6_tok7_tok8",
+    "naïve café résumé",  # latin-1 accents (2-byte UTF-8)
+    "日本語のテキスト処理",  # CJK (3-byte UTF-8)
+    "🛰️📡🗺️",  # emoji incl. ZWJ/VS16 sequences (4-byte UTF-8)
+    "é vs é",  # combining acute vs precomposed
+    "  ",  # unicode line/paragraph separators
+    "mixed — dash…ellipsis nbsp",
+    "a" * 10_000,  # long single token
+    "'; DROP TABLE docs; --",  # quoting hazards for the SQL side
+    'he said "hi" \\ back\\slash',
+]
+
+
+def _py60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _corpus() -> list[str]:
+    rng = random.Random(0xC0FFEE)
+    alphabet = string.ascii_letters + string.digits + "_- "
+    randoms = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 80)))
+        for _ in range(600)
+    ]
+    # P(leading hex nibble == 0) = 1/16, so ~37 of the randoms already
+    # exercise leading-zero prefixes; assert instead of hoping.
+    corpus = ADVERSARIAL + randoms
+    assert sum(
+        1
+        for s in corpus
+        if hashlib.md5(s.encode()).hexdigest().startswith("0")
+    ) >= 10
+    return corpus
+
+
+def test_hash60_three_engine_agreement(spark):
+    corpus = _corpus()
+    expected = [_py60(s) for s in corpus]
+
+    got_spark = [
+        r.h
+        for r in (
+            spark.createDataFrame([(s,) for s in corpus], "s string")
+            .select(hash60("s").alias("h"))
+            .collect()
+        )
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        for s in corpus
+    ]
+    assert got_duck == expected
+
+    # 60-bit range: non-negative, below 2^60 (the cast-never-wraps claim)
+    assert all(0 <= v < 1 << 60 for v in expected)
+
+
+def test_hash60_prefix_min_commutes():
+    """The r8 exactness lemma: for fixed-width lowercase hex, numeric
+    order of the 60-bit prefix agrees with lexicographic order of the
+    digest, so min commutes with prefixing. Checked over many random
+    salted-digest sets, the exact shape minhash_signature reduces."""
+    rng = random.Random(7)
+    for _ in range(200):
+        digests = [
+            hashlib.md5(f"{rng.random()}".encode()).hexdigest()
+            for _ in range(rng.randrange(2, 40))
+        ]
+        lex_min = min(digests)
+        assert min(int(d[:15], 16) for d in digests) == int(
+            lex_min[:15], 16
+        )
+
+
+def test_hash60_span_occurrence_matches_python(spark):
+    """End-to-end through _span_occurrences: the memoized stream's key
+    column equals the Python-reference key of each raw window."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        _span_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "naïve café x y z w q r"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = _span_occurrences(docs, 8).orderBy("doc_id", "pos").collect()
+    by_doc = {
+        1: "a b c d e f g h i j".split(),
+        2: "naïve café x y z w q r".split(),
+    }
+    expected = []
+    for doc_id, toks in by_doc.items():
+        for pos in range(len(toks) - 7):
+            expected.append(
+                (doc_id, pos, _py60("_".join(toks[pos : pos + 8])))
+            )
+    assert [(r.doc_id, r.pos, r.s) for r in rows] == expected
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -59,10 +59,17 @@ from bench_scale import (  # noqa: E402
 # cheap to verify here and widen the 10x evidence: lsh_topk/ivf_topk
 # (the bucketed/partition-pruned similarity paths), simhash_docs,
 # dedup_docs_exact and normalized_dedup (hash-only dedup shuffles);
-# r7 adds its two new documents-table operators the round they land —
-# winnow_fingerprint (row-local HOF selection + hash-only dictionary)
-# and pii_scrub (scan-speed regex projection over the derived contact
-# corpus; the % 100 customer join is SF-invariant).
+# r7 adds its new operators the round they land —
+# winnow_fingerprint (row-local HOF selection + hash-only dictionary),
+# pii_scrub (scan-speed regex projection over the derived contact
+# corpus; the % 100 customer join is SF-invariant), and
+# semantic_dedup (SemDeDup cluster-scoped embedding dedup: its
+# registry instantiation pins K=16, so the pair space is N^2/16 —
+# quadratic like embed_cosine_neardup and likewise EXCLUDED from the
+# TIMING probes, but at the 10x tier that is ~25M fold evals / a
+# 4.9 s DuckDB oracle, an affordable one-off correctness check; at
+# 100x it would be ~2.5G evals, so no tier-2 membership. The 100 TB
+# path grows K with the corpus — operators/similarity.py docstring).
 # These fit the uncapped local[32] session; the pair-space trio
 # (neardup_pipeline, dedup_clusters, delta_neardup) does NOT at sf1 —
 # it stays in the capped set exactly as bench_scale measures it.
@@ -74,6 +81,7 @@ EXTRA_UNCAPPED = [
     "normalized_dedup",
     "winnow_fingerprint",
     "pii_scrub",
+    "semantic_dedup",
 ]
 TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
     "neardup_pipeline",

@@ -117,12 +117,21 @@ def written_file_stats(spark, path: str, x: str, y: str) -> DataFrame:
     computed from the ACTUAL files (``input_file_name``), not from the
     logical plan, so a writer bug that scatters a bucket across files or
     files across buckets shows up as extra ``n_files`` / widened min-max
-    and breaks the oracle hash.
+    and breaks the oracle hash. ``min_z``/``max_z`` re-derive the Morton
+    key from the stored source columns (NOT the stored ``zkey``), so the
+    read-back statistics independently re-execute the ``zorder_key``
+    interleave arithmetic against the oracle — the coverage the retired
+    ``zorder_buckets`` diagnostic entry carried, now per adaptive bucket
+    (its fixed ``>> 26`` bucketing collapsed small key domains into one
+    bucket, making its per-bucket stats vacuous at fixture scale).
 
-    Returns (z_bucket, n_files, n_rows, min_x, max_x, min_y, max_y)."""
+    Returns (z_bucket, n_files, n_rows, min_x, max_x, min_y, max_y,
+    min_z, max_z)."""
     df = spark.read.parquet(path)
+    z = zorder_key(F.col(x), F.col(y))
     return (
         df.withColumn("_file", F.input_file_name())
+        .withColumn("_z", z)
         .groupBy("z_bucket")
         .agg(
             F.count_distinct(F.col("_file")).cast("long").alias("n_files"),
@@ -131,6 +140,8 @@ def written_file_stats(spark, path: str, x: str, y: str) -> DataFrame:
             F.max(x).cast("long").alias("max_x"),
             F.min(y).cast("long").alias("min_y"),
             F.max(y).cast("long").alias("max_y"),
+            F.min("_z").cast("long").alias("min_z"),
+            F.max("_z").cast("long").alias("max_z"),
         )
         .select(
             F.col("z_bucket").cast("long"),
@@ -140,6 +151,8 @@ def written_file_stats(spark, path: str, x: str, y: str) -> DataFrame:
             "max_x",
             "min_y",
             "max_y",
+            "min_z",
+            "max_z",
         )
     )
 

@@ -611,3 +611,117 @@ def bucketed_topk(
             F.col("cos"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic deduplication (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540 — public method). Complements the
+    repo's two other embedding-dedup shapes: ``embedding_cosine_pairs``
+    is the exact all-pairs baseline (quadratic by design), sign-LSH
+    bucketing prunes by hash bits; SemDeDup prunes by SEMANTIC locality
+    — vectors are assigned to their nearest centroid (``assign_cells``,
+    nprobe=1) and near-duplicate pairs are searched only WITHIN a cell,
+    the paper's entire scaling argument.
+
+    Keep rule (deterministic twin of the paper's one-per-group pick): a
+    vector is dropped iff some SAME-CELL vector with a smaller id is
+    cosine-similar at >= threshold. No transitive closure — matching
+    the paper, which dedups within clusters only.
+
+    Scale shape, piece by piece:
+    - assignment: centroids broadcast (K rows), corpus never shuffles
+      for scoring; nprobe=1 aggregates with a struct-max (map-side
+      partial agg — no window over the full corpus).
+    - pair generation: equi-join on ``cell``. Total pairs ~ sum of
+      cell_size^2 ~ N^2/K for balanced cells; at 100 TB K grows with
+      the corpus (SemDeDup uses K ~ sqrt(N)) so per-cell work stays
+      bounded. Both sides get ``full_width`` + a shuffle_hash build —
+      the expanding-join rule (AQE sizes reducers on the exchange's
+      INPUT bytes and would serialize the quadratic output onto 1-2
+      tasks; see blocked_self_pairs' measured story).
+    - per-pair cost: the float->double cast materializes ONCE map-side
+      of the cell shuffle (the Exchange sits between the cast and every
+      per-pair use, so CollapseProject cannot re-inline it — the same
+      measured discipline as dedup.embedding_cosine_pairs), and the
+      fold is dot_cast-compact so the generated code stays JIT-hot.
+    - verdict: dropped ids (distinct b-side of qualifying pairs) come
+      back to the assignment via one equi-join on id.
+    - the assigned+cast frame feeds THREE consumers (both pair sides
+      and the output spine); left inline, the N×K centroid scoring and
+      the float->double cast would re-run per consumer. One eager
+      localCheckpoint materializes it once (the topk_recall precedent —
+      same shared-expensive-subtree shape), which is also what a real
+      SemDeDup deployment does: persist the assignment, then dedup.
+
+    Returns (vec_id, cell, keep) — one row per vector, keep in {0, 1};
+    integer columns only, so the DuckDB oracle is hash-exact (cosines
+    are compared against the threshold, never emitted)."""
+    from .skew import full_width
+
+    def dot_d(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cells = assign_cells(embeddings, centroids, id_col=id_col)
+    v = (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        .withColumn("nv", F.sqrt(dot_d(F.col("v"), F.col("v"))))
+        .join(cells, id_col)
+        .localCheckpoint(eager=True)
+    )
+    a = full_width(
+        v.select(
+            "cell",
+            F.col(id_col).alias("a_id"),
+            F.col("v").alias("a_v"),
+            F.col("nv").alias("a_nv"),
+        ),
+        "cell",
+    )
+    b = full_width(
+        v.select(
+            "cell",
+            F.col(id_col).alias("b_id"),
+            F.col("v").alias("b_v"),
+            F.col("nv").alias("b_nv"),
+        ),
+        "cell",
+    ).hint("shuffle_hash")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            dot_d(F.col("a_v"), F.col("b_v"))
+            / (F.col("a_nv") * F.col("b_nv"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        v.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col).cast("long"),
+            F.col("cell").cast("long"),
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )

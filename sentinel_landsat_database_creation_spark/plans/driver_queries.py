@@ -1485,14 +1485,19 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # salted_skew_checks (funds pii_scrub), embed_quality + embed_slice
 # -> embed_checks (funds winnow_fingerprint), media_stats +
 # media_features -> media_checks (funds span_scrub, the Lee-et-al
-# duplicate-span REMOVAL twin of span_dedup), and doc_chunks +
+# duplicate-span REMOVAL twin of span_dedup), doc_chunks +
 # doc_split -> chunk_split (funds epoch_shuffle, the seeded
-# no-global-sort training-order shuffle). The merged entries'
-# docstrings carry the coverage arguments (each goes green only if
-# BOTH parents' semantics are exact). No old entry was displaced to
-# the tail (they were retired INTO their merge, whose r7 check covers
-# both semantics), so no staleness rule is touched: prefix = 39
-# surviving r5-cohort + 4 merges + 4 merge-funded new + 3 new = 50.
+# no-global-sort training-order shuffle), and — fifth, late-r7 —
+# zorder_buckets + zorder_layout -> zorder_checks (funds
+# semantic_dedup, the SemDeDup cluster-scoped embedding dedup; the
+# zorder merge STRENGTHENS the bucket-diagnostic parent, whose fixed
+# >>26 bucketing collapsed to one vacuous bucket at fixture scale —
+# q_zorder_checks docstring). The merged entries' docstrings carry
+# the coverage arguments (each goes green only if BOTH parents'
+# semantics are exact). No old entry was displaced to the tail (they
+# were retired INTO their merge, whose r7 check covers both
+# semantics), so no staleness rule is touched: prefix = 37
+# surviving r5-cohort + 5 merges + 5 merge-funded new + 3 new = 50.
 # This is also the designated mechanism for future capacity (see
 # CLAUDE.md): a merge must happen while BOTH parents sit in the
 # current prefix, because merged entries are new (never

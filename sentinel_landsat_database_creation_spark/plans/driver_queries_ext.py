@@ -28,7 +28,6 @@ from ..operators.curation import (
     stratified_sample,
     vocab_coverage,
 )
-from ..operators.layout import zorder_buckets
 from ..operators.scoring import bigram_surprisal, tfidf_terms, unigram_surprisal
 from ..operators.dedup import (
     embedding_cosine_pairs,
@@ -2275,48 +2274,32 @@ FROM d ORDER BY doc_id
 """
 
 
-def q_zorder_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """Z-order layout diagnostic over lineitem (part x supplier): 64
-    Morton-key buckets with the min/max statistics a file-skipping
-    reader would prune on (operators/layout.py:zorder_buckets)."""
-    return zorder_buckets(
-        table(spark, sf, "lineitem"), "l_partkey", "l_suppkey", n_buckets=64
-    ).orderBy("z_bucket")
-
-
-SQL_ZORDER_BUCKETS = """
-WITH s0 AS (
-  SELECT CAST(l_partkey AS BIGINT) & 65535 AS x,
-         CAST(l_suppkey AS BIGINT) & 65535 AS y
-  FROM lineitem
-),
-s1 AS (SELECT (x | (x << 8)) & 16711935 AS x,
-              (y | (y << 8)) & 16711935 AS y FROM s0),
-s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
-              (y | (y << 4)) & 252645135 AS y FROM s1),
-s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
-              (y | (y << 2)) & 858993459 AS y FROM s2),
-s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
-              (y | (y << 1)) & 1431655765 AS y FROM s3),
-z AS (SELECT x | (y << 1) AS zkey FROM s4)
-SELECT CAST(zkey >> 26 AS BIGINT) AS z_bucket,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(min(zkey) AS BIGINT) AS min_z,
-       CAST(max(zkey) AS BIGINT) AS max_z
-FROM z GROUP BY z_bucket ORDER BY z_bucket
-"""
-
-
-def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
-    """The WRITTEN Z-order layout, end to end: write lineitem as one
+def q_zorder_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r7 merge: zorder_buckets + zorder_layout under one driver hash —
+    the WRITTEN Z-order layout end to end. Writes lineitem as one
     parquet file per Morton bucket (operators/layout.py:
     zorder_partitioned_write — repartition on bucket + local sort +
-    partitionBy), then read the files back and report per-file min/max
-    on both source dimensions from the actual file contents
-    (written_file_stats, grouped by input_file_name). The oracle
-    computes the same statistics logically in DuckDB, so any writer bug
-    that scatters a bucket across files (n_files > 1) or leaks rows
-    into the wrong file (widened min/max) breaks the hash."""
+    partitionBy), reads the files back, and reports per-bucket
+    statistics computed from the ACTUAL file contents
+    (written_file_stats, grouped by input_file_name).
+
+    Coverage argument (policy: a merge is green only if BOTH parents'
+    semantics are exact):
+    - zorder_layout's semantics are this query verbatim — one file per
+      bucket (n_files), containment (min/max on both source dims), row
+      conservation — vs the same statistics computed logically in
+      DuckDB, adaptive shift and all.
+    - zorder_buckets' semantics were per-bucket Morton-key stats
+      (n_rows, min_z, max_z) over the SAME lineitem keys; the merged
+      read-back stats now re-derive the Morton key from the stored
+      source columns and emit min_z/max_z per bucket, so the interleave
+      arithmetic is still verified bit-exact cross-engine. The merge
+      STRENGTHENS this parent: its fixed ``>> 26`` bucketing collapsed
+      lineitem's small key domain into a single bucket at every fixture
+      sf (measured: 1 distinct bucket at sf0.01), so its per-bucket
+      stats were vacuous; here they are checked per ADAPTIVE bucket
+      (up to 64 groups).
+    The freed slot funds semantic_dedup in the same checked prefix."""
     from ..operators.layout import written_file_stats, zorder_partitioned_write
     from ..session import session_tmp_path
 
@@ -2329,7 +2312,7 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_zorder_layout(n_buckets: int = 64) -> str:
+def _sql_zorder_checks(n_buckets: int = 64) -> str:
     """Oracle twin of zorder_partitioned_write + written_file_stats:
     the adaptive shift (bit_length(max zkey) - log2(n_buckets), floored
     at 0) is computed INSIDE the SQL with an integer CASE chain — no
@@ -2362,12 +2345,57 @@ SELECT CAST(zkey >> shift AS BIGINT) AS z_bucket,
        CAST(1 AS BIGINT) AS n_files,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(ox) AS BIGINT) AS min_x, CAST(max(ox) AS BIGINT) AS max_x,
-       CAST(min(oy) AS BIGINT) AS min_y, CAST(max(oy) AS BIGINT) AS max_y
+       CAST(min(oy) AS BIGINT) AS min_y, CAST(max(oy) AS BIGINT) AS max_y,
+       CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
 FROM z CROSS JOIN sh GROUP BY z_bucket ORDER BY z_bucket
 """
 
 
-SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+SQL_ZORDER_CHECKS = _sql_zorder_checks()
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the embeddings table: nearest-of-16 deterministic
+    centroids (the first 16 vectors — the same fixed assignment
+    SQL_IVF_TOPK pins), then keep/drop by within-cell cosine at the
+    corpus's planted near-dup threshold (0.35, the embed_cosine_neardup
+    operating point). Integer output columns only
+    (operators/similarity.py:semantic_dedup holds the scale story)."""
+    from ..operators.similarity import semantic_dedup
+
+    e = table(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    return semantic_dedup(e, cent, threshold=0.35).orderBy("vec_id")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < 16),
+a AS (
+  SELECT v.vec_id, cent_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_cosine_similarity(v.ev, cent.cv) DESC,
+                                     cent_id) AS rn
+  FROM v CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1),
+p AS (
+  SELECT y.vec_id AS b
+  FROM cells x
+  JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN v va ON va.vec_id = x.vec_id
+  JOIN v vb ON vb.vec_id = y.vec_id
+  WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.35
+),
+dropped AS (SELECT DISTINCT b FROM p)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.b
+ORDER BY vec_id
+"""
 
 
 def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
@@ -3042,8 +3070,10 @@ REGISTRY_EXT = {
     "length_trim": (q_length_trim, SQL_LENGTH_TRIM),
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "bigram_nll": (q_bigram_nll, SQL_BIGRAM_NLL),
-    "zorder_buckets": (q_zorder_buckets, SQL_ZORDER_BUCKETS),
-    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    # r7 merge: the two z-order entries ride one hash (q_zorder_checks
+    # docstring); the freed slot funds semantic_dedup in the same prefix.
+    "zorder_checks": (q_zorder_checks, SQL_ZORDER_CHECKS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "bucketed_join_check": (q_bucketed_join_check, SQL_BUCKETED_JOIN_CHECK),
     "corpus_roundtrip": (q_corpus_roundtrip, SQL_CORPUS_ROUNDTRIP),

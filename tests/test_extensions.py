@@ -1473,3 +1473,55 @@ def test_winnow_coverage_guarantee_property(spark):
         i for i, _ in rows if out[i]["n_shared_fp"] < 1
     ]
     assert not misses, f"coverage guarantee violated for docs {misses}"
+
+
+def test_semantic_dedup_keep_rule_and_cell_scope(spark):
+    """SemDeDup semantics on hand-built vectors: (a) within a cell, a
+    vector with a smaller-id near-duplicate is dropped and the smallest
+    id survives; (b) near-orthogonal same-cell vectors both survive;
+    (c) the search is CELL-scoped — similarity across cells never drops
+    (the paper's pruning, and the one behavior the all-pairs baseline
+    embedding_cosine_pairs cannot exhibit)."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # Two orthogonal centroids; vectors cluster by first/second axis.
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cent_id long, embedding array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            # cell 0: 10 ~ 11 (cos ~0.999) -> 11 dropped; 12 dissimilar
+            # enough (cos ~0.71 vs 10) to survive at t=0.9
+            (10, [1.0, 0.01, 0.0]),
+            (11, [1.0, 0.02, 0.0]),
+            (12, [1.0, 0.0, 1.0]),
+            # cell 1: 20 and 21 are EXACT duplicates of each other's
+            # direction but 21 sits in cell 1's list with 20 -> 21 drops
+            (20, [0.1, 1.0, 0.0]),
+            (21, [0.1, 1.0, 0.0]),
+            # cross-cell: 30 duplicates 10's direction but lands in cell
+            # 1 (y-dominant tilt) -> must survive despite cos≈1 with 10
+            (30, [0.6, 0.8, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(vecs, cent, threshold=0.9).collect()
+    }
+    assert out[10] == (0, 1)
+    assert out[11] == (0, 0)
+    assert out[12] == (0, 1)
+    assert out[20] == (1, 1)
+    assert out[21] == (1, 0)
+    assert out[30] == (1, 1)
+
+    # expanding-join discipline: no cartesian / nested-loop pair stage
+    plan = semantic_dedup(vecs, cent, threshold=0.9)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -669,3 +669,67 @@ FROM (SELECT max_by(kept, i) AS kept FROM walk) , unnest(kept) t(u)
 """
     got = [(int(r), int(c)) for r, c in duckdb.connect().execute(sql).fetchall()]
     assert got == [(int(r), int(c)) for r, c in want]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup vs a direct Python reference (assignment + keep rule)
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-4, max_value=4).map(float),
+        min_size=3,
+        max_size=3,
+    ).filter(lambda v: any(x != 0.0 for x in v)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_vecs, st.floats(min_value=0.3, max_value=0.95))
+def test_semantic_dedup_matches_python_reference(spark, vecs, threshold):
+    """The full SemDeDup decision (nearest-centroid cell with
+    lowest-id tie-break, then drop-iff-smaller-id-same-cell-neighbor
+    at >= threshold) against a brute-force Python reference. Small
+    integer-coordinate vectors make ties COMMON, so the deterministic
+    tie-break is actually exercised; both sides compute the same
+    IEEE double cosine so the threshold compare is exact."""
+    import math
+
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    cell_of = {
+        i: max(range(3), key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in enumerate(vecs)
+    }
+    want = {}
+    for i, v in enumerate(vecs):
+        dropped = any(
+            cell_of[j] == cell_of[i] and cos(vecs[j], v) >= threshold
+            for j in range(i)
+        )
+        want[i] = (cell_of[i], 0 if dropped else 1)
+
+    cent_df = spark.createDataFrame(
+        [(c, cents[c]) for c in range(3)],
+        "cent_id long, embedding array<float>",
+    )
+    vec_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(vec_df, cent_df, threshold=threshold).collect()
+    }
+    assert got == want

@@ -431,11 +431,59 @@ def main() -> None:
             print(f"  spark {gname}: FAILED {exc}"[:200])
         gspark.stop()
 
+        # semantic_dedup K-growth twin: the registry entry pins K=16,
+        # so its pair space is N^2/16 — the 10x check above is the
+        # fixed-K correctness point, not the scale path. The 100 TB
+        # path grows K with the corpus (SemDeDup uses K ~ sqrt(N));
+        # at sf1 (10x vectors) K=160 keeps the expected cell size at
+        # the fixture's (~125 vs 20k/160), so TOTAL pair work stays at
+        # the fixture's per-vector rate instead of 10x it. Verified
+        # against the SAME generated oracle (_sql_semantic_dedup(160))
+        # under the capped local[8] 1 GB conditions.
+        from sentinel_landsat_database_creation_spark.operators.similarity import (
+            semantic_dedup as _semdedup,
+        )
+        from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+            _sql_semantic_dedup,
+        )
+
+        sname = "semantic_dedup_scale"
+        sspark = _fresh_session("vscale-semantic", CAPPED_CONF, "local[8]")
+        try:
+            t0 = time.perf_counter()
+            from pyspark.sql import functions as F
+
+            emb = sspark.read.parquet(f"{SF1}/embeddings.parquet")
+            cent = emb.filter(F.col("vec_id") < 160).select(
+                F.col("vec_id").alias("cent_id"), "embedding"
+            )
+            sdf = (
+                _semdedup(emb, cent, threshold=0.35)
+                .orderBy("vec_id")
+                .toPandas()
+            )
+            capped_res[sname] = sdf
+            print(
+                f"  spark {sname} (K=160): {len(sdf)} rows in "
+                f"{time.perf_counter()-t0:.1f}s"
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep verifying
+            results[sname] = {
+                "rows_match": False,
+                "schema_match": False,
+                "values_match": False,
+                "n_rows": None,
+                "err": f"spark error: {type(exc).__name__}: {exc}"[:300],
+            }
+            print(f"  spark {sname}: FAILED {exc}"[:200])
+        sspark.stop()
+
         spark_frames = {**table_res, **capped_res}
 
         oracles = {q: REGISTRY[q][1] for q in TABLE_ORACLE_QUERIES}
         oracles.update(_generated_oracles())
         oracles[gname] = _cv.greedy_oracle_sql(60)
+        oracles[sname] = _sql_semantic_dedup(160)
         _oracle_compare(spark_frames, oracles, SF1, results)
 
     # second decade, when bench_scale has landed the sf10 synthetic

@@ -713,9 +713,12 @@ def semantic_dedup(
         .distinct()
         .withColumn("_dropped", F.lit(1))
     )
+    # both sides arrive hash-partitioned on the id (cells from the
+    # nprobe=1 groupBy, dropped from its distinct), so a hash join
+    # reuses the exchanges and skips the two SMJ sorts
     return (
         v.select(id_col, "cell")
-        .join(dropped, id_col, "left")
+        .join(dropped.hint("shuffle_hash"), id_col, "left")
         .select(
             F.col(id_col).cast("long"),
             F.col("cell").cast("long"),

@@ -2370,9 +2370,15 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(e, cent, threshold=0.35).orderBy("vec_id")
 
 
-SQL_SEMANTIC_DEDUP = """
+def _sql_semantic_dedup(n_centroids: int = 16, threshold: float = 0.35) -> str:
+    """Closed-form oracle GENERATOR (CLAUDE.md rule: the committed
+    sf0.01 SQL and any scale-tier instantiation come from the same
+    function — never hand-edit the instantiated SQL). verify_scale's
+    semantic K-growth twin instantiates it at n_centroids ∝ N to
+    check the documented linear-total-work path."""
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < 16),
+cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < {n_centroids}),
 a AS (
   SELECT v.vec_id, cent_id,
          row_number() OVER (PARTITION BY v.vec_id
@@ -2387,7 +2393,7 @@ p AS (
   JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
   JOIN v va ON va.vec_id = x.vec_id
   JOIN v vb ON vb.vec_id = y.vec_id
-  WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.35
+  WHERE list_cosine_similarity(va.ev, vb.ev) >= {threshold}
 ),
 dropped AS (SELECT DISTINCT b FROM p)
 SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
@@ -2396,6 +2402,9 @@ SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
 FROM cells c LEFT JOIN dropped d ON c.vec_id = d.b
 ORDER BY vec_id
 """
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
 def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:

@@ -695,28 +695,48 @@ GROUP BY 1 ORDER BY 1
 # text family (north-star: token stats, fingerprints, exact dedup)
 
 
-def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """r7 merge: token_stats + doc_quality under one driver hash — the
+    full per-document row-local stats row.
+
+    Coverage argument (policy: a merge is green only if BOTH parents'
+    semantics are exact): doc_quality's output (quality_stats: n_chars,
+    n_tokens, n_distinct, distinct_ratio, mean_token_len) survives
+    verbatim through operators/textops.py:quality_stats; token_stats'
+    unique columns (n_stop, stop_ratio) are appended with the identical
+    STOPWORDS expressions. The parents' shared n_tokens/n_distinct
+    definitions were byte-identical (both split on a single space), so
+    one column carries both parents' checks. The freed slot funds
+    containment_dedup in the same checked prefix."""
+    from ..operators.textops import quality_stats
+
     d = table(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks).cast("long")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
-    return d.select(
+    stop = d.select(
         F.col("doc_id").cast("long"),
-        n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         n_stop.alias("n_stop"),
         (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
-    ).orderBy("doc_id")
+    )
+    return quality_stats(d).join(stop, "doc_id").orderBy("doc_id")
 
 
-SQL_TOKEN_STATS = f"""
+SQL_DOC_STATS = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
+  FROM documents
+)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS BIGINT) AS n_stop,
-       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
-         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
-FROM documents ORDER BY doc_id
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+       CAST(n_chars - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+       CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop,
+       CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stop_ratio
+FROM t ORDER BY doc_id
 """
 
 
@@ -1443,7 +1463,10 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
         SQL_DISTINCT_USERS_BY_TYPE,
     ),
     "shipping_lag": (q_shipping_lag, SQL_SHIPPING_LAG),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    # r7 merge: token_stats + doc_quality ride one hash (q_doc_stats
+    # docstring); the freed slot funds containment_dedup in the ext
+    # registry.
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
     # r7 merge: the two embeddings-table shape checks ride one hash
     # (q_embed_checks docstring); the freed slot funds the winnowing
@@ -1487,17 +1510,19 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # media_features -> media_checks (funds span_scrub, the Lee-et-al
 # duplicate-span REMOVAL twin of span_dedup), doc_chunks +
 # doc_split -> chunk_split (funds epoch_shuffle, the seeded
-# no-global-sort training-order shuffle), and — fifth, late-r7 —
+# no-global-sort training-order shuffle), and two more late-r7:
 # zorder_buckets + zorder_layout -> zorder_checks (funds
 # semantic_dedup, the SemDeDup cluster-scoped embedding dedup; the
 # zorder merge STRENGTHENS the bucket-diagnostic parent, whose fixed
 # >>26 bucketing collapsed to one vacuous bucket at fixture scale —
-# q_zorder_checks docstring). The merged entries' docstrings carry
-# the coverage arguments (each goes green only if BOTH parents'
-# semantics are exact). No old entry was displaced to the tail (they
-# were retired INTO their merge, whose r7 check covers both
-# semantics), so no staleness rule is touched: prefix = 37
-# surviving r5-cohort + 5 merges + 5 merge-funded new + 3 new = 50.
+# q_zorder_checks docstring), and token_stats + doc_quality ->
+# doc_stats (funds containment_dedup, the one-sided subset-duplicate
+# detector over the shared LSH candidates). The merged entries'
+# docstrings carry the coverage arguments (each goes green only if
+# BOTH parents' semantics are exact). No old entry was displaced to
+# the tail (they were retired INTO their merge, whose r7 check covers
+# both semantics), so no staleness rule is touched: prefix = 35
+# surviving r5-cohort + 6 merges + 6 merge-funded new + 3 new = 50.
 # This is also the designated mechanism for future capacity (see
 # CLAUDE.md): a merge must happen while BOTH parents sit in the
 # current prefix, because merged entries are new (never

@@ -39,7 +39,6 @@ from ..operators.similarity import brute_force_topk, sign_lsh_buckets
 from ..operators.textops import (
     LANG_PROFILES,
     language_id,
-    quality_stats,
     regex_token_counts,
     rolling_fingerprint,
     top_tokens_per_lang,
@@ -460,23 +459,61 @@ SQL_SIGN_LSH_BUCKETS = (
 # text analysis
 
 
-def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
-    return quality_stats(table(spark, sf, "documents")).orderBy("doc_id")
+def q_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sided shingle-set containment over the shared LSH candidate
+    pairs — flags truncation/subset duplicates whose symmetric Jaccard
+    under-scores them (operators/dedup.py:containment_pairs holds the
+    semantics, the Broder/Lee-et-al citations, and the stated recall
+    caveat). At sf0.01 the corpus's planted truncation pairs surface as
+    cont_max = 1.0 with Jaccard < 1 — the exact class this exists for."""
+    from ..operators.dedup import containment_pairs
+
+    docs = table(spark, sf, "documents")
+    return containment_pairs(docs, threshold=0.9).orderBy("doc_a", "doc_b")
 
 
-SQL_DOC_QUALITY = """
-WITH t AS (
-  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
-  FROM documents
+def _sql_containment(n_hashes: int = 8, bands: int = 4,
+                     threshold: float = 0.9) -> str:
+    """Closed-form oracle generator: the shared LSH candidate CTEs (the
+    _sql_minhash shape) plus per-pair intersection/size arithmetic and
+    the max-side containment filter."""
+    rows = n_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    buckets = ", ".join(
+        "'" + str(b) + "|' || "
+        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SH2}),
+sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
+banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.s, sb.s)) AS n_inter,
+         len(sa.s) AS n_a, len(sb.s) AS n_b
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(n_chars AS BIGINT) AS n_chars,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
-       CAST(n_chars - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len
-FROM t ORDER BY doc_id
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS cont_max
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b
 """
+
+
+SQL_CONTAINMENT_DEDUP = _sql_containment()
 
 
 def q_regex_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -3059,7 +3096,9 @@ REGISTRY_EXT = {
     "embed_cosine_neardup": (q_embed_cosine_neardup, SQL_EMBED_COSINE_NEARDUP),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sign_lsh_buckets": (q_sign_lsh_buckets, SQL_SIGN_LSH_BUCKETS),
-    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    # r7 merge partner of doc_stats (driver_queries.py): doc_quality
+    # retired into it; the freed slot funds containment_dedup.
+    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -1525,3 +1525,38 @@ def test_semantic_dedup_keep_rule_and_cell_scope(spark):
     plan = semantic_dedup(vecs, cent, threshold=0.9)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_flags_subset_duplicate(spark):
+    """The truncation-dup class: doc 2 is a strict token-prefix of doc
+    1, so its shingle set is fully contained (cont_max = 1.0) while
+    Jaccard < 1; an unrelated doc 3 must not pair. Also pins the
+    orientation-free score: containment is computed on the smaller
+    side whichever join side it lands on."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # The prefix length is chosen so the pair IS a banded-LSH candidate
+    # for these exact strings (md5 is deterministic; a 6-token prefix
+    # of this base misses all 4 bands — the operator's documented
+    # recall caveat, exercised here on purpose at length 7).
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                   # 9 2-shingles
+            (2, " ".join(base.split()[:7])),             # prefix: 6
+            (3, "one two three four five six seven"),    # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (9, 6, 6)
+    assert r["cont_max"] == 1.0
+    # and the symmetric score this class defeats: jaccard 6/9 < 0.9
+    assert r["n_inter"] / (r["n_a"] + r["n_b"] - r["n_inter"]) < 0.9

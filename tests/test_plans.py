@@ -65,8 +65,8 @@ def test_winnow_fingerprint_shape(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_token_stats_stays_native(spark):
-    plan = _plan(spark, "token_stats")
+def test_doc_stats_stays_native(spark):
+    plan = _plan(spark, "doc_stats")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -167,7 +167,7 @@ def test_doc_queries_prune_documents_scan(spark):
     """Column pruning: text-analysis scans read only (doc_id, text) —
     a scan hauling unused columns at 100 TB is wrong even when the
     answer is right."""
-    for name in ("doc_quality", "doc_repetition", "doc_fingerprint"):
+    for name in ("doc_stats", "doc_repetition", "doc_fingerprint"):
         plan = _plan(spark, name)
         scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
         assert scan, name

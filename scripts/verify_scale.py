@@ -69,7 +69,10 @@ from bench_scale import (  # noqa: E402
 # TIMING probes, but at the 10x tier that is ~25M fold evals / a
 # 4.9 s DuckDB oracle, an affordable one-off correctness check; at
 # 100x it would be ~2.5G evals, so no tier-2 membership. The 100 TB
-# path grows K with the corpus — operators/similarity.py docstring).
+# path grows K with the corpus — operators/similarity.py docstring),
+# and containment_dedup (candidate-bounded like minhash_estimate —
+# shares its banded-LSH candidate set and memoized shingle/signature
+# tables; 2,559-row result / 7.5 s oracle at sf1).
 # These fit the uncapped local[32] session; the pair-space trio
 # (neardup_pipeline, dedup_clusters, delta_neardup) does NOT at sf1 —
 # it stays in the capped set exactly as bench_scale measures it.
@@ -82,6 +85,7 @@ EXTRA_UNCAPPED = [
     "winnow_fingerprint",
     "pii_scrub",
     "semantic_dedup",
+    "containment_dedup",
 ]
 TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
     "neardup_pipeline",

@@ -733,3 +733,80 @@ def test_semantic_dedup_matches_python_reference(spark, vecs, threshold):
         for r in semantic_dedup(vec_df, cent_df, threshold=threshold).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs vs a direct Python reference of the WHOLE path
+# (shingles -> salted-md5 signatures -> band buckets -> candidates ->
+# containment): a third implementation of the MinHash machinery, so a
+# drift in minhash_signatures/banded_buckets breaks this even though
+# those stages' oracles live in SQL.
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from("red blue green gold iron wolf moon star".split()),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_texts, st.sampled_from([0.5, 0.8, 1.0]))
+def test_containment_matches_python_reference(spark, texts, threshold):
+    import hashlib
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    n, n_hashes, bands = 2, 8, 4
+
+    def shingle_set(text):
+        t = text.split()
+        return {"_".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    def signature(sh):
+        return [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            for i in range(n_hashes)
+        ]
+
+    def buckets(sg):
+        rows = n_hashes // bands
+        return {
+            f"{b}|" + "|".join(sg[b * rows : (b + 1) * rows])
+            for b in range(bands)
+        }
+
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    bks = {i: buckets(signature(s)) for i, s in sets.items() if s}
+    want = {}
+    for a in sorted(bks):
+        for b in sorted(bks):
+            if a < b and bks[a] & bks[b]:
+                inter = len(sets[a] & sets[b])
+                cont = inter / min(len(sets[a]), len(sets[b]))
+                if cont >= threshold:
+                    want[(a, b)] = (
+                        inter,
+                        len(sets[a]),
+                        len(sets[b]),
+                        cont,
+                    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_inter"],
+            r["n_a"],
+            r["n_b"],
+            r["cont_max"],
+        )
+        for r in containment_pairs(docs, threshold=threshold).collect()
+    }
+    assert got == want

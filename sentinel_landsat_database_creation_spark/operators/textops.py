@@ -144,11 +144,21 @@ def chunk_documents(
 
 def quality_stats(docs: DataFrame) -> DataFrame:
     """Length / distinct-ratio / stopword-ratio quality signals. Each
-    ratio is a single exact-int division (cross-engine deterministic)."""
+    ratio is a single exact-int division (cross-engine deterministic).
+
+    ONE row-local projection, deliberately: the r7 doc_stats merge
+    first joined a separate stopword projection back on doc_id, which
+    planned as TWO FileScans + a join — at 100 TB that is two full
+    corpus scans and (past the broadcast threshold, which an N-row
+    side always is) a shuffle, for an operator whose semantics are
+    per-row. All eight columns now come off a single scan."""
+    from ..functions.text import STOPWORDS
+
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
     mean_tok_len = (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double")
     return docs.select(
         F.col("doc_id").cast("long"),
@@ -157,6 +167,8 @@ def quality_stats(docs: DataFrame) -> DataFrame:
         n_distinct.alias("n_distinct"),
         (n_distinct.cast("double") / n_tok.cast("double")).alias("distinct_ratio"),
         mean_tok_len.alias("mean_token_len"),
+        n_stop.alias("n_stop"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
     )
 
 

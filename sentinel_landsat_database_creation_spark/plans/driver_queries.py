@@ -702,24 +702,18 @@ def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     Coverage argument (policy: a merge is green only if BOTH parents'
     semantics are exact): doc_quality's output (quality_stats: n_chars,
     n_tokens, n_distinct, distinct_ratio, mean_token_len) survives
-    verbatim through operators/textops.py:quality_stats; token_stats'
-    unique columns (n_stop, stop_ratio) are appended with the identical
-    STOPWORDS expressions. The parents' shared n_tokens/n_distinct
-    definitions were byte-identical (both split on a single space), so
-    one column carries both parents' checks. The freed slot funds
-    containment_dedup in the same checked prefix."""
+    verbatim through operators/textops.py:quality_stats, which now
+    also carries token_stats' unique columns (n_stop, stop_ratio) with
+    the identical STOPWORDS expressions. The parents' shared
+    n_tokens/n_distinct definitions were byte-identical (both split on
+    a single space), so one column carries both parents' checks. All
+    eight columns come off ONE scan — the first cut joined a separate
+    stopword projection back on doc_id, two full scans plus a shuffle
+    at 100 TB for a per-row operator (quality_stats docstring). The
+    freed slot funds containment_dedup in the same checked prefix."""
     from ..operators.textops import quality_stats
 
-    d = table(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
-    stop = d.select(
-        F.col("doc_id").cast("long"),
-        n_stop.alias("n_stop"),
-        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
-    )
-    return quality_stats(d).join(stop, "doc_id").orderBy("doc_id")
+    return quality_stats(table(spark, sf, "documents")).orderBy("doc_id")
 
 
 SQL_DOC_STATS = f"""

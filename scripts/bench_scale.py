@@ -95,7 +95,9 @@ TABLE_QUERIES = [
 CAPPED_QUERIES = [
     "neardup_pipeline",
     "dedup_clusters",
-    "delta_neardup",
+    # r8: delta_neardup rides inside the lsh_delta_checks merge (same
+    # probe plus the grown-index twin, pairwise-joined)
+    "lsh_delta_checks",
     "crop_volume",
     "crop_volume_greedy",
     "scene_tensors_volume",
@@ -118,9 +120,9 @@ DECADE2_QUERIES = [
     "epoch_shuffle",
     "user_sessions",
     "pricing_summary",
-    "dedup_docs_exact",
+    # r8: both exact-dedup layers ride the exact_dedup_checks merge
+    "exact_dedup_checks",
     "simhash_docs",
-    "normalized_dedup",
     # r7: both fit the capped heap — winnow state is row-local arrays
     # + hash-only dictionary rows; pii_scrub is a pure projection
     "winnow_fingerprint",

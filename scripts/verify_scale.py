@@ -56,9 +56,9 @@ from bench_scale import (  # noqa: E402
 )
 
 # Beyond bench_scale's timing cohort, the ANN/dedup scale paths are
-# cheap to verify here and widen the 10x evidence: lsh_topk/ivf_topk
-# (the bucketed/partition-pruned similarity paths), simhash_docs,
-# dedup_docs_exact and normalized_dedup (hash-only dedup shuffles);
+# cheap to verify here and widen the 10x evidence: ann_topk (the
+# bucketed/partition-pruned similarity paths), simhash_docs,
+# exact_dedup_checks (hash-only dedup shuffles);
 # r7 adds its new operators the round they land —
 # winnow_fingerprint (row-local HOF selection + hash-only dictionary),
 # pii_scrub (scan-speed regex projection over the derived contact
@@ -74,14 +74,15 @@ from bench_scale import (  # noqa: E402
 # shares its banded-LSH candidate set and memoized shingle/signature
 # tables; 2,559-row result / 7.5 s oracle at sf1).
 # These fit the uncapped local[32] session; the pair-space trio
-# (neardup_pipeline, dedup_clusters, delta_neardup) does NOT at sf1 —
+# (neardup_pipeline, dedup_clusters, lsh_delta_checks) does NOT at sf1 —
 # it stays in the capped set exactly as bench_scale measures it.
 EXTRA_UNCAPPED = [
-    "lsh_topk",
-    "ivf_topk",
+    # r8 merges: ann_topk = lsh_topk + ivf_topk; exact_dedup_checks =
+    # dedup_docs_exact + normalized_dedup (strictly stronger — both
+    # parents' outputs ride each merged hash)
+    "ann_topk",
     "simhash_docs",
-    "dedup_docs_exact",
-    "normalized_dedup",
+    "exact_dedup_checks",
     "winnow_fingerprint",
     "pii_scrub",
     "semantic_dedup",
@@ -90,7 +91,7 @@ EXTRA_UNCAPPED = [
 TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
     "neardup_pipeline",
     "dedup_clusters",
-    "delta_neardup",
+    "lsh_delta_checks",
 ]
 
 # second decade: when bench_scale's sf10 synthetic exists, the

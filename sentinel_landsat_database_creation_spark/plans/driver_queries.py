@@ -178,6 +178,50 @@ FROM c JOIN v USING (wk)
 """
 
 
+def q_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: pair_count_by_class + pair_count_compat under one
+    driver hash — the per-week pairing-count row now also carries the
+    as-built compat term.
+
+    Coverage argument (policy: a merge is green only if BOTH parents'
+    semantics are exact): the first four columns are
+    q_pair_count_by_class's output verbatim (same weekly click/view
+    join, same week rendering, same corrected n_pairs product); the
+    fifth column is the PER-WEEK term ``n_click^2 * n_view`` of
+    q_pair_count_compat's as-built overcount (op 24,
+    main_function_beta.py:77-80) whose sum over weeks IS the parent's
+    scalar — pinning every additive term is strictly stronger than
+    pinning the sum. One scan pair and one join compute what the
+    parents computed in two. Both parents sat in the rotating r6-green
+    cohort (inside the r8 prefix at merge time, per the rotation
+    policy); the freed slot pulls a narrowing consumer forward."""
+    clicks = _weekly_by_type(spark, sf, "click", "n_click")
+    views = _weekly_by_type(spark, sf, "view", "n_view")
+    return (
+        clicks.join(views, "wk")
+        .select(
+            _week_start_str(F.col("wk")).alias("week_start"),
+            "n_click",
+            "n_view",
+            (F.col("n_click") * F.col("n_view")).cast("long").alias("n_pairs"),
+            (F.col("n_click") * F.col("n_click") * F.col("n_view"))
+            .cast("long")
+            .alias("n_pairs_compat"),
+        )
+        .orderBy("week_start")
+    )
+
+
+SQL_PAIR_COUNTS = f"""
+WITH c AS ({_SQL_WEEKLY_TYPED.format(t="click")}), v AS ({_SQL_WEEKLY_TYPED.format(t="view")})
+SELECT {_WEEK_START} AS week_start,
+       CAST(c.n AS BIGINT) AS n_click, CAST(v.n AS BIGINT) AS n_view,
+       CAST(c.n * v.n AS BIGINT) AS n_pairs,
+       CAST(c.n * c.n * v.n AS BIGINT) AS n_pairs_compat
+FROM c JOIN v USING (wk) ORDER BY week_start
+"""
+
+
 def q_pairing_keys(spark: SparkSession, sf: str) -> DataFrame:
     """Op-17 equi-join pairing shape on relational tables: every customer
     paired with every same-nation supplier (broadcast the tiny side)."""
@@ -601,6 +645,58 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_o
        total_cents, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 2
 ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+def q_order_rank_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: top_orders + customer_order_rank under one driver
+    hash — both windowed/top-k order analytics, tagged and unioned.
+
+    Coverage argument: the 'top10' partition is q_top_orders' output
+    VERBATIM (TPC-H Q3 shape: the deterministic revenue-ranked LIMIT
+    10 with its date/priority columns — the limit + tie-break ordering
+    stay inside the parent function, so the set is unchanged), and the
+    'rank' partition is q_customer_order_rank's output verbatim (the
+    per-customer rank()<=2 window). A drift in either parent's rows,
+    values, or tie-breaking changes the tagged union's hash. Columns
+    not carried by a partition are NULL of the partner's exact type in
+    BOTH engines, so the cross-engine rendering is identical. Both
+    parents sat in the rotating r6-green cohort (inside the r8 prefix
+    at merge time); the freed slot pulls a narrowing consumer
+    forward."""
+    t = q_top_orders(spark, sf).select(
+        F.lit("top10").alias("part"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.col("revenue_cents").alias("cents"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    r = q_customer_order_rank(spark, sf).select(
+        F.lit("rank").alias("part"),
+        "o_orderkey",
+        "o_custkey",
+        F.col("total_cents").alias("cents"),
+        F.lit(None).cast("string").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "rnk",
+    )
+    return t.unionByName(r).orderBy("part", "o_custkey", "rnk", "o_orderkey")
+
+
+SQL_ORDER_RANK_CHECKS = f"""
+WITH t AS ({SQL_TOP_ORDERS}), r AS ({SQL_CUSTOMER_ORDER_RANK})
+SELECT 'top10' AS part, o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+       revenue_cents AS cents, o_orderdate, o_orderpriority,
+       CAST(NULL AS BIGINT) AS rnk
+FROM t
+UNION ALL
+SELECT 'rank' AS part, o_orderkey, o_custkey, total_cents AS cents,
+       CAST(NULL AS VARCHAR) AS o_orderdate,
+       CAST(NULL AS VARCHAR) AS o_orderpriority, rnk
+FROM r
+ORDER BY part, o_custkey, rnk, o_orderkey
 """
 
 
@@ -1184,6 +1280,112 @@ FROM (
 """
 
 
+def q_antijoin_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: customers_without_orders + click_only_users under one
+    driver hash — the two set-subtraction shapes (left-anti join,
+    EXCEPT), tagged and unioned, STRENGTHENED with two non-vacuous
+    partitions (the r7 zorder-merge precedent: a merge may not retire
+    coverage into a weaker check, and both parents returned 0 rows at
+    sf0.01 — vacuously green since r5, every customer has an order and
+    every user does every event type on this fixture).
+
+    Coverage argument: the 'no_orders' partition is
+    q_customers_without_orders' output verbatim (broadcast anti join on
+    the orders key projection, with the segment column), the
+    'click_only' partition is q_click_only_users' verbatim (set-
+    semantics EXCEPT — subtract, not exceptAll); their 0-row state is
+    itself pinned (a regression that suddenly emits rows breaks the
+    count). The added partitions drive the SAME two physical operators
+    through non-empty outputs so the hash actually exercises their
+    row-producing paths: 'no_orders_pre98' anti-joins customers
+    against the pre-1998 order keys (customers whose first order is
+    late — rows exist), and 'click_week_only' subtracts at
+    (user, epoch-week) granularity (user-weeks that clicked but never
+    purchased — the weekly funnel complement). The tag keeps the id
+    spaces disjoint under the hash; columns a partition lacks are NULL
+    of the partner's exact type in both engines. Both parents sat in
+    the rotating r6-green cohort (inside the r8 prefix at merge time);
+    the freed slot pulls a narrowing consumer forward."""
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    c = q_customers_without_orders(spark, sf).select(
+        F.lit("no_orders").alias("part"),
+        F.col("c_custkey").alias("id"),
+        nl.alias("wk"),
+        "c_mktsegment",
+    )
+    u = q_click_only_users(spark, sf).select(
+        F.lit("click_only").alias("part"),
+        F.col("user_id").alias("id"),
+        nl.alias("wk"),
+        ns.alias("c_mktsegment"),
+    )
+    cust = table(spark, sf, "customer")
+    early = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    late = cust.join(early, "c_custkey", "left_anti").select(
+        F.lit("no_orders_pre98").alias("part"),
+        F.col("c_custkey").cast("long").alias("id"),
+        nl.alias("wk"),
+        "c_mktsegment",
+    )
+    ev = table(spark, sf, "events")
+    wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000))
+    cw = ev.filter(F.col("event_type") == "click").select(
+        "user_id", wk.alias("wk")
+    )
+    pw = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", wk.alias("wk")
+    )
+    cwo = cw.subtract(pw).select(
+        F.lit("click_week_only").alias("part"),
+        F.col("user_id").cast("long").alias("id"),
+        F.col("wk").cast("long").alias("wk"),
+        ns.alias("c_mktsegment"),
+    )
+    return (
+        c.unionByName(u)
+        .unionByName(late)
+        .unionByName(cwo)
+        .orderBy("part", "id", "wk")
+    )
+
+
+SQL_ANTIJOIN_CHECKS = f"""
+WITH c AS ({SQL_CUSTOMERS_WITHOUT_ORDERS}), u AS ({SQL_CLICK_ONLY_USERS})
+SELECT 'no_orders' AS part, c_custkey AS id, CAST(NULL AS BIGINT) AS wk,
+       c_mktsegment
+FROM c
+UNION ALL
+SELECT 'click_only' AS part, user_id AS id, CAST(NULL AS BIGINT) AS wk,
+       CAST(NULL AS VARCHAR) AS c_mktsegment
+FROM u
+UNION ALL
+SELECT 'no_orders_pre98' AS part, CAST(c_custkey AS BIGINT) AS id,
+       CAST(NULL AS BIGINT) AS wk, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+)
+UNION ALL
+SELECT 'click_week_only' AS part, CAST(user_id AS BIGINT) AS id,
+       CAST(wk AS BIGINT) AS wk, CAST(NULL AS VARCHAR) AS c_mktsegment
+FROM (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+  WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+  WHERE event_type = 'purchase'
+)
+ORDER BY part, id, wk
+"""
+
+
 def q_weekly_click_signup_outer(spark: SparkSession, sf: str) -> DataFrame:
     """Full outer join: weekly click vs signup counts, weeks missing on
     either side surfacing with zero (coalesced key + counts)."""
@@ -1233,6 +1435,66 @@ SELECT {_WEEK_START} AS week_start,
        CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
        CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
 FROM w GROUP BY wk ORDER BY week_start
+"""
+
+
+def q_pivot_rollup_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: weekly_type_pivot + revenue_rollup under one driver
+    hash — the two grouping-set shapes (single-pass PIVOT with an
+    explicit value list, GROUP BY ROLLUP with subtotal rows), tagged
+    and unioned.
+
+    Coverage argument: the 'pivot' partition carries
+    q_weekly_type_pivot's output verbatim (week key in k1, the five
+    coalesced per-type counts), the 'rollup' partition carries
+    q_revenue_rollup's verbatim (rflag/lstatus in k1/k2 — including
+    the 'ALL' subtotal markers, so Catalyst's grouping-set expansion
+    stays pinned — plus rev_cents and n). Any drift in either parent's
+    grouping, coalescing, or cents arithmetic flips the union's hash.
+    NULL columns are typed identically in both engines. Both parents
+    sat in the rotating r6-green cohort (inside the r8 prefix at merge
+    time); the freed slot pulls a narrowing consumer forward."""
+    nl = F.lit(None).cast("long")
+    p = q_weekly_type_pivot(spark, sf).select(
+        F.lit("pivot").alias("part"),
+        F.col("week_start").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "n_click",
+        "n_view",
+        "n_purchase",
+        "n_error",
+        "n_signup",
+        nl.alias("rev_cents"),
+        nl.alias("n"),
+    )
+    r = q_revenue_rollup(spark, sf).select(
+        F.lit("rollup").alias("part"),
+        F.col("rflag").alias("k1"),
+        F.col("lstatus").alias("k2"),
+        nl.alias("n_click"),
+        nl.alias("n_view"),
+        nl.alias("n_purchase"),
+        nl.alias("n_error"),
+        nl.alias("n_signup"),
+        "rev_cents",
+        "n",
+    )
+    return p.unionByName(r).orderBy("part", "k1", "k2")
+
+
+SQL_PIVOT_ROLLUP_CHECKS = f"""
+WITH p AS ({SQL_WEEKLY_TYPE_PIVOT}), r AS ({SQL_REVENUE_ROLLUP})
+SELECT 'pivot' AS part, week_start AS k1, CAST(NULL AS VARCHAR) AS k2,
+       n_click, n_view, n_purchase, n_error, n_signup,
+       CAST(NULL AS BIGINT) AS rev_cents, CAST(NULL AS BIGINT) AS n
+FROM p
+UNION ALL
+SELECT 'rollup' AS part, rflag AS k1, lstatus AS k2,
+       CAST(NULL AS BIGINT) AS n_click, CAST(NULL AS BIGINT) AS n_view,
+       CAST(NULL AS BIGINT) AS n_purchase, CAST(NULL AS BIGINT) AS n_error,
+       CAST(NULL AS BIGINT) AS n_signup, rev_cents, n
+FROM r
+ORDER BY part, k1, k2
 """
 
 
@@ -1429,8 +1691,11 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "overlap_grid": (q_overlap_grid, SQL_OVERLAP_GRID),
     "catalog_week_class": (q_catalog_week_class, SQL_CATALOG_WEEK_CLASS),
     "catalog_event_labels": (q_catalog_event_labels, SQL_CATALOG_EVENT_LABELS),
-    "pair_count_by_class": (q_pair_count_by_class, SQL_PAIR_COUNT_BY_CLASS),
-    "pair_count_compat": (q_pair_count_compat, SQL_PAIR_COUNT_COMPAT),
+    # r8 merge: the weekly pairing counts and the as-built compat
+    # overcount ride one hash (q_pair_counts docstring has the
+    # coverage argument); the freed slot pulls neardup_pipeline
+    # forward into the r8 prefix for the MinHash key narrowing.
+    "pair_counts": (q_pair_counts, SQL_PAIR_COUNTS),
     "pairing_keys": (q_pairing_keys, SQL_PAIRING_KEYS),
     "pairing_compat": (q_pairing_compat, SQL_PAIRING_COMPAT),
     # r7: the op-6 compat CSV sink's exact byte formatting (header,
@@ -1439,18 +1704,24 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
-    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
-    "click_only_users": (q_click_only_users, SQL_CLICK_ONLY_USERS),
-    "weekly_type_pivot": (q_weekly_type_pivot, SQL_WEEKLY_TYPE_PIVOT),
+    # r8 merge: the two set-subtraction shapes ride one hash
+    # (q_antijoin_checks docstring); the freed slot pulls
+    # containment_dedup forward for the narrowing.
+    "antijoin_checks": (q_antijoin_checks, SQL_ANTIJOIN_CHECKS),
+    # r8 merge: pivot + rollup grouping-set shapes ride one hash
+    # (q_pivot_rollup_checks docstring); the freed slot pulls
+    # dedup_clusters_lss forward for the narrowing.
+    "pivot_rollup_checks": (q_pivot_rollup_checks, SQL_PIVOT_ROLLUP_CHECKS),
     "weekly_click_signup_outer": (q_weekly_click_signup_outer, SQL_WEEKLY_CLICK_SIGNUP_OUTER),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_moving_avg": (q_user_value_moving_avg, SQL_USER_VALUE_MOVING_AVG),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    # r8 merge: the two order-window/top-k analytics ride one hash
+    # (q_order_rank_checks docstring); the freed slot pulls
+    # minhash_estimate forward for the narrowing.
+    "order_rank_checks": (q_order_rank_checks, SQL_ORDER_RANK_CHECKS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
-    "customer_order_rank": (q_customer_order_rank, SQL_CUSTOMER_ORDER_RANK),
     "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
     "distinct_users_by_type": (
         q_distinct_users_by_type,
@@ -1461,7 +1732,10 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
     # docstring); the freed slot funds containment_dedup in the ext
     # registry.
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
-    "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
+    # r8: dedup_docs_exact retired into the ext registry's
+    # exact_dedup_checks merge (with normalized_dedup — both exact
+    # hash-groupBy dedups over documents; q_exact_dedup_checks
+    # docstring has the coverage argument).
     # r7 merge: the two embeddings-table shape checks ride one hash
     # (q_embed_checks docstring); the freed slot funds the winnowing
     # fingerprint entry in the same checked prefix.
@@ -1483,128 +1757,104 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 7 prefix (mandatory rotation, round-6 VERDICT item 1): the
-# 47-entry cohort spilled in r6 was last driver-checked in r5 — two
-# rounds stale at r7, the oldest allowed — so ALL of it rotates back
-# into the prefix. The remaining 3 slots go to this round's new
-# queries, each targeting the weakest driver-gate coverage named by
-# the r6 verdict: compat_csv_roundtrip (the op-6 golden CSV sink's
-# byte formatting, previously pytest-only), scene_tensors_int16 (the
-# int16-DN + scale_factor HLS layout through the new
-# decode_rasters_scaled seam — also keeps the round-7 LZW EOI-width
-# encoder fix under a driver hash), and lsh_index_compact (compaction
-# content-digested from the post-swap files, previously pytest-only).
-# 47 + 3 = 50 = the driver's checked prefix, exactly.
+# Round 8 prefix (mandatory FULL rotation, round-7 VERDICT item 1):
+# the 50-entry r6-green cohort spilled in r7 was last driver-checked
+# in r6 — the staleness deadline — so ALL of it rotates back into the
+# prefix, and the 50 r7-checked entries spill to the tail. A full
+# 50/50 swap leaves zero free slots, so capacity for this round's
+# plan-changing work comes from SEVEN in-prefix merges (the only
+# staleness-safe mechanism: both parents of every pair sit inside the
+# r8 prefix at merge time; merged entries are new and displace
+# nothing). The five merges designated by the r7 verdict/CLAUDE.md:
+#   pair_count_by_class + pair_count_compat -> pair_counts
+#   delta_neardup + lsh_append_probe       -> lsh_delta_checks
+#   customers_without_orders + click_only_users -> antijoin_checks
+#   weekly_type_pivot + revenue_rollup     -> pivot_rollup_checks
+#   top_orders + customer_order_rank       -> order_rank_checks
+# plus two same-family merges funding this round's other mandatory
+# plan changes (r7 VERDICT items 2 and 5 touch entries that would
+# otherwise sit plan-pinned in the tail):
+#   lsh_topk + ivf_topk                    -> ann_topk
+#   dedup_docs_exact + normalized_dedup    -> exact_dedup_checks
+# Each merged entry's docstring carries the coverage argument (green
+# only if BOTH parents' semantics are exact).
 #
-# Late-r7 amendment (still within the math): four PAIRS of the 47
-# rotated r5-cohort entries were MERGED, each freeing one prefix slot
-# for a new query: salted_agg_check + salted_join_check ->
-# salted_skew_checks (funds pii_scrub), embed_quality + embed_slice
-# -> embed_checks (funds winnow_fingerprint), media_stats +
-# media_features -> media_checks (funds span_scrub, the Lee-et-al
-# duplicate-span REMOVAL twin of span_dedup), doc_chunks +
-# doc_split -> chunk_split (funds epoch_shuffle, the seeded
-# no-global-sort training-order shuffle), and two more late-r7:
-# zorder_buckets + zorder_layout -> zorder_checks (funds
-# semantic_dedup, the SemDeDup cluster-scoped embedding dedup; the
-# zorder merge STRENGTHENS the bucket-diagnostic parent, whose fixed
-# >>26 bucketing collapsed to one vacuous bucket at fixture scale —
-# q_zorder_checks docstring), and token_stats + doc_quality ->
-# doc_stats (funds containment_dedup, the one-sided subset-duplicate
-# detector over the shared LSH candidates). The merged entries'
-# docstrings carry the coverage arguments (each goes green only if
-# BOTH parents' semantics are exact). No old entry was displaced to
-# the tail (they were retired INTO their merge, whose r7 check covers
-# both semantics), so no staleness rule is touched: prefix = 35
-# surviving r5-cohort + 6 merges + 6 merge-funded new + 3 new = 50.
-# This is also the designated mechanism for future capacity (see
-# CLAUDE.md): a merge must happen while BOTH parents sit in the
-# current prefix, because merged entries are new (never
-# driver-checked) and may not displace anything staleness-bound.
+# The seven freed slots pull seven r7-checked entries forward into
+# the r8 prefix — exactly the ones whose plans r8 changes:
+# - the five MinHash-narrowing consumers that would have spilled
+#   pinned (minhash_estimate, neardup_pipeline, dedup_clusters_lss,
+#   containment_dedup, lsh_index_compact — the 60-bit shingle/
+#   signature keys change their plans AND oracles; the five r6-cohort
+#   consumers jaccard_neardup/minhash_lsh/dedup_clusters/
+#   delta_neardup/lsh_append_probe rotate in anyway, the last two
+#   inside lsh_delta_checks);
+# - winnow_fingerprint (the r7 VERDICT item-2 packing-bound guard is
+#   a plan change);
+# - pii_scrub (item-5 phone-pattern widening is a plan change).
+# Prefix = 36 rotating survivors + 7 merges + 7 pulled = 50, exactly
+# the driver's checked budget. Registry total 100 - 14 + 7 = 93;
+# tail = the 43 remaining r7-checked entries below.
 #
-# The 50 spilled below are the r6 prefix — every one r6-green
-# (CORRECTNESS_r06: rows+schema+hash, err null) and untouched in r7
-# except documented result-preserving work:
-# - pairing_compat: its body was FACTORED into _pairing_compat_pairs
-#   (shared with the new CSV-sink entry) — pure refactor, plan
-#   byte-identical under the snapshot pin, oracle unchanged, and
-#   re-verified green against DuckDB after the change.
-# - scene_tensors_compressed: the round-7 LZW encoder EOI-width fix
-#   (sources/tiffcodec.py) touches its fixture WRITER. Result-
-#   preserving by construction: the fix only changes emitted bytes
-#   when the final data code lands the table exactly on a width
-#   boundary, a case whose OLD bytes this repo's decoder misread —
-#   since the entry was hash-green in r6, its fixture never hits the
-#   boundary, so its fixture bytes and decoded values are identical;
-#   the new boundary cases are covered by the regression test and by
-#   the NEW prefix entry scene_tensors_int16 whose fixture also
-#   writes LZW through the fixed encoder under the driver hash gate.
-# - decode path: _predict2_decode gained a byte-order normalization
-#   (big-endian only); every spilled query's fixtures are
-#   little-endian, where the added astype is a no-op.
-# The three session-variant streaming entries in this cohort
-# (stream_sessions, stream_sessions_native, user_sessions' sibling
-# drains) follow the standing rule: stream_sessions and
-# stream_sessions_native cannot carry a direct plan pin
-# (ALLOWED_UNPINNED_TAIL justifications in
-# scripts/gen_plan_snapshot.py) and are guarded by their exact
-# oracles in the in-repo replica plus the PINNED batch session
-# twin user_sessions, which spills alongside them in the same
-# cohort with its own direct pin. (The replica,
-# tests/test_oracle_equivalence.py, still checks ALL entries every
-# run; the four r6-drained streaming entries rotate INTO this prefix
-# with their twin pins still active in the snapshot.)
+# The 43 spilled below are r7-green (CORRECTNESS_r07: rows+schema+
+# hash, err null, all 50 prefix entries) and untouched by r8's work:
+# the narrowing touches only the minhash shingle/signature path
+# (span_dedup/span_scrub kept their separate, already-60-bit
+# _span_occurrences path; delta_dedup/doc_fingerprint hash whole
+# text, not shingles), the merges only add NEW functions around
+# untouched parents, and the ADVICE fixes for tail entries
+# (span_scrub NULL-text, semantic_dedup zero-norm) are docstring-only
+# precondition statements, chosen over code changes precisely to
+# keep those plans byte-identical under the snapshot pin. The four
+# streaming entries in this tail (stream_weekly_counts,
+# stream_dedup_keys, stream_dedup_ttl, stream_click_signup) are
+# session-variant and carry ALLOWED_UNPINNED_TAIL justifications +
+# batch twin pins (scripts/gen_plan_snapshot.py); the in-repo replica
+# (tests/test_oracle_equivalence.py) still checks ALL entries every
+# run.
 _PROVEN_TAIL = [
-    "overlap_grid",
-    "catalog_event_labels",
-    "pair_count_by_class",
-    "pair_count_compat",
-    "pairing_keys",
-    "pairing_compat",
-    "range_join_events",
-    "customers_without_orders",
-    "click_only_users",
-    "weekly_type_pivot",
-    "revenue_rollup",
-    "user_value_moving_avg",
-    "doc_length_quantiles",
-    "pricing_summary",
-    "top_orders",
-    "nation_revenue",
-    "promo_revenue",
-    "customer_order_rank",
-    "asof_last_click",
-    "shipping_lag",
-    "dedup_docs_exact",
-    "stream_sessions",
-    "stream_sessions_native",
-    "lsh_topk",
-    "ivf_topk",
-    "user_sessions",
-    "jaccard_neardup",
-    "minhash_lsh",
-    "dedup_clusters",
-    "simhash_docs",
-    "embed_cosine_neardup",
-    "doc_repetition",
-    "decontaminate",
-    "tfidf_terms",
-    "unigram_nll",
-    "pack_sequences",
-    "top_tokens_per_lang",
-    "ivf_train_centroids",
-    "ann_recall_trained",
-    "corpus_dedup_write",
-    "domain_quota",
-    "corpus_compact",
-    "media_neardup",
-    "delta_neardup",
-    "lsh_append_probe",
-    "corpus_cube",
-    "normalized_dedup",
-    "scene_tensors_volume",
-    "crop_volume_greedy",
-    "scene_tensors_compressed",
+    "crop_pipeline",
+    "crop_slice_quality",
+    "catalog_week_class",
+    "compat_csv_roundtrip",
+    "event_funnel",
+    "retention_cohorts",
+    "weekly_click_signup_outer",
+    "distinct_users_by_type",
+    "doc_stats",
+    "embed_checks",
+    "stream_weekly_counts",
+    "stream_dedup_keys",
+    "stream_click_signup",
+    "media_frames",
+    "cosine_topk",
+    "sign_lsh_buckets",
+    "regex_tokens",
+    "lang_guess",
+    "doc_fingerprint",
+    "chunk_split",
+    "epoch_shuffle",
+    "stratified_sample",
+    "vocab_coverage",
+    "length_trim",
+    "bigram_nll",
+    "zorder_checks",
+    "semantic_dedup",
+    "ann_recall",
+    "bucketed_join_check",
+    "corpus_roundtrip",
+    "mixture_plan",
+    "stream_dedup_ttl",
+    "span_dedup",
+    "delta_dedup",
+    "ivf_probe2",
+    "quality_gate",
+    "salted_skew_checks",
+    "corpus_pruned_read",
+    "embed_normalize",
+    "media_checks",
+    "span_scrub",
+    "crop_volume",
+    "scene_tensors_int16",
 ]
 
 

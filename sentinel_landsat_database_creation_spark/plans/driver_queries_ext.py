@@ -905,6 +905,71 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_exact_dedup_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: dedup_docs_exact + normalized_dedup under one driver
+    hash — the two exact hash-groupBy dedup layers over the documents
+    table (raw prefix-key grouping; C4-normalized canonical-form
+    grouping over the augmented messy corpus), tagged and unioned.
+
+    Coverage argument: the 'prefix' partition is q_dedup_docs_exact's
+    output verbatim (md5 over the first-10-token prefix, min-doc_id
+    survivor, group count — plans/driver_queries.py), the 'normalized'
+    partition is q_normalized_dedup's verbatim (per-doc group size /
+    canonical flag / changed-by-normalization flag over the
+    deterministic messy twins — the two flags ride as 0/1 BIGINTs
+    because a NULL boolean renders engine-variantly through pandas,
+    while NULL BIGINTs are NaN on both sides; the 0/1 mapping is
+    bijective so the parent's flags stay exactly pinned). Disjoint
+    column sets are NULL of the partner's exact type in both engines
+    otherwise; both parents' full result
+    sets ride the one hash, so drift in either fingerprint rule, the
+    normalization chain, or the survivor choice flips it. Both parents
+    sat in the rotating r6-green cohort (inside the r8 prefix at merge
+    time); the freed slot pulls winnow_fingerprint forward for the
+    packing-bound guard."""
+    from .driver_queries import q_dedup_docs_exact
+
+    nl = F.lit(None).cast("long")
+    p = q_dedup_docs_exact(spark, sf).select(
+        F.lit("prefix").alias("part"),
+        "fp",
+        F.col("keep_doc_id").alias("id"),
+        F.col("n_dups").alias("n"),
+        nl.alias("is_canonical"),
+        nl.alias("changed_by_norm"),
+    )
+    m = q_normalized_dedup(spark, sf).select(
+        F.lit("normalized").alias("part"),
+        F.lit(None).cast("string").alias("fp"),
+        F.col("doc_id").alias("id"),
+        F.col("group_size").alias("n"),
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+        F.col("changed_by_norm").cast("long").alias("changed_by_norm"),
+    )
+    return p.unionByName(m).orderBy("part", "id", "fp")
+
+
+SQL_EXACT_DEDUP_CHECKS = f"""
+WITH p AS (
+  SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), '|')) AS fp,
+         CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM documents GROUP BY 1
+),
+m AS ({SQL_NORMALIZED_DEDUP})
+SELECT 'prefix' AS part, fp, keep_doc_id AS id, n_dups AS n,
+       CAST(NULL AS BIGINT) AS is_canonical,
+       CAST(NULL AS BIGINT) AS changed_by_norm
+FROM p
+UNION ALL
+SELECT 'normalized' AS part, CAST(NULL AS VARCHAR) AS fp, doc_id AS id,
+       group_size AS n, CAST(is_canonical AS BIGINT) AS is_canonical,
+       CAST(changed_by_norm AS BIGINT) AS changed_by_norm
+FROM m
+ORDER BY part, id, fp
+"""
+
+
 def q_corpus_cube(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-dimensional corpus accounting in ONE pass: doc counts and
     char volume by (lang x source), per-lang totals, per-source totals,
@@ -1072,6 +1137,58 @@ def q_lsh_append_probe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_LSH_APPEND_PROBE = SQL_DELTA_NEARDUP
+
+
+def q_lsh_delta_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: delta_neardup + lsh_append_probe under one driver
+    hash — the two persisted-LSH probe paths joined per verified pair.
+
+    The parents compute the SAME verified-pair table through different
+    index lifecycles (a fresh one-shot lsh_index_write vs a
+    write-gen1 + append-gen2 grown index over the same corpus split),
+    which is why they shared one oracle. The merge FULL OUTER joins
+    the two result sets on (batch_doc, corpus_doc), carrying each
+    side's (n_inter, n_union, jaccard) as separate columns.
+
+    Coverage argument: if either path loses a pair (stale index, a
+    broken append losing gen-2 buckets), gains one, or scores one
+    differently, the outer join emits a row with NULLs on one side or
+    diverging metric columns — row count and hash both break against
+    the oracle, which expects every pair present and both column sets
+    equal. This is strictly stronger than running the parents
+    separately: it ALSO pins that the two lifecycles agree pairwise.
+    The at-sf0.01 property that makes the append check non-vacuous is
+    inherited from lsh_append_probe's fixture split (corpus partners
+    of both parities — a one-generation index loses rows). Both
+    parents sat in the rotating r6-green cohort (inside the r8 prefix
+    at merge time); the freed slot pulls pii_scrub forward for the
+    phone-pattern widening."""
+    fresh = q_delta_neardup(spark, sf)
+    grown = q_lsh_append_probe(spark, sf).select(
+        "batch_doc",
+        "corpus_doc",
+        F.col("n_inter").alias("n_inter_g"),
+        F.col("n_union").alias("n_union_g"),
+        F.col("jaccard").alias("jaccard_g"),
+    )
+    return fresh.join(
+        grown, ["batch_doc", "corpus_doc"], "full_outer"
+    ).orderBy("batch_doc", "corpus_doc")
+
+
+def _sql_lsh_delta_checks() -> str:
+    # one instantiation of the shared parent oracle, each metric column
+    # duplicated under both sides' names — the oracle form of "the two
+    # probe paths must agree pairwise and exactly"
+    return f"""
+WITH pairs AS ({SQL_DELTA_NEARDUP})
+SELECT batch_doc, corpus_doc, n_inter, n_union, jaccard,
+       n_inter AS n_inter_g, n_union AS n_union_g, jaccard AS jaccard_g
+FROM pairs ORDER BY batch_doc, corpus_doc
+"""
+
+
+SQL_LSH_DELTA_CHECKS = _sql_lsh_delta_checks()
 
 
 def q_lsh_index_compact(spark: SparkSession, sf: str) -> DataFrame:
@@ -1469,6 +1586,38 @@ ranked AS (
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
        CAST(cid AS BIGINT) AS cid, cos
 FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """r8 merge: lsh_topk + ivf_topk under one driver hash — the two
+    approximate-ANN top-k paths over the same query set, tagged by
+    method and unioned (the same method-column shape ann_recall uses).
+
+    Coverage argument: the 'lsh' partition is q_lsh_topk's output
+    VERBATIM (sign-bucket-pruned candidates, the exact (qid, rnk, cid,
+    cos) ranking with its deterministic tie-break) and the 'ivf'
+    partition is q_ivf_topk's verbatim (nprobe=1 first-K-centroid
+    cells) — identical schemas, so the union carries both parents'
+    full result sets and any drift in either bucketing, cell
+    assignment, scoring, or ranking flips the hash. ann_recall (r8
+    tail, pinned) continues to exercise the same two operators against
+    the brute-force baseline; this entry pins their raw rankings.
+    Both parents sat in the rotating r6-green cohort (inside the r8
+    prefix at merge time); the freed slot pulls lsh_index_compact
+    forward for the narrowing (its persisted bucket column goes
+    string -> long)."""
+    lsh = q_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "*")
+    ivf = q_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "*")
+    return lsh.unionByName(ivf).orderBy("method", "qid", "rnk")
+
+
+SQL_ANN_TOPK = f"""
+WITH l AS ({SQL_LSH_TOPK}), i AS ({SQL_IVF_TOPK})
+SELECT 'lsh' AS method, qid, rnk, cid, cos FROM l
+UNION ALL
+SELECT 'ivf' AS method, qid, rnk, cid, cos FROM i
+ORDER BY method, qid, rnk
 """
 
 
@@ -3084,8 +3233,10 @@ REGISTRY_EXT = {
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_sessions_native": (q_stream_sessions_native, SQL_STREAM_SESSIONS_NATIVE),
     "stream_click_signup": (q_stream_click_signup, SQL_STREAM_CLICK_SIGNUP),
-    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    # r8 merge: the two approximate top-k ANN paths ride one hash
+    # (q_ann_topk docstring); the freed slot pulls lsh_index_compact
+    # forward into the r8 prefix for the narrowing.
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
@@ -3152,10 +3303,15 @@ REGISTRY_EXT = {
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
     "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),
-    "delta_neardup": (q_delta_neardup, SQL_DELTA_NEARDUP),
-    "lsh_append_probe": (q_lsh_append_probe, SQL_LSH_APPEND_PROBE),
+    # r8 merge: the two persisted-LSH probe lifecycles ride one hash,
+    # pairwise-joined (q_lsh_delta_checks docstring); the freed slot
+    # pulls pii_scrub forward for the phone-pattern widening.
+    "lsh_delta_checks": (q_lsh_delta_checks, SQL_LSH_DELTA_CHECKS),
     "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
-    "normalized_dedup": (q_normalized_dedup, SQL_NORMALIZED_DEDUP),
+    # r8 merge: the raw-prefix and C4-normalized exact dedup layers
+    # ride one hash (q_exact_dedup_checks docstring); the freed slot
+    # pulls winnow_fingerprint forward for the packing-bound guard.
+    "exact_dedup_checks": (q_exact_dedup_checks, SQL_EXACT_DEDUP_CHECKS),
     "scene_tensors_volume": (
         _sv.q_scene_tensors_volume,
         _sv.SQL_SCENE_TENSORS_VOLUME,

@@ -26,7 +26,14 @@ def test_pricing_summary_pushdown_and_pruning(spark):
 
 
 def test_top_orders_broadcasts_customer(spark):
-    plan = _plan(spark, "top_orders")
+    # top_orders lives inside the order_rank_checks merge since r8;
+    # the parent fn still builds the exact Q3 plan this test pins
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        q_top_orders,
+    )
+
+    df = q_top_orders(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "TakeOrderedAndProject" in plan  # top-k without global sort

@@ -30,20 +30,40 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
-    """Distinct (doc_id, shingle) rows: explode then FRAME-level
-    distinct. The per-row ``array_distinct`` alternative is narrow (no
-    shuffle) but runs O(len²) in the HOF interpreter per document —
-    measured ~40% slower end-to-end at sf0.1 than letting the codegen'd
-    hash-aggregate dedup the exploded stream. Revisit the trade-off for
-    very long documents where the explode fan-out dominates. (Negative
-    result, r4: round-robin widening the one-file sf0.1 scan before the
-    explode moved the stage to 32 tasks but the wall time not at all —
-    the cost is the distinct shuffle + checkpoint, not map-side
-    serialization — so the extra shuffle was dropped.)"""
+    """Distinct (doc_id, shingle-key) rows: explode, hash each raw
+    shingle to its 60-bit md5-prefix BIGINT (functions/text.py:hash60),
+    then FRAME-level distinct. The per-row ``array_distinct``
+    alternative is narrow (no shuffle) but runs O(len²) in the HOF
+    interpreter per document — measured ~40% slower end-to-end at
+    sf0.1 than letting the codegen'd hash-aggregate dedup the exploded
+    stream. Revisit the trade-off for very long documents where the
+    explode fan-out dominates. (Negative result, r4: round-robin
+    widening the one-file sf0.1 scan before the explode moved the
+    stage to 32 tasks but the wall time not at all — the cost is the
+    distinct shuffle + checkpoint, not map-side serialization — so the
+    extra shuffle was dropped.)
+
+    Key narrowing (r8, the span-family lesson one family over): every
+    downstream consumer tests shingle EQUALITY only (the distinct
+    shuffle, the sparse-path equi-join, array_intersect verification,
+    the salted signature family), and the raw ~50-byte window string
+    is what the family's two heaviest shuffles used to carry. Hashing
+    at the explode (one md5 per occurrence, map-side, before the
+    distinct) makes every shuffled row (doc_id, BIGINT). Collision
+    math as in _span_occurrences: ~n²/2⁶¹ expected colliding key
+    pairs, and a collision only ever MERGES two shingles — for
+    Jaccard/containment that can only nudge one pair's counts; for
+    LSH candidacy it only ADDS candidates, which verification scores.
+    Past ~1e10 distinct shingles widen to two prefix columns (the
+    hash60 knob). The DuckDB oracles mirror the identical
+    substr(md5(raw), 1, 15) arithmetic, so driver hashes stay exact at
+    any width."""
     toks = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id", F.explode(shingles(toks, n)).alias("s")
-    ).distinct()
+    return (
+        docs.select("doc_id", F.explode(shingles(toks, n)).alias("sraw"))
+        .select("doc_id", hash60("sraw").alias("s"))
+        .distinct()
+    )
 
 
 def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
@@ -316,7 +336,7 @@ def ngram_jaccard_pairs(
     if 0 < n_vocab <= max_bitmap_bits:
         vocab_ids = docs.sparkSession.createDataFrame(
             [(r["s"], i) for i, r in enumerate(sorted(vocab_rows, key=lambda r: r["s"]))],
-            "s string, sid int",
+            "s long, sid int",
         )
         out = _jaccard_bitmap(ex, vocab_ids, n_vocab, threshold)
     else:
@@ -501,21 +521,40 @@ def minhash_lsh_candidates(
 
 def banded_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """(doc_id, bucket) rows: the signature split into ``bands`` bands,
-    each band's rows concatenated into one bucket string (band index
-    prefixed so band i never collides with band j)."""
+    each band's h-values folded into ONE BIGINT bucket key — band index
+    in bits 60+ (so band i never collides with band j, and
+    ``bucket >> 60`` recovers the band), hash60 of the '|'-joined
+    decimal h-values in the low 60 bits.
+
+    This is the persisted LSH index's bucket column format since r8
+    (string -> long; see lsh_index_write): a shuffled/landed bucket row
+    is (long, long) instead of a ~70-byte band string. The fold drops
+    bits from the band's h-values, so distinct bands can collide in a
+    bucket key (~n²/2⁶¹ expected) — a collision only ever ADDS a
+    candidate pair, which the verify stage scores; oracles mirror the
+    identical band*2^60 + substr(md5(...),1,15) arithmetic. bands must
+    stay < 8 for the key to fit in the positive int64 range (3 band
+    bits + 60 hash bits)."""
+    if bands >= 8:
+        raise ValueError("banded_buckets packs the band id into bits "
+                         "60..62 — bands must be < 8")
     rows_per_band = n_hashes // bands
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(i)),
-                        *[
-                            F.col(f"h{i * rows_per_band + j}")
-                            for j in range(rows_per_band)
-                        ],
+                    F.lit(i << 60)
+                    + hash60(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{i * rows_per_band + j}").cast(
+                                    "string"
+                                )
+                                for j in range(rows_per_band)
+                            ],
+                        )
                     )
                     for i in range(bands)
                 ]
@@ -526,11 +565,22 @@ def banded_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
 
 def minhash_signatures(ex: DataFrame, n_hashes: int = 8) -> DataFrame:
     """Per-document MinHash signature (h0..h{n-1}) from the distinct
-    (doc_id, shingle) table: the salted md5 family evaluated once per
-    DISTINCT shingle (dictionary join), min per doc — see
-    minhash_lsh_candidates for the measured physical-shape rationale."""
+    (doc_id, shingle-key) table: the salted md5 family evaluated once
+    per DISTINCT key (dictionary join), min per doc — see
+    minhash_lsh_candidates for the measured physical-shape rationale.
+
+    Since the r8 narrowing each h is a 60-bit hash60 BIGINT of the
+    salted decimal rendering of the shingle key, not a 32-char hex
+    string: the signature groupBy — the family's second-heaviest
+    shuffle — carries n_hashes longs per row instead of n_hashes hex
+    strings (~8x narrower at n_hashes=8). min over int64 is the same
+    min-wise scheme (md5 is uniform over the prefix), and the DuckDB
+    oracles mirror the identical substr(md5('i:' || key), 1, 15)
+    arithmetic, so signatures stay cross-engine exact."""
     hash_cols = [
-        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+        hash60(F.concat(F.lit(f"{i}:"), F.col("s").cast("string"))).alias(
+            f"h{i}"
+        )
         for i in range(n_hashes)
     ]
     vocab = ex.select("s").distinct().select("s", *hash_cols)
@@ -975,8 +1025,18 @@ def lsh_index_write(
     doc_id): the standing near-dup index a growing corpus maintains so
     each incoming batch probes buckets instead of re-scanning the
     corpus. Written sorted within partitions on bucket for row-group
-    skipping on the probe side; only bucket strings and ids land — the
-    index is O(corpus x bands) rows of short strings, not text."""
+    skipping on the probe side.
+
+    On-disk FORMAT (v2, r8): ``bucket`` is a BIGINT — band id in bits
+    60..62, hash60 of the band's '|'-joined decimal h-values in bits
+    0..59 (banded_buckets docstring) — and ``doc_id`` a BIGINT; the
+    index is O(corpus x bands) rows of two longs. Until r7 the column
+    was the '|'-joined band STRING; v1 directories cannot be probed by
+    v2 code (the bucket equi-join would silently match nothing) —
+    rebuild with lsh_index_write, as the session-scoped driver
+    fixtures do automatically. Probes, appends, and compaction all
+    carry the same column, so the format changes atomically with this
+    module."""
     ex = _shingle_rows(corpus, n)
     banded = banded_buckets(minhash_signatures(ex, n_hashes), n_hashes, bands)
     (

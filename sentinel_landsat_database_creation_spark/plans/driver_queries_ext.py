@@ -135,12 +135,54 @@ def _state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-# DuckDB fragment: distinct 2-gram shingle list per document.
+# DuckDB fragments for the MinHash family, mirroring the r8 60-bit
+# key narrowing (operators/dedup.py:_shingle_rows, minhash_signatures,
+# banded_buckets — hash60's three-engine contract in
+# functions/text.py). Single source of truth: every minhash-family
+# oracle composes these generators instead of restating the
+# arithmetic.
+
+def _sql_h60(expr: str) -> str:
+    """The DuckDB form of functions/text.py:hash60 over ``expr``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# distinct 2-gram shingle KEY list per document (60-bit md5 prefixes
+# of the '_'-joined windows; distinct AFTER hashing, like the Spark
+# side's explode -> hash60 -> distinct)
 _SH2 = (
-    "SELECT doc_id, list_distinct([t[i] || '_' || t[i+1] "
-    "for i in range(1, len(t))]) AS s "
+    "SELECT doc_id, list_distinct(["
+    + _sql_h60("t[i] || '_' || t[i+1]")
+    + " for i in range(1, len(t))]) AS s "
     "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
 )
+
+
+def _sql_sigs(n_hashes: int) -> str:
+    """h0..h{n-1} select-list fragment: per-key salted hash60 family,
+    min per document (minhash_signatures' oracle form)."""
+    return ", ".join(
+        "list_min(list_transform(s, x -> "
+        + _sql_h60(f"'{i}:' || CAST(x AS VARCHAR)")
+        + f")) AS h{i}"
+        for i in range(n_hashes)
+    )
+
+
+def _sql_buckets(n_hashes: int, bands: int) -> str:
+    """Bucket-key list fragment: band id in bits 60+, hash60 of the
+    '|'-joined decimal h-values below (banded_buckets' oracle form)."""
+    rows = n_hashes // bands
+    return ", ".join(
+        str(b << 60)
+        + " + "
+        + _sql_h60(
+            " || '|' || ".join(
+                f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
+            )
+        )
+        for b in range(bands)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -183,18 +225,8 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_minhash(n_hashes: int = 8, bands: int = 4) -> str:
-    rows = n_hashes // bands
-    sigs = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
-        for i in range(n_hashes)
-    )
-    buckets = ", ".join(
-        "'"
-        + str(b)
-        + "|' || "
-        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
-        for b in range(bands)
-    )
+    sigs = _sql_sigs(n_hashes)
+    buckets = _sql_buckets(n_hashes, bands)
     return f"""
 WITH sh AS ({_SH2}),
 sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
@@ -220,18 +252,8 @@ def q_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_minhash_estimate(n_hashes: int = 8, bands: int = 4) -> str:
-    rows = n_hashes // bands
-    sigs = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
-        for i in range(n_hashes)
-    )
-    buckets = ", ".join(
-        "'"
-        + str(b)
-        + "|' || "
-        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
-        for b in range(bands)
-    )
+    sigs = _sql_sigs(n_hashes)
+    buckets = _sql_buckets(n_hashes, bands)
     matches = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
         for i in range(n_hashes)
@@ -308,10 +330,10 @@ def q_neardup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 _SQL_NEARDUP_BODY = f"""
 WITH sh AS ({_SH2}),
 sig AS (SELECT doc_id,
-        {", ".join(f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}" for i in range(8))}
+        {_sql_sigs(8)}
         FROM sh WHERE len(s) > 0),
 banded AS (SELECT doc_id, unnest([
-        {", ".join("'" + str(b) + "|' || " + " || '|' || ".join(f"h{b * 2 + j}" for j in range(2)) for b in range(4))}
+        {_sql_buckets(8, 4)}
         ]) AS bucket FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -477,16 +499,8 @@ def _sql_containment(n_hashes: int = 8, bands: int = 4,
     """Closed-form oracle generator: the shared LSH candidate CTEs (the
     _sql_minhash shape) plus per-pair intersection/size arithmetic and
     the max-side containment filter."""
-    rows = n_hashes // bands
-    sigs = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
-        for i in range(n_hashes)
-    )
-    buckets = ", ".join(
-        "'" + str(b) + "|' || "
-        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
-        for b in range(bands)
-    )
+    sigs = _sql_sigs(n_hashes)
+    buckets = _sql_buckets(n_hashes, bands)
     return f"""
 WITH sh AS ({_SH2}),
 sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
@@ -1044,18 +1058,8 @@ def q_delta_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_delta_neardup(n_hashes: int = 8, bands: int = 4) -> str:
-    rows = n_hashes // bands
-    sigs = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
-        for i in range(n_hashes)
-    )
-    buckets = ", ".join(
-        "'"
-        + str(b)
-        + "|' || "
-        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
-        for b in range(bands)
-    )
+    sigs = _sql_sigs(n_hashes)
+    buckets = _sql_buckets(n_hashes, bands)
     return f"""
 WITH sh AS ({_SH2}),
 csig AS (SELECT doc_id, {sigs} FROM sh WHERE doc_id % 10 != 0 AND len(s) > 0),
@@ -1240,7 +1244,11 @@ def q_lsh_index_compact(spark: SparkSession, sf: str) -> DataFrame:
     digest = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(":", F.col("bucket"), F.col("doc_id").cast("string"))
+                F.concat_ws(
+                    ":",
+                    F.col("bucket").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
             ),
             1,
             8,
@@ -1250,7 +1258,8 @@ def q_lsh_index_compact(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("long")
     return (
         idx.select(
-            F.split(F.col("bucket"), r"\|").getItem(0).cast("long").alias("band"),
+            # v2 index format (r8): band id lives in bucket bits 60+
+            F.shiftright(F.col("bucket"), 60).cast("long").alias("band"),
             "bucket",
             digest.alias("d"),
         )
@@ -1265,26 +1274,16 @@ def q_lsh_index_compact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_lsh_index_compact(n_hashes: int = 8, bands: int = 4) -> str:
-    rows = n_hashes // bands
-    sigs = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
-        for i in range(n_hashes)
-    )
-    buckets = ", ".join(
-        "'"
-        + str(b)
-        + "|' || "
-        + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
-        for b in range(bands)
-    )
+    sigs = _sql_sigs(n_hashes)
+    buckets = _sql_buckets(n_hashes, bands)
     return f"""
 WITH sh AS ({_SH2}),
 csig AS (SELECT doc_id, {sigs} FROM sh WHERE doc_id % 10 != 0 AND len(s) > 0),
 cb AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM csig)
-SELECT CAST(string_split(bucket, '|')[1] AS BIGINT) AS band,
+SELECT CAST(bucket // {1 << 60} AS BIGINT) AS band,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
-       CAST(sum(CAST(('0x' || substr(md5(bucket || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS digest
+       CAST(sum(CAST(('0x' || substr(md5(CAST(bucket AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS digest
 FROM cb
 GROUP BY band ORDER BY band
 """

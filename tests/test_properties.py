@@ -456,17 +456,21 @@ def test_delta_neardup_matches_direct_computation(spark, texts):
             ).collect()
         )
 
-    # direct python recomputation
+    # direct python recomputation of the r8 60-bit-key machinery
+    # (hash60's three-engine contract, functions/text.py): shingle
+    # keys, salted signature family, and band-folded bucket longs
+    def h60(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
     def sh(t):
         w = [x for x in t.split(" ") if x]
-        return {f"{a}_{b}" for a, b in zip(w, w[1:])}
+        return {h60(f"{a}_{b}") for a, b in zip(w, w[1:])}
 
     def buckets(s):
-        hs = [
-            min(hashlib.md5(f"{i}:{x}".encode()).hexdigest() for x in s)
-            for i in range(8)
-        ]
-        return {f"{b}|{hs[2 * b]}|{hs[2 * b + 1]}" for b in range(4)}
+        hs = [min(h60(f"{i}:{x}") for x in s) for i in range(8)]
+        return {
+            (b << 60) + h60(f"{hs[2 * b]}|{hs[2 * b + 1]}") for b in range(4)
+        }
 
     shingles = {i: sh(t) for i, t in rows}
     want = []
@@ -737,10 +741,11 @@ def test_semantic_dedup_matches_python_reference(spark, vecs, threshold):
 
 # ---------------------------------------------------------------------------
 # containment_pairs vs a direct Python reference of the WHOLE path
-# (shingles -> salted-md5 signatures -> band buckets -> candidates ->
-# containment): a third implementation of the MinHash machinery, so a
-# drift in minhash_signatures/banded_buckets breaks this even though
-# those stages' oracles live in SQL.
+# (60-bit shingle keys -> salted hash60 signatures -> band-folded
+# bucket longs -> candidates -> containment): a third implementation
+# of the r8-narrowed MinHash machinery, so a drift in
+# minhash_signatures/banded_buckets breaks this even though those
+# stages' oracles live in SQL.
 
 _doc_texts = st.lists(
     st.lists(
@@ -764,20 +769,26 @@ def test_containment_matches_python_reference(spark, texts, threshold):
 
     n, n_hashes, bands = 2, 8, 4
 
+    def h60(x: str) -> int:
+        # hash60's python leg (tests/test_hash60.py pins all three)
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
     def shingle_set(text):
         t = text.split()
-        return {"_".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+        return {
+            h60("_".join(t[i : i + n])) for i in range(len(t) - n + 1)
+        }
 
     def signature(sh):
         return [
-            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
-            for i in range(n_hashes)
+            min(h60(f"{i}:{s}") for s in sh) for i in range(n_hashes)
         ]
 
     def buckets(sg):
         rows = n_hashes // bands
         return {
-            f"{b}|" + "|".join(sg[b * rows : (b + 1) * rows])
+            (b << 60)
+            + h60("|".join(str(x) for x in sg[b * rows : (b + 1) * rows]))
             for b in range(bands)
         }
 

@@ -74,6 +74,39 @@ def _regressions_vs_prior(
 
 _BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
 
+# 1-minute loadavg above which a run is considered CONTENDED at start
+# and must not become the committed comparison baseline (round-7
+# VERDICT item 7: three r7 runs that overlapped pytest/probe sessions
+# recorded 19/13/38 phantom regressions AND poisoned the committed
+# baseline until a solo re-run replaced it — the measured contended
+# starts were load 4-7 on this 32-cpu host, solo starts < ~1). The
+# guard reads load BEFORE Spark spins up, so the bench's own work
+# never trips it. Override via SPARK_GRAFT_LOAD_GUARD (e.g. a smaller
+# host); <= 0 disables.
+_LOAD_GUARD_DEFAULT = 2.0
+
+
+def _start_contended() -> str | None:
+    """None if the host looks idle enough to record a baseline, else a
+    short reason string recorded in the payload. Errors (platforms
+    without getloadavg) fail OPEN — the adjudicator still guards the
+    flags themselves."""
+    try:
+        limit = float(
+            os.environ.get("SPARK_GRAFT_LOAD_GUARD", _LOAD_GUARD_DEFAULT)
+        )
+    except ValueError:
+        limit = _LOAD_GUARD_DEFAULT
+    if limit <= 0:
+        return None
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        return None
+    if load1 > limit:
+        return f"loadavg {load1:.2f} > {limit:g} at start"
+    return None
+
 
 def _adjudicate_regressions(regressions: dict, sf_dir: str) -> None:
     """Close the loop on flagged slowdowns instead of leaving them for
@@ -170,6 +203,7 @@ def _record_baseline(timings: dict[str, float], sf: float) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    contended = _start_contended()  # must read load BEFORE Spark starts
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -267,8 +301,15 @@ def main() -> None:
 
     memo_timings = {k: round(v, 4) for k, v in memo_timings.items()}
     regressions = _regressions_vs_prior(timings, float(sf))
-    if not errors:
-        # a crash-looping run must not become the next round's baseline
+    if errors:
+        pass  # a crash-looping run must not become the next baseline
+    elif contended is not None:
+        # nor a contended one: its inflated numbers would both spray
+        # phantom flags next run AND mask real regressions behind an
+        # inflated bar — the run still measures and adjudicates, it
+        # just refuses to become the comparison record
+        pass
+    else:
         _record_baseline(dict(timings), float(sf))
     if regressions is not None:
         # fresh_session below replaces the live singleton, so the main
@@ -285,6 +326,8 @@ def main() -> None:
     }
     if regressions is not None:
         payload["regressions"] = regressions
+    if contended is not None:
+        payload["baseline_skipped"] = contended
     if reps > 1:
         payload["reps"] = reps
     if restarts:

@@ -661,7 +661,17 @@ def semantic_dedup(
 
     Returns (vec_id, cell, keep) — one row per vector, keep in {0, 1};
     integer columns only, so the DuckDB oracle is hash-exact (cosines
-    are compared against the threshold, never emitted)."""
+    are compared against the threshold, never emitted).
+
+    PRECONDITION (shared with the SQL oracle, r7 ADVICE): every
+    embedding (and centroid) must have NON-ZERO norm. A zero vector
+    makes every cosine 0/0 — NULL here, NaN in DuckDB's
+    list_cosine_similarity — so cell assignment and keep verdicts
+    would diverge cross-engine AND be semantically arbitrary (a zero
+    embedding carries no direction to dedup on). The driver
+    embeddings fixture and any L2-normalized pipeline output satisfy
+    this by construction; filter zero-norm rows out upstream (on both
+    engines identically) before calling on raw model output."""
     from .skew import full_width
 
     def dot_d(a, b):

@@ -286,15 +286,36 @@ def top_tokens_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
 #
 # Patterns deliberately stay inside the syntax subset that Java regex
 # (Spark executors) and RE2 (the DuckDB oracle) interpret identically:
-# character classes, bounded repetition, \b, \d — no lookaround, no
-# backreferences, no possessive quantifiers. Order matters and is part
-# of the contract: emails first (their domain part may contain dots
-# that the IP pattern would otherwise bite), phones before IPs (both
-# are digit runs; replacement tokens contain no digits, so later
-# patterns can never match inside an earlier redaction).
+# character classes, bounded repetition, \b, \d, alternation — no
+# lookaround, no backreferences, no possessive quantifiers. Order
+# matters and is part of the contract: emails first (their domain part
+# may contain dots that the IP pattern would otherwise bite), phones
+# before IPs (both are digit runs; replacement tokens contain no
+# digits, so later patterns can never match inside an earlier
+# redaction).
+#
+# The phone pattern covers four real-world shapes (r7 VERDICT item 5 —
+# CCNet/Dolma-style passes match several formats), as one alternation
+# because pii_counts keys a dict on the kind. Alternative order is
+# deliberate and identical under Java/RE2/`re` leftmost-first
+# semantics:
+#   1. international-ish dashed  12-345-678-9012
+#   2. parenthesized area code   (123) 456-7890 / (123)456.7890
+#   3. US dashed/dotted          123-456-7890 / 123.456.7890
+#   4. bare 10-digit             1234567890 (word-boundary guarded)
+# The dotted shape cannot bite an IP (quads are 1-3 digits; the shape
+# needs a 4-digit tail), and the bare shape cannot bite inside the
+# longer shapes because those match first at the same position.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (
+        "phone",
+        r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b"
+        r"|\(\d{3}\) ?\d{3}[-. ]\d{4}\b"
+        r"|\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+        r"|\b\d{10}\b",
+        "<PHONE>",
+    ),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

@@ -150,12 +150,17 @@ def _sql_h60(expr: str) -> str:
 # distinct 2-gram shingle KEY list per document (60-bit md5 prefixes
 # of the '_'-joined windows; distinct AFTER hashing, like the Spark
 # side's explode -> hash60 -> distinct)
-_SH2 = (
-    "SELECT doc_id, list_distinct(["
-    + _sql_h60("t[i] || '_' || t[i+1]")
-    + " for i in range(1, len(t))]) AS s "
-    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
-)
+
+def _sh2_src(src: str) -> str:
+    return (
+        "SELECT doc_id, list_distinct(["
+        + _sql_h60("t[i] || '_' || t[i+1]")
+        + " for i in range(1, len(t))]) AS s "
+        f"FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})"
+    )
+
+
+_SH2 = _sh2_src("documents")
 
 
 def _sql_sigs(n_hashes: int) -> str:
@@ -481,33 +486,113 @@ SQL_SIGN_LSH_BUCKETS = (
 # text analysis
 
 
+# One module-level constant feeds BOTH engines' containment threshold
+# (r7 ADVICE: the Spark call and the oracle generator were specified
+# independently — a future edit to either default would silently
+# desynchronize them; same discipline as the closed-form scale-oracle
+# generators). The probe cutoff and the planted-pair construction
+# constants are shared the same way.
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_PROBE_SMALL_MAX = 45
+_CONT_BIG_ID = 2_000_000  # concat of docs 0..99 (~5.6k tokens)
+_CONT_SMALL_ID = 2_000_001  # first 40 tokens of doc 7
+_CONT_SMALL_SRC = 7
+_CONT_SMALL_TOKENS = 40
+_CONT_BIG_DOCS = 100
+
+
+def _containment_aug(spark: SparkSession, sf: str) -> DataFrame:
+    """The containment fixture corpus: every document, plus a planted
+    EXTREME-size-ratio containment pair LSH cannot see — a big page
+    (docs 0..99 concatenated in id order, ~5.6k tokens) and a small
+    doc (the first 40 tokens of doc 7), contained verbatim, Jaccard
+    ~0.007. Built identically by the oracle's aug CTE."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    big = (
+        d.filter(F.col("doc_id") < _CONT_BIG_DOCS)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda r: r["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.lit(_CONT_BIG_ID).cast("long").alias("doc_id"), "text")
+    )
+    small = d.filter(F.col("doc_id") == _CONT_SMALL_SRC).select(
+        F.lit(_CONT_SMALL_ID).cast("long").alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, _CONT_SMALL_TOKENS), " "
+        ).alias("text"),
+    )
+    return d.unionByName(big).unionByName(small)
+
+
 def q_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """One-sided shingle-set containment over the shared LSH candidate
-    pairs — flags truncation/subset duplicates whose symmetric Jaccard
-    under-scores them (operators/dedup.py:containment_pairs holds the
-    semantics, the Broder/Lee-et-al citations, and the stated recall
-    caveat). At sf0.01 the corpus's planted truncation pairs surface as
-    cont_max = 1.0 with Jaccard < 1 — the exact class this exists for."""
+    """One-sided shingle-set containment — flags truncation/subset
+    duplicates whose symmetric Jaccard under-scores them
+    (operators/dedup.py:containment_pairs holds the semantics, the
+    Broder/Lee-et-al citations, and the recall analysis). Since r8 the
+    corpus carries a PLANTED extreme pair (40 tokens inside ~5.6k —
+    _containment_aug) that the r7 LSH-only candidate path provably
+    missed, and the small-side exact probe (probe_small_max) must
+    surface it as cont_max = 1.0 under the driver hash; the corpus's
+    own planted truncation pairs surface through the shared LSH
+    candidates as before."""
     from ..operators.dedup import containment_pairs
 
-    docs = table(spark, sf, "documents")
-    return containment_pairs(docs, threshold=0.9).orderBy("doc_a", "doc_b")
+    docs = _containment_aug(spark, sf)
+    return containment_pairs(
+        docs,
+        threshold=CONTAINMENT_THRESHOLD,
+        probe_small_max=CONTAINMENT_PROBE_SMALL_MAX,
+    ).orderBy("doc_a", "doc_b")
 
 
 def _sql_containment(n_hashes: int = 8, bands: int = 4,
-                     threshold: float = 0.9) -> str:
-    """Closed-form oracle generator: the shared LSH candidate CTEs (the
-    _sql_minhash shape) plus per-pair intersection/size arithmetic and
-    the max-side containment filter."""
+                     threshold: float | None = None,
+                     probe_small_max: int | None = None) -> str:
+    """Closed-form oracle generator: the augmented-corpus CTE, the
+    shared LSH candidate CTEs (the _sql_minhash shape) UNIONed with
+    the small-side exact-probe candidates, plus per-pair
+    intersection/size arithmetic and the max-side containment filter.
+    Defaults resolve to the SAME module constants the Spark entry
+    passes (r7 ADVICE: one source of truth for the threshold)."""
+    if threshold is None:
+        threshold = CONTAINMENT_THRESHOLD
+    if probe_small_max is None:
+        probe_small_max = CONTAINMENT_PROBE_SMALL_MAX
     sigs = _sql_sigs(n_hashes)
     buckets = _sql_buckets(n_hashes, bands)
     return f"""
-WITH sh AS ({_SH2}),
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_CONT_BIG_ID} AS doc_id,
+         (SELECT string_agg(text, ' ' ORDER BY doc_id) FROM documents
+          WHERE doc_id < {_CONT_BIG_DOCS}) AS text
+  UNION ALL
+  SELECT {_CONT_SMALL_ID} AS doc_id,
+         (SELECT array_to_string(
+            string_split(text, ' ')[1:{_CONT_SMALL_TOKENS}], ' ')
+          FROM documents WHERE doc_id = {_CONT_SMALL_SRC}) AS text
+),
+sh AS ({_sh2_src("aug")}),
 sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
 banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+szs AS (SELECT doc_id, len(s) AS n FROM sh),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM ex a
+  JOIN szs sa ON a.doc_id = sa.doc_id AND sa.n <= {probe_small_max}
+  JOIN ex b ON a.sg = b.sg AND a.doc_id != b.doc_id
 ),
 scored AS (
   SELECT c.doc_a, c.doc_b,
@@ -2732,8 +2817,12 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     (broadcast dim, ``doc_id % 100 = c_custkey``) and appending a
     deterministic contact tail (email handle from c_name, phone/IP
     from c_custkey arithmetic) whose shape varies by ``doc_id % 3``
-    (email-only / phone-only / all three), so every pattern exercises
-    both its match and no-match paths under the driver hash.
+    (email-only / phones-only / all kinds), so every pattern exercises
+    both its match and no-match paths under the driver hash. The
+    phones-only branch carries all four phone ALTERNATIVES since r8
+    (dashed international-ish, parenthesized area code, US dotted,
+    bare 10-digit — PII_PATTERNS' widened alternation), so each
+    alternative's match path sits under the hash, not just the first.
 
     Scale shape: one broadcast hash join (100-row dim) + per-row
     native regex projection — no shuffle except the final presentation
@@ -2761,6 +2850,25 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
                 ((k * 29) % 9000 + 1000).cast("string"),
             ).alias("phone"),
             F.concat(
+                F.lit("("),
+                ((k * 19) % 900 + 100).cast("string"),
+                F.lit(") "),
+                ((k * 23) % 900 + 100).cast("string"),
+                F.lit("-"),
+                ((k * 31) % 9000 + 1000).cast("string"),
+            ).alias("phone_paren"),
+            F.concat(
+                ((k * 37) % 900 + 100).cast("string"),
+                F.lit("."),
+                ((k * 43) % 900 + 100).cast("string"),
+                F.lit("."),
+                ((k * 47) % 9000 + 1000).cast("string"),
+            ).alias("phone_dot"),
+            F.concat(
+                ((k * 53) % 9 + 1).cast("string"),
+                F.lpad(((k * 59) % 1000000000).cast("string"), 9, "0"),
+            ).alias("phone_bare"),
+            F.concat(
                 ((k * 3) % 223 + 1).cast("string"),
                 F.lit("."),
                 ((k * 5) % 256).cast("string"),
@@ -2780,7 +2888,20 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
             F.when(
                 m == 0, F.concat("text", F.lit(" contact "), "email")
             )
-            .when(m == 1, F.concat("text", F.lit(" call "), "phone"))
+            .when(
+                m == 1,
+                F.concat(
+                    "text",
+                    F.lit(" call "),
+                    "phone",
+                    F.lit(" or "),
+                    "phone_paren",
+                    F.lit(" or "),
+                    "phone_dot",
+                    F.lit(" ref "),
+                    "phone_bare",
+                ),
+            )
             .otherwise(
                 F.concat(
                     "text",
@@ -2830,6 +2951,14 @@ WITH cust AS (
          concat(c_custkey % 25 + 10, '-', (c_custkey * 7) % 900 + 100,
                 '-', (c_custkey * 13) % 900 + 100,
                 '-', (c_custkey * 29) % 9000 + 1000) AS phone,
+         concat('(', (c_custkey * 19) % 900 + 100, ') ',
+                (c_custkey * 23) % 900 + 100, '-',
+                (c_custkey * 31) % 9000 + 1000) AS phone_paren,
+         concat((c_custkey * 37) % 900 + 100, '.',
+                (c_custkey * 43) % 900 + 100, '.',
+                (c_custkey * 47) % 9000 + 1000) AS phone_dot,
+         concat((c_custkey * 53) % 9 + 1,
+                lpad(CAST((c_custkey * 59) % 1000000000 AS VARCHAR), 9, '0')) AS phone_bare,
          concat((c_custkey * 3) % 223 + 1, '.', (c_custkey * 5) % 256,
                 '.', (c_custkey * 11) % 256,
                 '.', (c_custkey * 17) % 254 + 1) AS ip
@@ -2838,7 +2967,8 @@ WITH cust AS (
   SELECT doc_id,
          CASE doc_id % 3
            WHEN 0 THEN d.text || ' contact ' || email
-           WHEN 1 THEN d.text || ' call ' || phone
+           WHEN 1 THEN d.text || ' call ' || phone || ' or ' || phone_paren
+                       || ' or ' || phone_dot || ' ref ' || phone_bare
            ELSE d.text || ' contact ' || email || ' call ' || phone
                 || ' node ' || ip
          END AS t
@@ -2850,7 +2980,7 @@ WITH cust AS (
              regexp_replace(
                t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                '<EMAIL>', 'g'),
-             '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b|\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b|\b\d{10}\b', '<PHONE>', 'g'),
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
   FROM aug
 )
@@ -2859,7 +2989,7 @@ SELECT doc_id,
          t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
          AS BIGINT) AS n_emails,
        CAST(length(regexp_extract_all(
-         t, '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+         t, '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b|\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b|\b\d{10}\b')) AS BIGINT) AS n_phones,
        CAST(length(regexp_extract_all(
          t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
        CAST(length(s) AS BIGINT) AS scrub_len,

@@ -142,3 +142,33 @@ def test_record_baseline_is_per_sf(monkeypatch, tmp_path):
     book = json.loads(p.read_text())
     assert book["0.1"]["queries"] == {"a": 1.0}  # other sf untouched
     assert book["0.01"]["queries"] == {"b": 2.0}
+
+
+def test_contention_guard_reads_load(monkeypatch):
+    """The baseline-poisoning guard (round-7 VERDICT item 7): a busy
+    1-minute loadavg at start yields a reason string (main() then
+    refuses to overwrite BENCH_PREV.json), an idle one yields None,
+    the env knob moves the bar, <= 0 disables, and a platform without
+    getloadavg fails OPEN."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_LOAD_GUARD", raising=False)
+    monkeypatch.setattr(os, "getloadavg", lambda: (4.78, 6.0, 5.0))
+    reason = bench._start_contended()
+    assert reason is not None and "4.78" in reason
+
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.4, 1.0, 2.0))
+    assert bench._start_contended() is None
+
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_GUARD", "0.2")
+    assert bench._start_contended() is not None
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_GUARD", "0")
+    assert bench._start_contended() is None
+
+    monkeypatch.delenv("SPARK_GRAFT_LOAD_GUARD")
+
+    def _boom():
+        raise OSError("no loadavg here")
+
+    monkeypatch.setattr(os, "getloadavg", _boom)
+    assert bench._start_contended() is None

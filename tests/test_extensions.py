@@ -1254,6 +1254,14 @@ def test_scrub_pii_hand_computed(spark):
         ("no pii here 123", "no pii here 123", 0, 0, 0),
         # word-boundary guards: digit runs glued to letters don't match
         ("id987-654-321-0000x", "id987-654-321-0000x", 0, 0, 0),
+        # r8 widened phone alternatives (r7 VERDICT item 5)
+        ("(123) 456-7890 ok", "<PHONE> ok", 0, 1, 0),
+        ("(123)456.7890", "<PHONE>", 0, 1, 0),
+        ("123-456-7890 and 987.654.3210", "<PHONE> and <PHONE>", 0, 2, 0),
+        ("id 1234567890 end", "id <PHONE> end", 0, 1, 0),
+        # near-misses: 9 and 11 digit runs, glued 10-digit
+        ("123456789 and 12345678901", "123456789 and 12345678901", 0, 0, 0),
+        ("x1234567890", "x1234567890", 0, 0, 0),
     ]
     df = spark.createDataFrame(
         [(t,) for t, *_ in rows], ["t"]
@@ -1315,6 +1323,38 @@ def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
         p = s + max(i for i, h in enumerate(win) if h == m)
         out.add((p + 1, hs[p]))  # 1-based position
     return out
+
+
+def test_winnow_packing_bound_guard(spark):
+    """_winnow_select's packed-key bound is ENFORCED (r7 VERDICT item
+    2): a doc at exactly 2^20 k-grams must raise (previously it
+    silently wrapped the position term into the hash bits), and one
+    k-gram under the bound must still select fingerprints. k=1 keeps
+    the fixture a plain 2^20-token string; w == n collapses the
+    selection to ONE window (the interpreted window transform costs
+    n_win * w element scans, so only w near n keeps the boundary doc
+    affordable — measured ~5 s vs minutes at mid-range w)."""
+    import pytest
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        _WINNOW_POS_OFF,
+        _winnow_select,
+    )
+
+    n = _WINNOW_POS_OFF  # 2^20 k-grams at k=1 == 2^20 tokens
+    over = spark.createDataFrame(
+        [(1, " ".join(["a"] * n))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packed-key bound exceeded"):
+        _winnow_select(over, k=1, w=n).collect()
+
+    under = spark.createDataFrame(
+        [(2, " ".join(["a"] * (n - 1)))], "doc_id long, text string"
+    )
+    row = _winnow_select(under, k=1, w=n).select(
+        "n_kgrams", F.size("fps").alias("n_fp")
+    ).first()
+    assert row["n_kgrams"] == n - 1 and row["n_fp"] >= 1
 
 
 def test_winnow_fingerprints_match_paper_reference(spark):
@@ -1401,10 +1441,21 @@ def test_scrub_pii_fuzz_matches_python_re(spark):
         f"-{r.randrange(100,999)}-{r.randrange(1000,9999)}",
         lambda r: f"{r.randrange(256)}.{r.randrange(256)}"
         f".{r.randrange(256)}.{r.randrange(256)}",
+        # r8 widened phone alternatives
+        lambda r: f"({r.randrange(100,999)}) {r.randrange(100,999)}"
+        f"-{r.randrange(1000,9999)}",
+        lambda r: f"({r.randrange(100,999)}){r.randrange(100,999)}"
+        f".{r.randrange(1000,9999)}",
+        lambda r: f"{r.randrange(100,999)}.{r.randrange(100,999)}"
+        f".{r.randrange(1000,9999)}",
+        lambda r: f"{r.randrange(1,9)}{r.randrange(10**8, 10**9)}",
         # near-misses that must NOT match
         lambda r: f"user{r.randrange(99)}atex.org",
         lambda r: f"{r.randrange(10,99)}-{r.randrange(100,999)}-x",
         lambda r: f"{r.randrange(256)}.{r.randrange(256)}.{r.randrange(256)}",
+        lambda r: f"{r.randrange(10**8, 10**9)}",
+        lambda r: f"({r.randrange(10,99)}) {r.randrange(100,999)}"
+        f"-{r.randrange(1000,9999)}",
     ]
     rows = []
     for i in range(120):
@@ -1560,3 +1611,39 @@ def test_containment_pairs_flags_subset_duplicate(spark):
     assert r["cont_max"] == 1.0
     # and the symmetric score this class defeats: jaccard 6/9 < 0.9
     assert r["n_inter"] / (r["n_a"] + r["n_b"] - r["n_inter"]) < 0.9
+
+
+def test_containment_small_side_probe_beats_lsh_recall(spark):
+    """The r8 extreme-size-ratio path (r7 VERDICT item 3): a ~40-token
+    doc embedded verbatim in a ~600-token page has Jaccard ~0.07, so
+    the banded-LSH candidate stage misses it (asserted — this exact
+    fixture is deterministic), while the small-side exact probe must
+    surface it with full recall (cont_max = 1.0). Also pins that the
+    probe only ADDS pairs: the LSH-only result is a subset of the
+    probed result."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    words = [f"w{i}x{(i * 7) % 13}" for i in range(600)]
+    big = " ".join(words)
+    small = " ".join(words[100:140])
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    lsh_only = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) not in lsh_only  # the documented LSH recall hole
+    probed = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(
+            docs, threshold=0.9, probe_small_max=50
+        ).collect()
+    }
+    assert (1, 2) in probed
+    r = probed[(1, 2)]
+    assert r["cont_max"] == 1.0 and r["n_b"] == 39
+    assert lsh_only <= set(probed)

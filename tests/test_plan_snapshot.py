@@ -152,6 +152,40 @@ def test_every_twin_is_pinned():
     )
 
 
+def test_unpinned_allowlist_is_closed():
+    """The ALLOWED_UNPINNED_TAIL escape hatch must not grow silently
+    (r7 VERDICT item 6): every member needs a written justification
+    AND deliberate enrollment here. The six streaming drains are the
+    only plans whose analyzed form embeds per-run stream state that
+    no normalization can scrub; each is guarded by its exact oracle
+    in the in-repo replica plus a pinned batch twin (twin_plans /
+    user_sessions). Adding an entry requires editing BOTH the
+    justification dict (scripts/gen_plan_snapshot.py — see the policy
+    comment above it) and this frozen set, in the same commit."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from gen_plan_snapshot import ALLOWED_UNPINNED_TAIL
+
+    enrolled = {
+        "stream_sessions",
+        "stream_sessions_native",
+        "stream_weekly_counts",
+        "stream_dedup_keys",
+        "stream_dedup_ttl",
+        "stream_click_signup",
+    }
+    assert set(ALLOWED_UNPINNED_TAIL) == enrolled, (
+        "ALLOWED_UNPINNED_TAIL changed without deliberate enrollment: "
+        f"{sorted(set(ALLOWED_UNPINNED_TAIL) ^ enrolled)} — a new "
+        "unpinned entry needs a written justification AND this test "
+        "updated in the same commit (policy comment in "
+        "scripts/gen_plan_snapshot.py)"
+    )
+    # the committed snapshot must agree with the source-of-truth dict
+    assert set(SNAP.get("allowed_unpinned_tail", {})) == enrolled
+    for name, why in ALLOWED_UNPINNED_TAIL.items():
+        assert len(why.strip()) >= 40, f"{name}: justification too thin"
+
+
 def test_tail_entries_are_pinned():
     """The rotation policy's load-bearing set: every _PROVEN_TAIL entry
     must carry a plan pin (a tail entry in 'excluded' would re-open the

@@ -98,6 +98,12 @@ CAPPED_QUERIES = [
     # r8: delta_neardup rides inside the lsh_delta_checks merge (same
     # probe plus the grown-index twin, pairwise-joined)
     "lsh_delta_checks",
+    # r8: the small-side exact probe made containment a pair-space
+    # query — the PPJoin-style cascade (containment_pairs docstring)
+    # bounds the candidate blow-up, but the ~27M-group probe aggregate
+    # at sf1 needs local[8]'s per-task memory share (32 uncapped slots
+    # racing the 1 GB heap OOM'd; capped runs it in ~47 s)
+    "containment_dedup",
     "crop_volume",
     "crop_volume_greedy",
     "scene_tensors_volume",
@@ -115,6 +121,11 @@ QUERIES = TABLE_QUERIES + CAPPED_QUERIES
 # silently dropped:
 DECADE2_QUERIES = [
     "minhash_lsh",
+    # r8: the 60-bit key narrowing shrank the exact-verify side's
+    # per-pair shingle arrays ~8x (longs, not ~50-byte strings) —
+    # the r7 OOM that kept this out of the second decade is gone
+    # (~31 s at sf10 under the capped conditions)
+    "minhash_estimate",
     "span_dedup",
     "span_scrub",
     "epoch_shuffle",
@@ -129,14 +140,8 @@ DECADE2_QUERIES = [
     "pii_scrub",
 ]
 SECOND_DECADE_NOT_RUN = {
-    "minhash_estimate": (
-        "OOMs the 1 GB harness heap at sf10 even capped: the exact-"
-        "verify side holds per-candidate-pair shingle arrays. It is a "
-        "CALIBRATION query (signature agreement vs exact Jaccard); the "
-        "production path minhash_lsh is measured at both decades. A "
-        "memory-sized executor clears this — the harness heap is the "
-        "constraint, not the plan."
-    ),
+    # minhash_estimate left this dict in r8: the 60-bit key narrowing
+    # made its exact-verify side fit the capped 1 GB heap at sf10.
     "stream_sessions": (
         "the availableNow drain lands ~9.5M session rows in a MEMORY "
         "sink plus per-user state inside 1 GB at sf10 — a harness-"

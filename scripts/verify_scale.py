@@ -86,18 +86,26 @@ EXTRA_UNCAPPED = [
     "winnow_fingerprint",
     "pii_scrub",
     "semantic_dedup",
-    "containment_dedup",
 ]
+# containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
+# exact probe made it a pair-space query (the PPJoin-style cascade in
+# containment_pairs bounds the blow-up, but the ~27M-group probe
+# aggregate at sf1 still needs local[8]'s per-task memory share — 32
+# uncapped slots racing the 1 GB heap OOM'd, 8 capped slots run it in
+# ~47 s; same classification as the neardup trio below).
 TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
     "neardup_pipeline",
     "dedup_clusters",
     "lsh_delta_checks",
+    "containment_dedup",
 ]
 
 # second decade: when bench_scale's sf10 synthetic exists, the
 # decade-2 cohort is hash-verified there too (results_tier2) — same
 # membership and capped conditions as bench_scale.DECADE2_QUERIES
-# (minhash_estimate and stream_sessions are documented out there)
+# (stream_sessions is documented out there; minhash_estimate joined
+# in r8 once the 60-bit keys made it fit, digest-compared because its
+# sf10 candidate table is too wide to collect)
 from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 
 # Results too large to collect to the driver at the 100x tier are
@@ -109,7 +117,7 @@ from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 # is exact by design (longs / strings / bools — no engine-variant
 # float rendering enters the digest). user_sessions emits ~9.5M rows
 # at sf10; its full-frame collect killed the 1 GB Spark driver.
-DIGEST_TIER2 = {"user_sessions", "minhash_lsh"}
+DIGEST_TIER2 = {"user_sessions", "minhash_lsh", "minhash_estimate"}
 
 # Payload-pipeline tier-2 conditions: CAPPED_CONF with the per-slot
 # memory knobs one notch tighter (rationale at the call site).
@@ -193,15 +201,27 @@ def _compare(qname: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
     return rec
 
 
-def _digest_spark(df) -> tuple[pd.DataFrame, list[str]]:
+def _digest_spark(df) -> tuple[pd.DataFrame, dict]:
     """(n_rows, digest) of a DataFrame, computed in-engine: sum of a
     32-bit md5 prefix over the '|'-joined sorted columns. Returns the
-    1-row pandas frame plus the source column order the oracle wrapper
-    must reproduce."""
+    1-row pandas frame plus the column spec the oracle wrapper must
+    reproduce. DOUBLE columns enter the digest as round(x * 1e9)
+    BIGINTs (r8, for minhash_estimate's ratio columns): the underlying
+    doubles are bit-identical by construction, so the scaled rounding
+    is identical on both engines, while raw double->string rendering
+    is not a cross-engine contract."""
     from pyspark.sql import functions as F
 
     cols = sorted(df.columns)
-    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    dtypes = dict(df.dtypes)
+    dbl = sorted(c for c in cols if dtypes[c] in ("double", "float"))
+    parts = [
+        F.round(F.col(c) * 1e9, 0).cast("long").cast("string")
+        if c in dbl
+        else F.col(c).cast("string")
+        for c in cols
+    ]
+    joined = F.concat_ws("|", *parts)
     # 32-bit prefix: a 48-bit one overflowed the BIGINT sum at ~10M
     # rows (ANSI long overflow, caught on the first digest run)
     d = F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
@@ -209,11 +229,16 @@ def _digest_spark(df) -> tuple[pd.DataFrame, list[str]]:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("d").cast("long").alias("digest"),
     )
-    return out.toPandas(), cols
+    return out.toPandas(), {"cols": cols, "double_cols": dbl}
 
 
-def _digest_oracle_sql(inner_sql: str, cols: list[str]) -> str:
-    joined = ", ".join(f"CAST({c} AS VARCHAR)" for c in sorted(cols))
+def _digest_oracle_sql(inner_sql: str, spec: dict) -> str:
+    joined = ", ".join(
+        f"CAST(CAST(round({c} * 1e9) AS BIGINT) AS VARCHAR)"
+        if c in spec["double_cols"]
+        else f"CAST({c} AS VARCHAR)"
+        for c in sorted(spec["cols"])
+    )
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', {joined})), 1, 8)) AS BIGINT)) AS BIGINT) AS digest
@@ -271,9 +296,9 @@ def _run_spark_set(
         t0 = time.perf_counter()
         df = REGISTRY[q][0](spark, tier_dir)
         if q in digest:
-            res, cols = _digest_spark(df)
+            res, spec = _digest_spark(df)
             if digest_cols is not None:
-                digest_cols[q] = cols
+                digest_cols[q] = spec
             print(
                 f"  spark {q}: digest over {int(res['n_rows'][0])} rows "
                 f"in {time.perf_counter()-t0:.1f}s"

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import hash60, shingles
 
@@ -753,7 +754,7 @@ def containment_pairs(
     that causes it: docs with at most that many shingles additionally
     probe the full inverted shingle index (one equi-join of the small
     side's shingle rows against the shingle table — any pair sharing
-    even one shingle becomes a candidate, so every small-side
+    even one shingle is scored, so every small-side
     containment pair with n_inter >= 1 is found, recall 1.0 by
     construction for |A| <= probe_small_max; the one-sided stratify
     is sound because cont_max's min() side IS the small doc). Extra
@@ -787,29 +788,66 @@ def containment_pairs(
         docs, n=n, n_hashes=n_hashes, bands=bands, shingle_rows=ex, sig=sig
     )
     if probe_small_max is not None:
-        sizes = ex.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh")
+        # Exact small-side probe as a PPJoin-style lossless filter
+        # cascade (Bayardo et al. WWW'07 / Xiao et al.'s prefix and
+        # count filters, adapted to one-sided containment) — the naive
+        # inverted-index self-join is a measured 1 GB-heap killer on a
+        # boilerplate-dominated corpus (sf1 synthetic: 9,310 distinct
+        # shingles over 50k docs, avg df ~275 -> 171M probe-join rows,
+        # killed two fresh JVMs in a row; the cascade measured ~37M
+        # narrow rows -> ~0.5M candidates vs 1,250 true pairs).
+        #
+        # For a pair to pass cont_max >= t with small side A
+        # (|A| <= probe_small_max <= |B|), B may MISS at most
+        # miss = |A| - ceil(t*|A|) of A's shingles. So among A's
+        # k2 = 2*miss + 1 globally RAREST shingles (df asc, key asc —
+        # rarity order is engine-internal, the oracle never sees it),
+        # B must match at least miss + 1 (pigeonhole). Pairs where
+        # BOTH sides are small are probed from each side, so the
+        # smaller side's budget applies through its own direction.
+        # Both filters only ever DROP pairs that provably fail the
+        # final threshold — the result set (and thus the committed
+        # oracle, which states the unfiltered formulation) is
+        # IDENTICAL; the 1e-9 ceil slack is one-directionally safe
+        # (it can only shrink miss's subtrahend, i.e. ADD candidates).
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        miss = (
+            F.col("n_sh")
+            - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        ).cast("long")
+        wrk = Window.partitionBy("doc_id").orderBy("df", "s")
+        ranked = (
+            ex.join(
+                sizes.filter(F.col("n_sh") <= probe_small_max), "doc_id"
+            )
+            .join(dfreq, "s")
+            .withColumn("miss", miss)
+            .withColumn("rk", F.row_number().over(wrk))
+            .filter(F.col("rk") <= 2 * F.col("miss") + 1)
+            .select(F.col("doc_id").alias("doc_s"), "s", "miss")
         )
-        small_ids = sizes.filter(F.col("n_sh") <= probe_small_max).select(
-            "doc_id"
-        )
-        # the probe join EXPANDS (hot shingles fan out) — full reducer
-        # width on both sides, like every expanding join in this module
-        pa = full_width(
-            ex.join(small_ids, "doc_id", "left_semi").select(
-                F.col("doc_id").alias("doc_s"), "s"
-            ),
-            "s",
-        )
+        # the probe join still EXPANDS (rare shingles fan out less,
+        # but fan out) — full reducer width on both sides, like every
+        # expanding join in this module; the count filter then runs
+        # on three-long rows before anything wide exists.
+        pa = full_width(ranked, "s")
         pb = full_width(ex.select(F.col("doc_id").alias("doc_o"), "s"), "s")
         probe = (
-            pa.join(pb, "s")
+            # shuffle_hash: the full shingle table is NOT broadcastable
+            # (2.5M-row HashedRelation build died in the 1 GB driver at
+            # sf1 even though its on-wire stats look small)
+            pa.join(pb.hint("shuffle_hash"), "s")
             .filter(F.col("doc_s") != F.col("doc_o"))
+            .groupBy("doc_s", "doc_o")
+            .agg(
+                F.count(F.lit(1)).alias("m"), F.max("miss").alias("miss")
+            )
+            .filter(F.col("m") >= F.col("miss") + 1)
             .select(
                 F.least("doc_s", "doc_o").alias("doc_a"),
                 F.greatest("doc_s", "doc_o").alias("doc_b"),
             )
-            .distinct()
         )
         cand = cand.unionByName(probe).distinct()
     sh = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
@@ -821,9 +859,16 @@ def containment_pairs(
     cont = F.col("n_inter").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
     ).cast("double")
+    # shuffle_hash on the array attaches: with the probe path the
+    # candidate table reaches ~0.5M pairs, and letting AQE broadcast
+    # either it or the collect_list table dies in the driver-side
+    # HashedRelation build ("not enough memory to build and
+    # broadcast", measured at sf1 in the 1 GB harness) — the arrays'
+    # JVM-object broadcast footprint is several times their on-wire
+    # size. A shuffled hash join streams both sides.
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        cand.join(a.hint("shuffle_hash"), "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

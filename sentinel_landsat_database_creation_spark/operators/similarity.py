@@ -354,18 +354,17 @@ def train_centroids(
     ~390 bytes each driver-side (measured in this harness: collecting
     2M (cell, pos, s, n) rows moved peak RSS by 745 MB), so the K·d
     ceiling below (2M ≈ 0.75 GB driver peak, e.g. K=2048 x d=1024) is
-    where the driver — not the cluster — becomes the bottleneck. Production ANN
-    scales past it (K~65k x d~768 → ~50M values/iter) by keeping
-    centroid state distributed: persist each iteration's (cell, pos,
-    s, n) aggregate as a DataFrame and feed the next assignment
-    through a pivoted broadcast JOIN instead of a collected literal —
-    same math, one more shuffle, no driver transfer. That path is
-    deliberately not implemented here: every in-repo consumer trains
-    K <= 1024 over d = 8 testdata embeddings, and an untested code
-    path pretending to cover 50M-value training would be exactly the
-    kind of dead weight the driver gate cannot vouch for. The guard
-    names this function and the fix so the first user to cross the
-    ceiling gets the design note, not an OOM.
+    where the driver — not the cluster — becomes the bottleneck.
+    Production ANN scales past it (K~65k x d~768 → ~50M values/iter)
+    with train_centroids_distributed (r8): the IDENTICAL recurrence
+    with the state kept as a (cell, s, n) DataFrame and fed back
+    through a broadcast join instead of a collected literal — same
+    math (unit-tested equal on every fixture, empty cells included),
+    no driver transfer. The guard names it so the first user to cross
+    the ceiling gets the working path, not an OOM. This collected form
+    stays the default below the ceiling because its literal centroids
+    keep the registry plans oracle-reproducible (a DuckDB oracle can
+    hold a list, not a Spark checkpoint).
 
     Returns [(cell, sum_vector, n_members)] sorted by cell — plan-time
     metadata, ready to broadcast into ivf_topk_trained. Memoized per
@@ -404,10 +403,11 @@ def train_centroids(
             f"{n_centroids * d} centroid sums to the driver per "
             f"iteration, over the {TRAIN_KD_CEILING} ceiling (~0.75 GB "
             "driver peak at the measured ~390 B/collected row). Past "
-            "this point keep centroid state distributed: persist the "
-            "per-iteration (cell, pos, s, n) aggregate and feed the "
-            "next assignment via a broadcast join instead of a "
-            "collected literal — see the docstring's design note."
+            "this point keep centroid state distributed: use "
+            "train_centroids_distributed, which runs the identical "
+            "Lloyd recurrence with the state fed back through a "
+            "broadcast join instead of a collected literal, and feed "
+            "its DataFrame straight into ivf_topk_trained."
         )
     for _ in range(n_iters):
         cdf = spark.createDataFrame(
@@ -448,10 +448,98 @@ def train_centroids(
     return cents
 
 
+def train_centroids_distributed(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """train_centroids past the K·d driver ceiling: the IDENTICAL Lloyd
+    recurrence (same quantized grid, same sum-vector state, same
+    argmax/tie/empty-cell rules — equality is unit-tested against the
+    driver path), but centroid state lives in a DataFrame
+    (cell, s array<long>, n) that never visits the driver.
+
+    Per iteration:
+    - assignment broadcasts the K-row state into the scored cross join
+      exactly as the driver path broadcasts its collected literal — a
+      broadcast of K·d BIGINTs costs 8 bytes/value on the wire versus
+      the ~390 B/value driver-side Row cost that set TRAIN_KD_CEILING,
+      so K~65k x d~768 (~50M values, the production ANN shape in the
+      design note) broadcasts at ~400 MB where the collect would need
+      ~20 GB of driver heap;
+    - recompute is the same one partial-agg shuffle of K·d
+      (cell, pos, s, n) rows, folded back to K array rows (array_sort
+      on (pos, s) structs makes collect_list order-insensitive);
+    - empty cells carry their previous sum with n = 0 via the LEFT
+      join, mirroring the driver path's dict.get fallback;
+    - each iteration's state is localCheckpointed EAGERLY — the
+      connected_components lesson: iterative state must truncate
+      lineage or iteration t re-executes iterations 0..t-1.
+
+    Past broadcastability itself (K·d ≳ 1e9, ~8 GB hint limit) Lloyd
+    assignment needs candidate pruning (a coarse quantizer over cells,
+    i.e. IVF-assign); that tier is out of scope and this docstring is
+    its design note.
+
+    Returns the final state DataFrame; sort by cell and collect to get
+    train_centroids' exact list, or pass it directly to
+    ivf_topk_trained (which accepts either form)."""
+    q = embeddings.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    state = (
+        q.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col("qv").alias("s"),
+            F.lit(1).cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        cdf = state.select("cell", "s")
+        dot_int = dot_cast(F.col("qv"), F.col("s"))
+        scored = q.join(F.broadcast(cdf)).withColumn(
+            "score", dot_int / F.sqrt(dot_cast(F.col("s"), F.col("s")))
+        )
+        best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(F.col(id_col), (-F.col("b.nc")).alias("cell"))
+        )
+        sums = (
+            assigned.join(q, id_col)
+            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        folded = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t["s"],
+            ).alias("s_new"),
+            F.max("n").alias("n_new"),
+        )
+        state = (
+            state.select("cell", F.col("s").alias("s_old"))
+            .join(folded, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce("s_new", "s_old").alias("s"),
+                F.coalesce("n_new", F.lit(0)).cast("long").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
 def ivf_topk_trained(
     embeddings: DataFrame,
     queries: DataFrame,
-    centroids: list[tuple[int, list[int], int]],
+    centroids: list[tuple[int, list[int], int]] | DataFrame,
     k: int = 3,
     nprobe: int = 1,
     id_col: str = "vec_id",
@@ -461,11 +549,19 @@ def ivf_topk_trained(
     k-means centroids instead of the first-K stand-in. Assignment uses
     the training score dot(qv, S_c)/sqrt(dot(S_c, S_c)) so index-time
     and train-time geometry agree; within-cell scoring is the plain
-    float cosine, identical to ivf_topk."""
+    float cosine, identical to ivf_topk.
+
+    ``centroids`` is either train_centroids' collected list (becomes a
+    literal local relation — the registry/oracle form) or
+    train_centroids_distributed's state DataFrame (stays distributed;
+    past the K·d ceiling this is the only form that exists)."""
     spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
-        [(c, s) for c, s, _n in centroids], "cell long, s array<long>"
-    )
+    if isinstance(centroids, DataFrame):
+        cdf = centroids.select("cell", "s")
+    else:
+        cdf = spark.createDataFrame(
+            [(c, s) for c, s, _n in centroids], "cell long, s array<long>"
+        )
 
     def assign(vectors: DataFrame, probes: int) -> DataFrame:
         v = vectors.select(

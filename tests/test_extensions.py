@@ -1061,10 +1061,91 @@ def test_train_centroids_kd_ceiling_guard(spark, monkeypatch):
     vecs = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(4)]
     e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     monkeypatch.setattr(sim, "TRAIN_KD_CEILING", 7)  # K*d = 2*4 = 8 > 7
-    with _pytest.raises(ValueError, match="broadcast join"):
+    with _pytest.raises(ValueError, match="train_centroids_distributed"):
         sim.train_centroids(e, n_centroids=2, n_iters=1)
     monkeypatch.setattr(sim, "TRAIN_KD_CEILING", 8)  # at the ceiling: ok
     assert len(sim.train_centroids(e, n_centroids=2, n_iters=1)) == 2
+    # and the named fix actually works past the ceiling: the
+    # distributed path never collects, so the ceiling doesn't apply
+    monkeypatch.setattr(sim, "TRAIN_KD_CEILING", 7)
+    st = sim.train_centroids_distributed(e, n_centroids=2, n_iters=1)
+    assert st.count() == 2
+
+
+def test_train_centroids_distributed_matches_driver_path(spark):
+    """The distributed state recurrence is value-identical to the
+    collected-literal path on every fixture shape the driver path is
+    pinned on: the separable two-cluster fixture, the empty-cell
+    fixture (cell 1 starves, carries its seed sum with n=0), and a
+    multi-iteration run where iteration 2's input is iteration 1's
+    reassignment."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        train_centroids,
+        train_centroids_distributed,
+    )
+
+    fixtures = [
+        # separable clusters (the hand-computed fixture)
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.8, 0.0, 0.1, 0.0]),
+            (4, [0.7, 0.1, 0.1, 0.0]),
+            (5, [0.1, 0.9, 0.0, 0.0]),
+        ],
+        # everything hugs +x: cell 1 goes empty and must carry
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [1.0, 0.05]),
+            (3, [0.95, 0.0]),
+        ],
+    ]
+    for vecs in fixtures:
+        e = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        )
+        for iters in (1, 2):
+            want = train_centroids(e, n_centroids=2, n_iters=iters)
+            got = sorted(
+                (int(r["cell"]), [int(x) for x in r["s"]], int(r["n"]))
+                for r in train_centroids_distributed(
+                    e, n_centroids=2, n_iters=iters
+                ).collect()
+            )
+            assert got == want, (vecs, iters)
+
+
+def test_ivf_trained_accepts_centroid_dataframe(spark):
+    """ivf_topk_trained over train_centroids_distributed's state
+    DataFrame returns exactly the rows the collected-list form returns
+    (the past-the-ceiling wiring end to end)."""
+    from pyspark.sql import functions as F
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivf_topk_trained,
+        train_centroids,
+        train_centroids_distributed,
+    )
+
+    rows = []
+    for g in range(2):
+        base = [0.0] * 8
+        base[g * 4] = 1.0
+        for j in range(8):
+            v = list(base)
+            v[g * 4 + 1] = 0.01 * j
+            rows.append((g * 8 + j, v))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id").isin(0, 8))
+    as_list = train_centroids(e, n_centroids=2, n_iters=2)
+    as_df = train_centroids_distributed(e, n_centroids=2, n_iters=2)
+    key = lambda r: (r["qid"], r["rnk"])  # noqa: E731
+    want = {key(r): (r["cid"], r["cos"]) for r in
+            ivf_topk_trained(e, q, as_list, k=3).collect()}
+    got = {key(r): (r["cid"], r["cos"]) for r in
+           ivf_topk_trained(e, q, as_df, k=3).collect()}
+    assert got == want and len(want) == 6
 
 
 def test_train_centroids_empty_cell_carries(spark):

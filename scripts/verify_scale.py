@@ -344,7 +344,12 @@ def _run_spark_set(
                 "err": f"spark error: {first}",
             }
             print(f"  spark {q}: FAILED {first}")
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — a query death can leave the
+        # gateway dead; one failed entry must not abort the whole run
+        # (measured r8: containment's OOM killed the remaining tiers)
+        pass
     return out
 
 
@@ -383,6 +388,136 @@ def _oracle_compare(
         print(f"  {q}: {status} [{len(sdf)} rows, oracle {time.perf_counter()-t0:.1f}s]")
 
 
+def _centroid_scale_probe(results: dict) -> None:
+    """At-scale evidence for train_centroids_distributed (r8): the
+    registry pins the COLLECTED driver path against its DuckDB oracle
+    at sf0.01, and the distributed path is unit-tested value-equal to
+    the driver path — this probe extends that equality chain to a
+    20k x 64-dim synthetic corpus below the K·d ceiling (K=256: the
+    two paths' full centroid states compared row-exact), then runs the
+    distributed path PAST the ceiling the driver path refuses
+    (K=4096 x d=512 = 2.097M > TRAIN_KD_CEILING, asserted to raise)
+    and checks the Lloyd invariants there: exactly K cells, member
+    counts summing to N, every sum vector at full dimension. The
+    synthetic embeddings are md5-seeded (deterministic, no RNG), so
+    the probe is reproducible bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.operators import (
+        similarity as sim,
+    )
+
+    name = "centroids_distributed_scale"
+    spark = _fresh_session("vscale-centroids", CAPPED_CONF, "local[8]")
+    try:
+        t0 = time.perf_counter()
+
+        def synth(n: int, d: int):
+            vec = F.transform(
+                F.sequence(F.lit(1), F.lit(d)),
+                lambda j: (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("vec_id"), j)),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(4294967296.0)
+                    - F.lit(0.5)
+                ).cast("float"),
+            )
+            return (
+                spark.range(n)
+                .select(F.col("id").alias("vec_id"))
+                .select("vec_id", vec.alias("embedding"))
+                .localCheckpoint(eager=True)
+            )
+
+        eq_emb = synth(20_000, 64)
+        want = sim.train_centroids(eq_emb, n_centroids=256, n_iters=2)
+        got = sorted(
+            (int(r["cell"]), [int(x) for x in r["s"]], int(r["n"]))
+            for r in sim.train_centroids_distributed(
+                eq_emb, n_centroids=256, n_iters=2
+            ).collect()
+        )
+        eq_ok = got == want
+        print(
+            f"  {name}: under-ceiling equality (K=256, d=64) "
+            f"{'MATCH' if eq_ok else 'MISMATCH'} "
+            f"[{time.perf_counter()-t0:.1f}s]"
+        )
+
+        # Past-ceiling shape: crossing K·d > 2M is about the STATE
+        # size, not the corpus — assignment cost is N·K·d, so keep N
+        # at the minimum that still gives a non-degenerate second
+        # phase (every cell seeded, ~32% of vectors non-seed). The
+        # first probe sizing (N=20k) ran the same state shape 3.3x
+        # longer for no extra evidence.
+        big_n, big_k, big_d = 6_000, 4_096, 512
+        big_emb = synth(big_n, big_d)
+        guard_ok = False
+        try:
+            sim.train_centroids(big_emb, n_centroids=big_k, n_iters=1)
+        except ValueError:
+            guard_ok = True
+        t1 = time.perf_counter()
+        state = sim.train_centroids_distributed(
+            big_emb, n_centroids=big_k, n_iters=1
+        )
+        inv = state.agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n").alias("members"),
+            F.min(F.size("s")).alias("dmin"),
+            F.max(F.size("s")).alias("dmax"),
+        ).collect()[0]
+        inv_ok = (
+            int(inv["cells"]) == big_k
+            and int(inv["members"]) == big_n
+            and int(inv["dmin"]) == big_d
+            and int(inv["dmax"]) == big_d
+        )
+        secs = round(time.perf_counter() - t1, 1)
+        ok = eq_ok and guard_ok and inv_ok
+        results[name] = {
+            "rows_match": ok,
+            "schema_match": ok,
+            "values_match": ok,
+            "n_rows": int(inv["cells"]),
+            "err": None
+            if ok
+            else (
+                f"eq_ok={eq_ok} guard_ok={guard_ok} inv_ok={inv_ok} "
+                f"(cells={int(inv['cells'])}, members={int(inv['members'])})"
+            ),
+            "past_ceiling": (
+                f"K={big_k} x d={big_d} = {big_k*big_d/1e6:.3f}M "
+                f"(> 2M ceiling), N={big_n}, 1 iter"
+            ),
+            "past_ceiling_secs": secs,
+        }
+        print(
+            f"  {name}: past-ceiling run (K·d=2.097M) "
+            f"{'OK' if inv_ok and guard_ok else 'FAILED'} in {secs}s"
+        )
+    except Exception as exc:  # noqa: BLE001 — record, keep verifying
+        results[name] = {
+            "rows_match": False,
+            "schema_match": False,
+            "values_match": False,
+            "n_rows": None,
+            "err": f"spark error: {type(exc).__name__}: {exc}"[:300],
+        }
+        print(f"  {name}: FAILED {exc}"[:200])
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
     os.environ["SPARK_GRAFT_MEMO_STORAGE"] = "DISK_ONLY"
     spark = _fresh_session("vscale-build")
@@ -399,6 +534,55 @@ def main() -> None:
     # artifact (same code, same fixtures — the full run remains the
     # canonical end-to-end path)
     tier2_only = "--tier2-only" in sys.argv
+    # --tier1-patch q1,q2: re-run named tier-1 queries (fresh uncapped
+    # session, digest rules as in the full run) and merge them into the
+    # existing artifact — for repairing a single entry after a fix
+    # without the ~40 min full run. The full run stays the canonical
+    # end-to-end path.
+    if "--tier1-patch" in sys.argv:
+        qnames = sys.argv[sys.argv.index("--tier1-patch") + 1].split(",")
+        path = Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json"
+        prior = json.loads(path.read_text())
+        results = prior["results"]
+        digest1 = frozenset(
+            {"minhash_lsh", "minhash_estimate", "user_sessions"}
+        ) & frozenset(qnames)
+        dcols1: dict = {}
+        frames = _run_spark_set(
+            qnames,
+            capped="--capped" in sys.argv,
+            results=results,
+            tier_dir=SF1,
+            digest=digest1,
+            digest_cols=dcols1,
+        )
+        oracles = {q: REGISTRY[q][1] for q in qnames}
+        _oracle_compare(frames, oracles, SF1, results, digest_cols=dcols1)
+        for q in dcols1:
+            if q in results:
+                results[q]["digest"] = True
+        n_pass = sum(1 for r in results.values() if r.get("values_match"))
+        prior["results"] = dict(sorted(results.items()))
+        prior["n_checked"] = len(results)
+        prior["n_pass"] = n_pass
+        path.write_text(json.dumps(prior, indent=1) + "\n")
+        print(f"\nSCALE VERIFY (tier1-patch merge): {n_pass}/{len(results)}")
+        return
+    # --centroids-only: (re)run just the centroid-scale probe and merge
+    # it into the existing artifact — it needs no tier fixtures, so
+    # iterating on it must not cost the ~40 min full run
+    if "--centroids-only" in sys.argv:
+        path = Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json"
+        prior = json.loads(path.read_text())
+        results = prior["results"]
+        _centroid_scale_probe(results)
+        n_pass = sum(1 for r in results.values() if r.get("values_match"))
+        prior["results"] = dict(sorted(results.items()))
+        prior["n_checked"] = len(results)
+        prior["n_pass"] = n_pass
+        path.write_text(json.dumps(prior, indent=1) + "\n")
+        print(f"\nSCALE VERIFY (centroids-only merge): {n_pass}/{len(results)}")
+        return
     if tier2_only:
         prior = json.loads(
             (Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json").read_text()
@@ -414,11 +598,24 @@ def main() -> None:
         # kill the gateway mid-cohort (measured r7) — the queries are
         # independent, so session-scoped accumulation is pure harness
         # artifact, not plan cost.
+        # Tier-1 digest set (r8): the three biggest frames collected
+        # ~2M pandas rows into the 1 GB driver; minhash_lsh's 522k-row
+        # collect alone left so little driver heap that the NEXT
+        # query's (tiny, correct) vocab broadcast failed to build
+        # ("Not enough memory to build and broadcast", measured this
+        # round after the key narrowing flipped that join to
+        # broadcast). The in-engine digest is the same all-values
+        # comparison with O(1) rows on the wire — the proven tier-2
+        # mechanism applied one tier down.
+        dcols1: dict = {}
+        digest1 = frozenset({"minhash_lsh", "minhash_estimate", "user_sessions"})
         table_res = _run_spark_set(
             TABLE_QUERIES,
             capped=False,
             results=results,
             tier_dir=SF1,
+            digest=digest1,
+            digest_cols=dcols1,
         )
         table_res.update(
             _run_spark_set(
@@ -508,13 +705,19 @@ def main() -> None:
             print(f"  spark {sname}: FAILED {exc}"[:200])
         sspark.stop()
 
+        # r8: distributed Lloyd path past the driver K·d ceiling
+        _centroid_scale_probe(results)
+
         spark_frames = {**table_res, **capped_res}
 
         oracles = {q: REGISTRY[q][1] for q in TABLE_ORACLE_QUERIES}
         oracles.update(_generated_oracles())
         oracles[gname] = _cv.greedy_oracle_sql(60)
         oracles[sname] = _sql_semantic_dedup(160)
-        _oracle_compare(spark_frames, oracles, SF1, results)
+        _oracle_compare(spark_frames, oracles, SF1, results, digest_cols=dcols1)
+        for q in dcols1:
+            if q in results:
+                results[q]["digest"] = True
 
     # second decade, when bench_scale has landed the sf10 synthetic
     from bench_scale import SF10

@@ -585,8 +585,17 @@ def minhash_signatures(ex: DataFrame, n_hashes: int = 8) -> DataFrame:
         for i in range(n_hashes)
     ]
     vocab = ex.select("s").distinct().select("s", *hash_cols)
+    # shuffle_hash, both for scale and for planner sanity: the vocab
+    # (distinct shingles) grows with the corpus — on 100 TB it is
+    # billions of keys and must NEVER be broadcast, so the dictionary
+    # join is a shuffle join on s by design. And without the hint the
+    # planner actually broadcast the WRONG side here after the r8
+    # narrowing: the checkpointed shingle table's accurate 40 MB stats
+    # beat the vocab's (over)estimated distinct size, and building a
+    # 2.5M-row HashedRelation in the busy 1 GB driver failed
+    # ("Not enough memory to build and broadcast", sf1).
     return (
-        ex.join(vocab, "s")
+        ex.join(vocab.hint("shuffle_hash"), "s")
         .groupBy("doc_id")
         .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
     )

@@ -499,10 +499,19 @@ def train_centroids_distributed(
         .localCheckpoint(eager=True)
     )
     for _ in range(n_iters):
-        cdf = state.select("cell", "s")
-        dot_int = dot_cast(F.col("qv"), F.col("s"))
+        # norm precomputed ONCE per cell (K rows) instead of per
+        # joined row: sqrt(dot(s,s)) over the same bits is the same
+        # double either way (equality with the driver path is pinned
+        # by the unit tests and the at-scale probe), but inside the
+        # N·K cross join the per-row recompute doubled both the flops
+        # and the zip_with array allocations — at the probe's
+        # 20k x 4096 x 512 shape that is ~340 GB of avoidable
+        # allocation churn in a 1 GB heap.
+        cdf = state.select(
+            "cell", "s", F.sqrt(dot_cast(F.col("s"), F.col("s"))).alias("sn")
+        )
         scored = q.join(F.broadcast(cdf)).withColumn(
-            "score", dot_int / F.sqrt(dot_cast(F.col("s"), F.col("s")))
+            "score", dot_cast(F.col("qv"), F.col("s")) / F.col("sn")
         )
         best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
         assigned = (

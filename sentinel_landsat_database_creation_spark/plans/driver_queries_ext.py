@@ -494,8 +494,17 @@ SQL_SIGN_LSH_BUCKETS = (
 # constants are shared the same way.
 CONTAINMENT_THRESHOLD = 0.9
 CONTAINMENT_PROBE_SMALL_MAX = 45
-_CONT_BIG_ID = 2_000_000  # concat of docs 0..99 (~5.6k tokens)
-_CONT_SMALL_ID = 2_000_001  # first 40 tokens of doc 7
+# Planted ids are NEGATIVE so they can never collide with generated
+# doc ids at ANY tier: every synthetic corpus generates ids >= 0, and
+# the first fixture ids (2_000_000 / 2_000_001) collided with REAL
+# sf1 docs (the scale synthetic replicates copies at +1M id offsets),
+# at which point the two engines disagree on duplicate-id semantics —
+# Spark's groupBy(doc_id) unions the two texts' shingle sets while
+# DuckDB's per-row shingle lists stay separate (26 phantom pairs at
+# sf1, caught by verify_scale r8; sf0.01 ids never reach 2M, so the
+# driver gate couldn't see it).
+_CONT_BIG_ID = -1  # concat of docs 0..99 (~5.6k tokens)
+_CONT_SMALL_ID = -2  # first 40 tokens of doc 7
 _CONT_SMALL_SRC = 7
 _CONT_SMALL_TOKENS = 40
 _CONT_BIG_DOCS = 100

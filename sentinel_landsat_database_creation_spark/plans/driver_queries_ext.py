@@ -953,7 +953,16 @@ def q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
     can fold back onto their originals. Per doc: normalized-group
     size, whether it is the group's canonical survivor (min doc_id),
     and whether normalization changed its text — only 32-byte hashes
-    cross the shuffle."""
+    cross the shuffle.
+
+    Scale-tier id note: the +1M twin ids DO collide with the scale
+    synthetic's +1M-offset real doc ids, but unlike the containment
+    fixture (whose collision diverged the engines and moved to
+    negative ids — see _CONT_BIG_ID) this query never groups rows BY
+    doc_id: grouping is by normalized-text hash, both engines see the
+    identical row multiset, and the suffixed copies normalize to
+    distinct hashes, so no group ever mixes — digest-verified green
+    at both decades under exactly this overlap."""
     from pyspark.sql.window import Window
 
     from ..functions.text import normalize_text

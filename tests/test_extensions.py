@@ -1728,3 +1728,34 @@ def test_containment_small_side_probe_beats_lsh_recall(spark):
     r = probed[(1, 2)]
     assert r["cont_max"] == 1.0 and r["n_b"] == 39
     assert lsh_only <= set(probed)
+
+
+def test_containment_probe_cascade_boundary(spark):
+    """The PPJoin cascade's tight pigeonhole edge (r8): doc A has 10
+    shingles, B contains exactly 9 of them (cont = 0.9, AT the 0.9
+    threshold), and the one shingle B misses is deliberately A's
+    RAREST (df=1, first in the cascade's rarity order) — so of A's
+    2*miss+1 = 3 probed shingles, B matches exactly miss+1 = 2, the
+    minimum the count filter may demand. Any off-by-one in the probe
+    width or the match requirement drops this pair; the final float
+    threshold keeps it (9/10 >= 0.9 in IEEE doubles)."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # A = a0..a10 -> shingles a0_a1..a9_a10 (10). B repeats A's
+    # a1..a10 run (so a1_a2..a9_a10 are shared, df >= 2) inside
+    # filler; a0_a1 appears ONLY in A -> df=1 -> A's rarest.
+    a_tokens = [f"a{i}" for i in range(11)]
+    b_text = " ".join(["f1 f2 f3"] + a_tokens[1:] + ["f4 f5 f6"])
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_tokens)), (2, b_text)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["cont_max"])
+        for r in containment_pairs(
+            docs, threshold=0.9, probe_small_max=45
+        ).collect()
+    }
+    assert got[(1, 2)] == (9, 10, 0.9)

@@ -821,3 +821,73 @@ def test_containment_matches_python_reference(spark, texts, threshold):
         for r in containment_pairs(docs, threshold=threshold).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_texts, st.sampled_from([0.6, 0.9, 1.0]))
+def test_containment_probe_matches_python_reference(spark, texts, threshold):
+    """The small-side exact probe's SEMANTIC contract, independent of
+    the cascade that implements it: with probe_small_max set, the
+    result is exactly {pairs with cont_max >= t whose smaller side has
+    <= cutoff shingles} ∪ {LSH-candidate pairs with cont_max >= t}.
+    The PPJoin prefix+count cascade (r8) is supposed to be a lossless
+    candidate filter — this reference computes the contract directly
+    from shingle sets, so a cascade that drops a qualifying pair (the
+    sf1 bug class) fails here. The 8-word vocabulary makes every
+    shingle HOT (high df), which is the regime where the cascade's
+    rarity ordering does the least work — the adversarial case."""
+    import hashlib
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    n, n_hashes, bands, cutoff = 2, 8, 4, 6
+
+    def h60(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    def shingle_set(text):
+        t = text.split()
+        return {h60("_".join(t[i : i + n])) for i in range(len(t) - n + 1)}
+
+    def signature(sh):
+        return [min(h60(f"{i}:{s}") for s in sh) for i in range(n_hashes)]
+
+    def buckets(sg):
+        rows = n_hashes // bands
+        return {
+            (b << 60)
+            + h60("|".join(str(x) for x in sg[b * rows : (b + 1) * rows]))
+            for b in range(bands)
+        }
+
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    bks = {i: buckets(signature(s)) for i, s in sets.items() if s}
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            cont = inter / min(len(sets[a]), len(sets[b]))
+            lsh = a in bks and b in bks and bool(bks[a] & bks[b])
+            probed = min(len(sets[a]), len(sets[b])) <= cutoff
+            if cont >= threshold and (lsh or probed):
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]), cont)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_inter"],
+            r["n_a"],
+            r["n_b"],
+            r["cont_max"],
+        )
+        for r in containment_pairs(
+            docs, threshold=threshold, probe_small_max=cutoff
+        ).collect()
+    }
+    assert got == want

@@ -412,10 +412,17 @@ def train_centroids(
     for _ in range(n_iters):
         cdf = spark.createDataFrame(
             [(c, s) for c, s, _n in cents], "cell long, s array<long>"
+        ).select(
+            # norm once per cell (K rows), not per joined row — same
+            # sqrt input bits, so identical scores, at half the fold
+            # work inside the N·K cross join (see the distributed
+            # twin's docstring for the measured allocation story)
+            "cell",
+            "s",
+            F.sqrt(dot_cast(F.col("s"), F.col("s"))).alias("sn"),
         )
-        dot_int = dot_cast(F.col("qv"), F.col("s"))
         scored = q.join(F.broadcast(cdf)).withColumn(
-            "score", dot_int / F.sqrt(dot_cast(F.col("s"), F.col("s")))
+            "score", dot_cast(F.col("qv"), F.col("s")) / F.col("sn")
         )
         best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
         assigned = (
@@ -572,14 +579,19 @@ def ivf_topk_trained(
             [(c, s) for c, s, _n in centroids], "cell long, s array<long>"
         )
 
+    # norm once per cell (K rows) before the N·K assignment join —
+    # identical scores (same sqrt inputs), half the per-row fold work
+    cdf = cdf.select(
+        "cell", "s", F.sqrt(dot_cast(F.col("s"), F.col("s"))).alias("sn")
+    )
+
     def assign(vectors: DataFrame, probes: int) -> DataFrame:
         v = vectors.select(
             F.col(id_col), quantize_vec(F.col("embedding")).alias("qv")
         )
         scored = v.join(F.broadcast(cdf)).withColumn(
             "score",
-            dot_cast(F.col("qv"), F.col("s"))
-            / F.sqrt(dot_cast(F.col("s"), F.col("s"))),
+            dot_cast(F.col("qv"), F.col("s")) / F.col("sn"),
         )
         if probes == 1:
             best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))

@@ -778,6 +778,16 @@ def containment_pairs(
     ratios) and keep the LSH-candidacy caveat — stated, not hidden.
     Default None preserves the r7 LSH-only behavior.
 
+    Measured decade-2 shape (capped local[8], 1 GB, DISK_ONLY memo):
+    sf1 24.1 s -> sf10 ~150 s + ~35 s shared memo builds, 27,827
+    rows — exponent ~0.79, i.e. candidates track N when the
+    vocabulary grows with the corpus (the scale synthetic's
+    per-copy-suffixed tokens; a FIXED tiny vocabulary degrades
+    toward quadratic, which is what the cascade bounds). Not in the
+    tier-2 verify cohort only because the DuckDB side of its oracle
+    needs ~tens of minutes at sf10 — values are pinned exact at sf1
+    (4,799 rows) and sf0.01 under the driver hash.
+
     Returns (doc_a, doc_b, n_inter, n_a, n_b, cont_max) for candidate
     pairs with cont_max >= threshold; integer counts plus one IEEE
     division, so the DuckDB oracle hash-matches exactly."""
@@ -842,12 +852,20 @@ def containment_pairs(
         # on three-long rows before anything wide exists.
         pa = full_width(ranked, "s")
         pb = full_width(ex.select(F.col("doc_id").alias("doc_o"), "s"), "s")
-        probe = (
+        joined = (
             # shuffle_hash: the full shingle table is NOT broadcastable
             # (2.5M-row HashedRelation build died in the 1 GB driver at
             # sf1 even though its on-wire stats look small)
             pa.join(pb.hint("shuffle_hash"), "s")
             .filter(F.col("doc_s") != F.col("doc_o"))
+        )
+        probe = (
+            # the count-filter's hash-aggregate STATE is one entry per
+            # directed pair sharing a probed shingle (~270M at the sf10
+            # tier) — widened 8x over shuffle.partitions so the
+            # per-task map fits an executor share (full_width's factor
+            # docstring has the measured OOM boundary)
+            full_width(joined, "doc_s", "doc_o", factor=8)
             .groupBy("doc_s", "doc_o")
             .agg(
                 F.count(F.lit(1)).alias("m"), F.max("miss").alias("miss")

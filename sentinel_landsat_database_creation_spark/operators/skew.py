@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def full_width(df: DataFrame, *cols: str) -> DataFrame:
+def full_width(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
     """Repartition on ``cols`` with an EXPLICIT partition count (the
     session's shuffle.partitions), for the inputs of EXPANDING joins.
 
@@ -33,8 +33,22 @@ def full_width(df: DataFrame, *cols: str) -> DataFrame:
     A user-specified partition count is exempt from AQE coalescing, and
     since the join keys match the repartition keys the join reuses this
     exchange — no extra shuffle. Apply to both sides of the expanding
-    join; leave normal (non-expanding) joins to AQE."""
-    n_parts = int(
+    join; leave normal (non-expanding) joins to AQE.
+
+    ``factor`` multiplies the width for stages whose PER-TASK STATE
+    (not just output bytes) scales with the expansion — hash-aggregate
+    maps keyed by expanded pairs are the canonical case: a group count
+    over an expanding join's output holds ~groups/width entries per
+    task, and at width = shuffle.partitions the per-task map outgrows
+    the executor share long before the shuffled bytes matter
+    (measured r8: containment's probe count-filter at the sf10 tier —
+    ~270M directed-pair groups over 32 partitions is ~8.4M
+    groups/task, an OOM in the 1 GB harness at 8 slots; factor=8 puts
+    ~1M groups ≈ tens of MB per task, which fits and spills cleanly).
+    A repartition by the GROUP KEYS ahead of the groupBy satisfies the
+    aggregate's required distribution, so the widened exchange is the
+    only one."""
+    n_parts = factor * int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     return df.repartition(n_parts, *[F.col(c) for c in cols])

@@ -778,9 +778,10 @@ def containment_pairs(
     ratios) and keep the LSH-candidacy caveat — stated, not hidden.
     Default None preserves the r7 LSH-only behavior.
 
-    Measured decade-2 shape (capped local[8], 1 GB, DISK_ONLY memo):
-    sf1 24.1 s -> sf10 ~150 s + ~35 s shared memo builds, 27,827
-    rows — exponent ~0.79, i.e. candidates track N when the
+    Measured decade-2 shape (capped local[8], 1 GB, DISK_ONLY memo,
+    shared shingle/signature memo builds itemized out): sf1 ~18 s ->
+    sf10 ~150 s, 27,827 rows — exponent ~0.9, i.e. candidates track
+    N when the
     vocabulary grows with the corpus (the scale synthetic's
     per-copy-suffixed tokens; a FIXED tiny vocabulary degrades
     toward quadratic, which is what the cascade bounds). Not in the

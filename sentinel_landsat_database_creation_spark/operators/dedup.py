@@ -735,6 +735,7 @@ def containment_pairs(
     bands: int = 4,
     threshold: float = 0.6,
     probe_small_max: int | None = None,
+    probe_df_max: int | None = None,
 ) -> DataFrame:
     """One-sided shingle-set CONTAINMENT over the MinHash-LSH candidate
     pairs — the truncation/subset duplicate class that symmetric
@@ -769,9 +770,17 @@ def containment_pairs(
     is sound because cont_max's min() side IS the small doc). Extra
     work is bounded by (small-doc shingle rows) x (per-shingle
     document frequency) — the size-stratified budget a dedicated
-    containment search would spend; on a 100 TB corpus cap the probe
-    side's df the way the Jaccard bitmap dictionary does (df-bounded
-    dictionary) if boilerplate shingles dominate. Pairs where BOTH
+    containment search would spend. ``probe_df_max`` (r9, executable
+    form of the df-cap note) bounds that fan-out on
+    boilerplate-dominated corpora LOSSLESSLY: probe shingles past the
+    mandatory first miss+1 are kept only while their document
+    frequency is <= the cap (rarest-first order means the dropped
+    ones are exactly the hottest), and the count filter's demand
+    shrinks in step (see the plen accounting in the code). Worst case
+    — a small doc whose every shingle is hot — still probes its
+    miss+1 rarest, the pigeonhole minimum, so the fan-out bound drops
+    from (2*miss+1)*df_hot to (miss+1)*df_hot with recall untouched.
+    Pairs where BOTH
     sides exceed probe_small_max have bounded size ratio
     (min/max >= small_max/corpus_max is not guaranteed, but their
     Jaccard >= threshold*min/max stays in LSH range for moderate
@@ -819,17 +828,35 @@ def containment_pairs(
         #
         # For a pair to pass cont_max >= t with small side A
         # (|A| <= probe_small_max <= |B|), B may MISS at most
-        # miss = |A| - ceil(t*|A|) of A's shingles. So among A's
-        # k2 = 2*miss + 1 globally RAREST shingles (df asc, key asc —
-        # rarity order is engine-internal, the oracle never sees it),
-        # B must match at least miss + 1 (pigeonhole). Pairs where
-        # BOTH sides are small are probed from each side, so the
-        # smaller side's budget applies through its own direction.
-        # Both filters only ever DROP pairs that provably fail the
-        # final threshold — the result set (and thus the committed
-        # oracle, which states the unfiltered formulation) is
-        # IDENTICAL; the 1e-9 ceil slack is one-directionally safe
-        # (it can only shrink miss's subtrahend, i.e. ADD candidates).
+        # miss = |A| - ceil(t*|A|) of A's shingles. Pigeonhole, in its
+        # general form (r9, the r8 ADVICE bound): among ANY fixed
+        # subset of plen of A's shingles, B matches at least
+        # plen - miss — so probing A's plen globally RAREST shingles
+        # (df asc, key asc — rarity order is engine-internal, the
+        # oracle never sees it) and demanding m >= plen - miss is
+        # lossless for every plen >= miss + 1 (the minimum that
+        # guarantees a true pair shares >= 1 probed shingle and thus
+        # APPEARS in the join at all; miss + 1 <= |A| always, since
+        # ceil(t*|A|) >= 1 for t > 0). plen = 2*miss + 1 is the
+        # default width — it maximizes the count filter's selectivity
+        # (demand miss + 1 matches) — TRUNCATED to what actually
+        # exists or survives the df cap: min(2*miss+1, |A|) without a
+        # cap (|A| < 2*miss+1 exactly when t <= 0.5 — the regime the
+        # r8 fixed miss+1 demand silently over-filtered), minus any
+        # beyond-the-mandatory-miss+1 shingles hotter than
+        # probe_df_max with one. The demand shrinks in step with the
+        # kept count, so both filters still only ever DROP pairs that
+        # provably fail the final threshold — the result set (and
+        # thus the committed oracle, which states the unfiltered
+        # formulation) is IDENTICAL; the 1e-9 ceil slack is
+        # one-directionally safe (it can only shrink miss's
+        # subtrahend, i.e. ADD candidates).
+        if threshold <= 0:
+            raise ValueError(
+                "probe_small_max requires threshold > 0: at t <= 0 a "
+                "qualifying pair may share no shingle at all, which no "
+                "inverted-index probe can find"
+            )
         sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         miss = (
@@ -837,6 +864,16 @@ def containment_pairs(
             - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
         ).cast("long")
         wrk = Window.partitionBy("doc_id").orderBy("df", "s")
+        keep = F.col("rk") <= 2 * F.col("miss") + 1
+        if probe_df_max is not None:
+            keep = keep & (
+                (F.col("rk") <= F.col("miss") + 1)
+                | (F.col("df") <= F.lit(int(probe_df_max)))
+            )
+        # plen: the per-doc KEPT probe width — a second window over the
+        # same partitioning (no extra shuffle), counted after the keep
+        # filter so the count demand below matches what was probed
+        wcnt = Window.partitionBy("doc_id")
         ranked = (
             ex.join(
                 sizes.filter(F.col("n_sh") <= probe_small_max), "doc_id"
@@ -844,8 +881,9 @@ def containment_pairs(
             .join(dfreq, "s")
             .withColumn("miss", miss)
             .withColumn("rk", F.row_number().over(wrk))
-            .filter(F.col("rk") <= 2 * F.col("miss") + 1)
-            .select(F.col("doc_id").alias("doc_s"), "s", "miss")
+            .filter(keep)
+            .withColumn("plen", F.count(F.lit(1)).over(wcnt))
+            .select(F.col("doc_id").alias("doc_s"), "s", "miss", "plen")
         )
         # the probe join still EXPANDS (rare shingles fan out less,
         # but fan out) — full reducer width on both sides, like every
@@ -869,9 +907,17 @@ def containment_pairs(
             full_width(joined, "doc_s", "doc_o", factor=8)
             .groupBy("doc_s", "doc_o")
             .agg(
-                F.count(F.lit(1)).alias("m"), F.max("miss").alias("miss")
+                F.count(F.lit(1)).alias("m"),
+                F.max("miss").alias("miss"),
+                F.max("plen").alias("plen"),
             )
-            .filter(F.col("m") >= F.col("miss") + 1)
+            # the universally tight pigeonhole demand: B matched m of
+            # the plen probed, so it missed >= plen - m of them; a
+            # qualifying pair misses <= miss total. Equals the r8
+            # miss+1 demand exactly when the full 2*miss+1 prefix
+            # exists (t > 0.5, no df cap) — and stays lossless when it
+            # doesn't.
+            .filter(F.col("m") >= F.col("plen") - F.col("miss"))
             .select(
                 F.least("doc_s", "doc_o").alias("doc_a"),
                 F.greatest("doc_s", "doc_o").alias("doc_b"),
@@ -935,8 +981,14 @@ def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
     before that point — the knob is ``functions.text.hash60`` (its
     docstring holds the full cross-engine contract + ordering lemma).
     The DuckDB oracles mirror the identical substr(md5(...), 1, 15)
-    arithmetic, so the driver hash stays exact at any width."""
-    toks = F.split(F.col("text"), " ")
+    arithmetic, so the driver hash stays exact at any width.
+
+    NULL text coalesces to '' before tokenization (r9, closing the r7
+    ADVICE divergence): '' splits to [''] — one token, zero windows —
+    identically on both engines, so the PERMISSIVE JSONL ingest path's
+    NULL rows flow through the whole span family instead of tripping a
+    documented precondition. The oracles coalesce in the same place."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     return _memo_checkpoint(
         docs,
         ("spanpos60", span_tokens),
@@ -998,10 +1050,15 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
     )
+    # coalesce mirrors _span_occurrences (and the oracle): NULL text
+    # counts 1 token / 0 spans on both engines, not an engine-dependent
+    # greatest(NULL, 0)
     totals = docs.select(
         "doc_id",
         F.greatest(
-            F.size(F.split(F.col("text"), " ")) - (span_tokens - 1), F.lit(0)
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+            - (span_tokens - 1),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_spans"),
@@ -1054,17 +1111,18 @@ def scrub_spans(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
     document, the cheap alternative to a per-token anti range-join
     whose shuffle would carry every token of the corpus.
 
-    PRECONDITION (shared with the SQL oracle, r7 ADVICE): ``text``
-    must be non-NULL. On a NULL text this emits NULL kept_md5 /
-    n_tokens while the oracle's md5 coalesces differently — the two
-    engines would diverge. The driver tables and corpus sources
-    guarantee non-null text (the PERMISSIVE JSONL ingest path can
-    produce NULLs — filter or coalesce to '' BEFORE calling, on both
-    engines identically, if scrubbing such a corpus)."""
+    NULL text (r9, the deferred r7 ADVICE fix): coalesced to '' before
+    tokenization, exactly where the SQL oracle coalesces — a NULL-text
+    row from the PERMISSIVE JSONL ingest path emits (n_tokens=1,
+    n_ranges=0, n_removed=0, kept_md5=md5('')) identically on both
+    engines ('' splits to the single empty token on Spark and DuckDB
+    alike), instead of the NULL kept_md5 the two engines used to render
+    differently."""
     from pyspark.sql.window import Window
 
     k = span_tokens
-    toks = F.split(F.col("text"), " ")
+    text_nn = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(text_nn, " ")
     occ = _span_occurrences(docs, k)
     shared = (
         occ.groupBy("s")
@@ -1108,7 +1166,7 @@ def scrub_spans(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
         F.coalesce("n_ranges", F.lit(0)).cast("long").alias("n_ranges"),
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         F.md5(
-            F.when(F.col("rs").isNull(), F.col("text")).otherwise(
+            F.when(F.col("rs").isNull(), text_nn).otherwise(
                 F.concat_ws(" ", kept)
             )
         ).alias("kept_md5"),

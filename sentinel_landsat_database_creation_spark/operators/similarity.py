@@ -780,15 +780,19 @@ def semantic_dedup(
     integer columns only, so the DuckDB oracle is hash-exact (cosines
     are compared against the threshold, never emitted).
 
-    PRECONDITION (shared with the SQL oracle, r7 ADVICE): every
-    embedding (and centroid) must have NON-ZERO norm. A zero vector
-    makes every cosine 0/0 — NULL here, NaN in DuckDB's
-    list_cosine_similarity — so cell assignment and keep verdicts
-    would diverge cross-engine AND be semantically arbitrary (a zero
-    embedding carries no direction to dedup on). The driver
-    embeddings fixture and any L2-normalized pipeline output satisfy
-    this by construction; filter zero-norm rows out upstream (on both
-    engines identically) before calling on raw model output."""
+    Zero-norm embeddings (r9, the deferred r7 ADVICE fix): EXCLUDED by
+    an explicit norm > 0 filter before assignment, mirrored in the SQL
+    oracle's vector CTE. A zero vector makes every cosine 0/0 — NULL
+    here, NaN in DuckDB's list_cosine_similarity — so cell assignment
+    and keep verdicts would diverge cross-engine AND be semantically
+    arbitrary (a zero embedding carries no direction to dedup on);
+    deterministic exclusion is the only cross-engine-exact verdict for
+    such a row, and the PERMISSIVE ingest path can produce them.
+    Zero-norm rows are absent from the output entirely (they are
+    neither kept nor dropped — they never enter the pair space).
+    CENTROIDS must still have non-zero norm — that stays a documented
+    precondition (the caller owns centroid construction; the registry
+    entry and any k-means output satisfy it by construction)."""
     from .skew import full_width
 
     def dot_d(a, b):
@@ -798,6 +802,10 @@ def semantic_dedup(
             lambda acc, x: acc + x,
         )
 
+    # the zero-norm filter runs BEFORE assignment so degenerate vectors
+    # never reach the N×K scoring or the pair space (norm_cast is the
+    # same sqrt-of-fold the assignment itself uses)
+    embeddings = embeddings.filter(norm_cast(F.col("embedding")) > 0)
     cells = assign_cells(embeddings, centroids, id_col=id_col)
     v = (
         embeddings.select(

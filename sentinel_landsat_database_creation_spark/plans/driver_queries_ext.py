@@ -821,7 +821,8 @@ def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SPAN_DEDUP = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
 occ AS (
   SELECT doc_id, unnest(
            CASE WHEN len(toks) >= 8
@@ -865,7 +866,8 @@ def q_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SPAN_SCRUB = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
 occ AS (
   SELECT doc_id, unnest(
            CASE WHEN len(toks) >= 8
@@ -2665,8 +2667,10 @@ def _sql_semantic_dedup(n_centroids: int = 16, threshold: float = 0.35) -> str:
     semantic K-growth twin instantiates it at n_centroids ∝ N to
     check the documented linear-total-work path."""
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < {n_centroids}),
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v0 WHERE vec_id < {n_centroids}),
+v AS (SELECT vec_id, ev FROM v0
+      WHERE list_aggregate(list_transform(ev, x -> x * x), 'sum') > 0),
 a AS (
   SELECT v.vec_id, cent_id,
          row_number() OVER (PARTITION BY v.vec_id

@@ -1759,3 +1759,128 @@ def test_containment_probe_cascade_boundary(spark):
         ).collect()
     }
     assert got[(1, 2)] == (9, 10, 0.9)
+
+
+def test_span_family_null_text_matches_oracle(spark):
+    """The r9 NULL-text fix, cross-engine: a corpus containing a NULL
+    text row (the PERMISSIVE JSONL ingest shape) must produce
+    IDENTICAL scrub_spans / span_dedup output on Spark and on the
+    committed DuckDB oracles — NULL coalesces to '' (one empty token,
+    zero windows) on both engines, closing the r7 ADVICE divergence
+    where Spark emitted NULL kept_md5/n_tokens."""
+    import duckdb
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        scrub_spans,
+        span_dedup,
+    )
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        SQL_SPAN_DEDUP,
+        SQL_SPAN_SCRUB,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "z a b c d e f g h q"),  # shares the 8-token run with 1
+        (3, None),  # the NULL-edge row
+        (4, ""),  # and its coalesced twin
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    for fn, sql in ((scrub_spans, SQL_SPAN_SCRUB), (span_dedup, SQL_SPAN_DEDUP)):
+        got = [
+            tuple(r)
+            for r in fn(docs, span_tokens=8).orderBy("doc_id").collect()
+        ]
+        want = con.execute(sql).fetchall()
+        assert got == want, fn.__name__
+    # the NULL row is present, defined, and equals the ''-text row
+    scrubbed = {
+        r["doc_id"]: (r["n_tokens"], r["kept_md5"])
+        for r in scrub_spans(docs, span_tokens=8).collect()
+    }
+    assert scrubbed[3] == scrubbed[4]
+    assert scrubbed[3][0] == 1 and scrubbed[3][1] is not None
+
+
+def test_semantic_dedup_zero_norm_excluded_matches_oracle(spark):
+    """The r9 zero-norm fix, cross-engine: a zero embedding is
+    deterministically EXCLUDED (never assigned, never paired) on both
+    engines instead of riding a NULL-vs-NaN cosine divergence. The
+    oracle is the committed generator instantiated at the fixture's
+    K, run on the same rows in DuckDB."""
+    import duckdb
+
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        _sql_semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # near 0 -> dropped
+        (3, [0.0, 0.0, 0.0]),  # zero norm -> excluded entirely
+        (4, [0.0, 0.95, 0.05]),  # near 1 -> dropped
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    got = [
+        tuple(r)
+        for r in semantic_dedup(vecs, cent, threshold=0.9)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    want = con.execute(_sql_semantic_dedup(n_centroids=2, threshold=0.9)).fetchall()
+    assert got == want
+    ids = [r[0] for r in got]
+    assert 3 not in ids and sorted(ids) == [0, 1, 2, 4]
+    keep = {r[0]: r[2] for r in got}
+    assert keep == {0: 1, 1: 1, 2: 0, 4: 0}
+
+
+def test_containment_probe_df_cap_is_lossless(spark):
+    """probe_df_max worst case (r8 VERDICT item 4): small docs whose
+    EVERY shingle is boilerplate-hot (df far above the cap). The cap
+    may shrink the probe width only down to the mandatory miss+1
+    rarest shingles — never below — so the qualifying pair must
+    survive, and the full result set must equal the uncapped run
+    row-for-row."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    a_tokens = [f"a{i}" for i in range(11)]  # 10 bigram shingles
+    rows = [(1, " ".join(a_tokens))]
+    # B fully contains A (cont 1.0); filler makes B large
+    rows.append((2, " ".join(["f1 f2 f3"] + a_tokens + ["f4 f5 f6"])))
+    # 30 boilerplate carriers: each repeats ALL of A's shingles, so
+    # every probe-eligible shingle of A has df >= 32 >> cap
+    for d in range(3, 33):
+        rows.append((d, " ".join(a_tokens + [f"u{d}_1 u{d}_2"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+            for r in containment_pairs(
+                docs, threshold=0.9, probe_small_max=50, **kw
+            ).collect()
+        }
+
+    uncapped = run()
+    capped = run(probe_df_max=5)
+    assert capped == uncapped
+    assert (1, 2) in capped and capped[(1, 2)][0] == 10

@@ -142,3 +142,60 @@ def test_hash60_span_occurrence_matches_python(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _py120(s: str) -> tuple[int, int]:
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(h[:15], 16), int(h[15:30], 16)
+
+
+def test_hash120_three_engine_agreement(spark):
+    """The widened two-word key (r9): word 0 == hash60, word 1 is the
+    second 15-hex-char window — all three engines agree on the pair
+    over the same adversarial corpus the one-word contract uses."""
+    from sentinel_landsat_database_creation_spark.functions.text import (
+        hash120,
+    )
+
+    corpus = _corpus()
+    expected = [_py120(s) for s in corpus]
+
+    w0, w1 = hash120("s")
+    got_spark = [
+        (r.w0, r.w1)
+        for r in (
+            spark.createDataFrame([(s,) for s in corpus], "s string")
+            .select(w0.alias("w0"), w1.alias("w1"))
+            .collect()
+        )
+    ]
+    assert got_spark == expected
+    assert [a for a, _ in got_spark] == [_py60(s) for s in corpus]
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT,"
+            "       ('0x' || substr(md5(?), 16, 15))::BIGINT",
+            [s, s],
+        ).fetchone()
+        for s in corpus
+    ]
+    assert [tuple(r) for r in got_duck] == expected
+    assert all(0 <= a < 1 << 60 and 0 <= b < 1 << 60 for a, b in expected)
+
+
+def test_hash120_pairwise_min_commutes():
+    """Two-word ordering lemma: lexicographic (w0, w1) order equals
+    30-hex-char prefix order, so min over word pairs picks exactly the
+    lexicographic-min digest's words — the widened signature stays an
+    exact min-wise scheme."""
+    rng = random.Random(11)
+    for _ in range(200):
+        digests = [
+            hashlib.md5(f"{rng.random()}".encode()).hexdigest()
+            for _ in range(rng.randrange(2, 40))
+        ]
+        lex_min = min(digests)
+        pairs = [(int(d[:15], 16), int(d[15:30], 16)) for d in digests]
+        assert min(pairs) == (int(lex_min[:15], 16), int(lex_min[15:30], 16))

@@ -823,19 +823,23 @@ def test_containment_matches_python_reference(spark, texts, threshold):
     assert got == want
 
 
-@settings(max_examples=6, deadline=None)
-@given(_doc_texts, st.sampled_from([0.6, 0.9, 1.0]))
+@settings(max_examples=10, deadline=None)
+@given(_doc_texts, st.sampled_from([0.3, 0.4, 0.5, 0.6, 0.9, 1.0]))
 def test_containment_probe_matches_python_reference(spark, texts, threshold):
     """The small-side exact probe's SEMANTIC contract, independent of
     the cascade that implements it: with probe_small_max set, the
     result is exactly {pairs with cont_max >= t whose smaller side has
     <= cutoff shingles} ∪ {LSH-candidate pairs with cont_max >= t}.
-    The PPJoin prefix+count cascade (r8) is supposed to be a lossless
-    candidate filter — this reference computes the contract directly
-    from shingle sets, so a cascade that drops a qualifying pair (the
-    sf1 bug class) fails here. The 8-word vocabulary makes every
-    shingle HOT (high df), which is the regime where the cascade's
-    rarity ordering does the least work — the adversarial case."""
+    The PPJoin prefix+count cascade (r8/r9) is supposed to be a
+    lossless candidate filter — this reference computes the contract
+    directly from shingle sets, so a cascade that drops a qualifying
+    pair (the sf1 bug class) fails here. The 8-word vocabulary makes
+    every shingle HOT (high df), which is the regime where the
+    cascade's rarity ordering does the least work — the adversarial
+    case. Thresholds <= 0.5 (r8 ADVICE) exercise the truncated-prefix
+    regime where |A| < 2*miss+1 and the r8 fixed miss+1 demand
+    silently over-filtered — the r9 plen accounting must stay
+    lossless there."""
     import hashlib
 
     from sentinel_landsat_database_creation_spark.operators.dedup import (

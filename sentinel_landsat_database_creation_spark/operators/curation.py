@@ -198,6 +198,40 @@ def mixture_plan(
     silently skewing achieved vs keep_target. Divisors < 256 coarsen
     the quantization; the reported rate is then still exactly what the
     sampler applies."""
+    rows, rates = _mixture_math(docs, class_col, weights, n_buckets)
+    plan = docs.sparkSession.createDataFrame(
+        rows,
+        f"{class_col} string, n_docs long, weight long, "
+        "keep_target long, thresh long",
+    )
+    weighted_docs = docs.join(
+        F.broadcast(plan.select(class_col)), class_col, "left_semi"
+    )
+    achieved = (
+        stratified_sample(weighted_docs, class_col, rates)
+        .groupBy(class_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("achieved"))
+    )
+    return plan.join(achieved, class_col, "left").select(
+        class_col,
+        "n_docs",
+        "weight",
+        "keep_target",
+        "thresh",
+        F.coalesce("achieved", F.lit(0)).cast("long").alias("achieved"),
+    )
+
+
+def _mixture_math(
+    docs: DataFrame,
+    class_col: str,
+    weights: dict[str, int],
+    n_buckets: int,
+) -> tuple[list[tuple], dict[str, float]]:
+    """The shared integer plan arithmetic behind mixture_plan and
+    mixture_sample (see mixture_plan's docstring for the derivation):
+    per present weighted class, (class, n, weight, keep_target, thresh)
+    rows plus the sampler rates dict."""
     if n_buckets < 1 or 256 % n_buckets != 0:
         raise ValueError(
             "n_buckets must be a divisor of 256 (the hash-bucket "
@@ -222,27 +256,57 @@ def mixture_plan(
         thresh = keep * n_buckets // n
         rates[c] = thresh / n_buckets
         rows.append((c, n, w, keep, thresh))
-    plan = docs.sparkSession.createDataFrame(
-        rows,
-        f"{class_col} string, n_docs long, weight long, "
-        "keep_target long, thresh long",
+    return rows, rates
+
+
+def mixture_sample(
+    docs: DataFrame,
+    class_col: str,
+    weights: dict[str, int],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The EXECUTED side of ``mixture_plan``: the sampled document rows
+    themselves (every input column), for pipelines that feed the mixed
+    corpus onward (pack, write) instead of reporting the plan. Same
+    integer plan arithmetic (``_mixture_math``), same hash-bucket
+    sampler, same unweighted-class drop — a row survives iff
+    mixture_plan's ``achieved`` would count it. Narrow after the
+    #classes-row count probe: one broadcast semi-join on the class plus
+    the deterministic bucket filter (see stratified_sample for why hash
+    buckets, not RNG)."""
+    rows, rates = _mixture_math(docs, class_col, weights, n_buckets)
+    kept_classes = docs.sparkSession.createDataFrame(
+        [(c,) for c, *_ in rows], f"{class_col} string"
     )
     weighted_docs = docs.join(
-        F.broadcast(plan.select(class_col)), class_col, "left_semi"
+        F.broadcast(kept_classes), class_col, "left_semi"
     )
-    achieved = (
-        stratified_sample(weighted_docs, class_col, rates)
-        .groupBy(class_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("achieved"))
+    return stratified_sample(weighted_docs, class_col, rates)
+
+
+def pack_assignments(
+    docs: DataFrame, budget: int = 512, n_shards: int = 32
+) -> DataFrame:
+    """Per-document packing assignment — pack_sequences' underlying
+    (doc_id, shard, seq_id, n_toks) mapping, for pipelines that need to
+    know WHICH sequence each document landed in (e.g. the end-to-end
+    curation write, which fingerprints sequence contents). Same
+    shard-local streaming-fill rule; pack_sequences is exactly this
+    plus the per-sequence rollup."""
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
     )
-    return plan.join(achieved, class_col, "left").select(
-        class_col,
-        "n_docs",
-        "weight",
-        "keep_target",
-        "thresh",
-        F.coalesce("achieved", F.lit(0)).cast("long").alias("achieved"),
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    seq = F.floor(
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / F.lit(budget)
+    )
+    return sized.withColumn("seq_id", seq)
 
 
 def pack_sequences(
@@ -268,21 +332,8 @@ def pack_sequences(
     may overshoot the budget by at most one document's tokens, matching
     how training-data packers chunk an ordered token stream.
     """
-    sized = docs.select(
-        "doc_id",
-        (F.col("doc_id") % n_shards).alias("shard"),
-        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = F.floor(
-        F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / F.lit(budget)
-    )
     return (
-        sized.withColumn("seq_id", seq)
+        pack_assignments(docs, budget=budget, n_shards=n_shards)
         .groupBy("shard", "seq_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1757,104 +1757,95 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 8 prefix (mandatory FULL rotation, round-7 VERDICT item 1):
-# the 50-entry r6-green cohort spilled in r7 was last driver-checked
-# in r6 — the staleness deadline — so ALL of it rotates back into the
-# prefix, and the 50 r7-checked entries spill to the tail. A full
-# 50/50 swap leaves zero free slots, so capacity for this round's
-# plan-changing work comes from SEVEN in-prefix merges (the only
-# staleness-safe mechanism: both parents of every pair sit inside the
-# r8 prefix at merge time; merged entries are new and displace
-# nothing). The five merges designated by the r7 verdict/CLAUDE.md:
-#   pair_count_by_class + pair_count_compat -> pair_counts
-#   delta_neardup + lsh_append_probe       -> lsh_delta_checks
-#   customers_without_orders + click_only_users -> antijoin_checks
-#   weekly_type_pivot + revenue_rollup     -> pivot_rollup_checks
-#   top_orders + customer_order_rank       -> order_rank_checks
-# plus two same-family merges funding this round's other mandatory
-# plan changes (r7 VERDICT items 2 and 5 touch entries that would
-# otherwise sit plan-pinned in the tail):
-#   lsh_topk + ivf_topk                    -> ann_topk
-#   dedup_docs_exact + normalized_dedup    -> exact_dedup_checks
-# Each merged entry's docstring carries the coverage argument (green
-# only if BOTH parents' semantics are exact).
+# Round 9 prefix (mandatory rotation of the whole r8 tail): the 43
+# entries spilled in r8 were last driver-checked in r7 — the staleness
+# deadline — so ALL of them rotate back into the prefix. That leaves
+# 50 - 43 = 7 free slots, spent as:
+# - THREE new r9 entries (all land in the prefix per policy):
+#   train_centroids_distributed (the distributed Lloyd trainer hashed
+#   directly against the k-means oracle — r8 VERDICT item 2),
+#   stream_lsh_delta (incremental near-dup as a streaming plan, held
+#   to the batch lifecycle's oracle — item 6), and
+#   curation_pipeline_write (gate -> mixture -> corpus write -> pack,
+#   file-checked — item 6);
+# - FOUR r8-checked entries pulled forward instead of spilling:
+#   containment_dedup (the r9 tight-bound/plen count filter is a plan
+#   change — ADVICE fix — so it may not sit pinned in the tail),
+#   ivf_train_centroids (the collected trainer, kept beside its new
+#   distributed twin so BOTH paths are driver-hashed against the same
+#   oracle in the same round), pack_sequences (its operator was
+#   refactored onto pack_assignments for the curation write; the plan
+#   is verified identical, but touched code re-checks rather than
+#   spills), and lsh_delta_checks (delta_neardup is the shared code
+#   path under the new streaming entry — both lifecycles checked
+#   together).
+# Rotating entries whose code r9 deliberately changed — span_dedup /
+# span_scrub (NULL-text coalescing) and semantic_dedup (zero-norm
+# exclusion), the two r7-ADVICE oracle divergences fixed on BOTH
+# engines this round — are in the checked prefix by rotation, as the
+# policy requires for plan changes.
 #
-# The seven freed slots pull seven r7-checked entries forward into
-# the r8 prefix — exactly the ones whose plans r8 changes:
-# - the five MinHash-narrowing consumers that would have spilled
-#   pinned (minhash_estimate, neardup_pipeline, dedup_clusters_lss,
-#   containment_dedup, lsh_index_compact — the 60-bit shingle/
-#   signature keys change their plans AND oracles; the five r6-cohort
-#   consumers jaccard_neardup/minhash_lsh/dedup_clusters/
-#   delta_neardup/lsh_append_probe rotate in anyway, the last two
-#   inside lsh_delta_checks);
-# - winnow_fingerprint (the r7 VERDICT item-2 packing-bound guard is
-#   a plan change);
-# - pii_scrub (item-5 phone-pattern widening is a plan change).
-# Prefix = 36 rotating survivors + 7 merges + 7 pulled = 50, exactly
-# the driver's checked budget. Registry total 100 - 14 + 7 = 93;
-# tail = the 43 remaining r7-checked entries below.
-#
-# The 43 spilled below are r7-green (CORRECTNESS_r07: rows+schema+
-# hash, err null, all 50 prefix entries) and untouched by r8's work:
-# the narrowing touches only the minhash shingle/signature path
-# (span_dedup/span_scrub kept their separate, already-60-bit
-# _span_occurrences path; delta_dedup/doc_fingerprint hash whole
-# text, not shingles), the merges only add NEW functions around
-# untouched parents, and the ADVICE fixes for tail entries
-# (span_scrub NULL-text, semantic_dedup zero-norm) are docstring-only
-# precondition statements, chosen over code changes precisely to
-# keep those plans byte-identical under the snapshot pin. The four
-# streaming entries in this tail (stream_weekly_counts,
-# stream_dedup_keys, stream_dedup_ttl, stream_click_signup) are
-# session-variant and carry ALLOWED_UNPINNED_TAIL justifications +
-# batch twin pins (scripts/gen_plan_snapshot.py); the in-repo replica
-# (tests/test_oracle_equivalence.py) still checks ALL entries every
-# run.
+# The 46 spilled below are r8-green (CORRECTNESS_r08: rows+schema+
+# hash, err null, all 50 prefix entries) and untouched by r9's work:
+# the containment/span/semantic changes touch only prefix entries
+# (verified mechanically — the r9 snapshot diff against the r8
+# snapshot flagged exactly containment_dedup/span_dedup/span_scrub,
+# all in the r9 prefix; semantic_dedup's checkpoint-headed plan is
+# pinned post-checkpoint and it rotates into the prefix anyway), and
+# hash120 is a new function with no callers in registry plans. The
+# two streaming entries in this tail (stream_sessions,
+# stream_sessions_native) are session-variant and carry
+# ALLOWED_UNPINNED_TAIL justifications + the pinned batch
+# sessionization twin (user_sessions, also in this tail, plan-pinned);
+# the in-repo replica (tests/test_oracle_equivalence.py) still checks
+# ALL entries every run.
 _PROVEN_TAIL = [
-    "crop_pipeline",
-    "crop_slice_quality",
-    "catalog_week_class",
-    "compat_csv_roundtrip",
-    "event_funnel",
-    "retention_cohorts",
-    "weekly_click_signup_outer",
-    "distinct_users_by_type",
-    "doc_stats",
-    "embed_checks",
-    "stream_weekly_counts",
-    "stream_dedup_keys",
-    "stream_click_signup",
-    "media_frames",
-    "cosine_topk",
-    "sign_lsh_buckets",
-    "regex_tokens",
-    "lang_guess",
-    "doc_fingerprint",
-    "chunk_split",
-    "epoch_shuffle",
-    "stratified_sample",
-    "vocab_coverage",
-    "length_trim",
-    "bigram_nll",
-    "zorder_checks",
-    "semantic_dedup",
-    "ann_recall",
-    "bucketed_join_check",
-    "corpus_roundtrip",
-    "mixture_plan",
-    "stream_dedup_ttl",
-    "span_dedup",
-    "delta_dedup",
-    "ivf_probe2",
-    "quality_gate",
-    "salted_skew_checks",
-    "corpus_pruned_read",
-    "embed_normalize",
-    "media_checks",
-    "span_scrub",
-    "crop_volume",
-    "scene_tensors_int16",
+    "overlap_grid",
+    "catalog_event_labels",
+    "pair_counts",
+    "pairing_keys",
+    "pairing_compat",
+    "range_join_events",
+    "antijoin_checks",
+    "pivot_rollup_checks",
+    "user_value_moving_avg",
+    "doc_length_quantiles",
+    "pricing_summary",
+    "order_rank_checks",
+    "nation_revenue",
+    "promo_revenue",
+    "asof_last_click",
+    "shipping_lag",
+    "winnow_fingerprint",
+    "stream_sessions",
+    "stream_sessions_native",
+    "ann_topk",
+    "user_sessions",
+    "jaccard_neardup",
+    "minhash_lsh",
+    "neardup_pipeline",
+    "dedup_clusters",
+    "simhash_docs",
+    "embed_cosine_neardup",
+    "doc_repetition",
+    "decontaminate",
+    "tfidf_terms",
+    "unigram_nll",
+    "top_tokens_per_lang",
+    "dedup_clusters_lss",
+    "minhash_estimate",
+    "ann_recall_trained",
+    "pii_scrub",
+    "corpus_dedup_write",
+    "domain_quota",
+    "corpus_compact",
+    "media_neardup",
+    "corpus_cube",
+    "exact_dedup_checks",
+    "scene_tensors_volume",
+    "crop_volume_greedy",
+    "scene_tensors_compressed",
+    "lsh_index_compact",
 ]
 
 

@@ -1300,6 +1300,65 @@ FROM pairs ORDER BY batch_doc, corpus_doc
 SQL_LSH_DELTA_CHECKS = _sql_lsh_delta_checks()
 
 
+def q_stream_lsh_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup as a STREAM (r9, r8 VERDICT item 6): the
+    batch delta_neardup lifecycle — persisted v2 LSH index, incoming
+    batch probes buckets, exact Jaccard verify on candidates — run as
+    a Structured Streaming plan (streaming/lsh_delta.py): row-local
+    shingle/signature/bucket columns on the document stream, a
+    stream-static join against the index read from the SAME session
+    index files q_delta_neardup lands, a bounded candidate
+    dropDuplicates (the sole state), and a stream-static join against
+    the memoized corpus shingle arrays for verification. Drained with
+    availableNow into a memory sink; the whole table arrives in one
+    micro-batch (single parquet file), so the emitted set equals the
+    batch probe exactly and the entry shares SQL_DELTA_NEARDUP — the
+    streaming plan is held to the same hash as the batch one."""
+    import os as _os
+    import time as _time
+    import uuid
+
+    from ..operators.dedup import (
+        log_setup_time,
+        lsh_index_write,
+        shingle_rows_materialized,
+    )
+    from ..session import session_tmp_path
+    from ..streaming.lsh_delta import lsh_delta_stream
+
+    d = table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = session_tmp_path(spark, f"lsh_index_{tag}")
+    # same one-time session landing (and same path) as q_delta_neardup:
+    # whichever entry runs first pays it, charged to a setup: bench line
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        t0 = _time.perf_counter()
+        lsh_index_write(corpus, path)
+        log_setup_time("setup:lsh_index", _time.perf_counter() - t0)
+    index = spark.read.parquet(path)
+    corpus_sh = (
+        shingle_rows_materialized(corpus, 2)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    out = lsh_delta_stream(stream, index, corpus_sh, threshold=0.3)
+    name = f"stream_lsh_delta_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, 8):
+        _memory_drain(spark, out, name)
+    return spark.table(name).orderBy("batch_doc", "corpus_doc")
+
+
+SQL_STREAM_LSH_DELTA = SQL_DELTA_NEARDUP
+
+
 def q_lsh_index_compact(spark: SparkSession, sf: str) -> DataFrame:
     """Index maintenance part 3 under the driver's hash gate
     (operators/dedup.py:lsh_index_compact; previously pytest-only):
@@ -1897,6 +1956,39 @@ SELECT CAST(cell AS BIGINT) AS cell, CAST(i - 1 AS BIGINT) AS pos,
 FROM cf, range(1, 65) t(i)
 ORDER BY cell, pos
 """
+
+
+def q_train_centroids_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION-SCALE k-means path under the driver's hash gate
+    (r9, r8 VERDICT item 2): train_centroids_distributed
+    (operators/similarity.py) runs the same seeded Lloyd recurrence as
+    q_ivf_train_centroids but keeps centroid state as a
+    (cell, s array<long>, n) DataFrame fed back through a broadcast
+    join — no per-iteration driver collect, the only form that exists
+    past the K·d ceiling. Until r9 its correctness was transitively
+    argued (unit value-equality against the collected path, which the
+    oracle checks); this twin closes the gap by hashing the
+    distributed trainer's own output against the SAME closed-form
+    DuckDB recurrence, directly. Every value is an exact BIGINT
+    (quantized grid, sum-vector centroids), so the hash pins all
+    2 iterations x K=16 cells x 64 dims of the training."""
+    from ..operators.similarity import train_centroids_distributed
+
+    e = table(spark, sf, "embeddings")
+    state = train_centroids_distributed(e, n_centroids=16, n_iters=2)
+    return state.select(
+        F.col("cell").cast("long"),
+        F.posexplode("s").alias("pos", "sv"),
+        F.col("n").cast("long"),
+    ).select(
+        "cell",
+        F.col("pos").cast("long"),
+        F.col("sv").cast("long").alias("s"),
+        "n",
+    ).orderBy("cell", "pos")
+
+
+SQL_TRAIN_CENTROIDS_DISTRIBUTED = SQL_IVF_TRAIN_CENTROIDS
 
 
 def _sql_ivf_trained_topk(nprobe: int = 1) -> str:
@@ -3186,6 +3278,133 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def q_curation_pipeline_write(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation deliverable, file-checked (r9, r8 VERDICT
+    item 6): the full gate -> mixture -> write -> pack chain a
+    pretraining-data pipeline actually ships, with every stage's output
+    feeding the next and the final answer read FROM THE WRITTEN FILES:
+
+    1. quality_gate (C4-style keep: token band [20,120], top-16-vocab
+       coverage >= 0.2) filters the documents table;
+    2. mixture_sample executes the 40/15/15/15/15 en/de/es/fr/zh plan
+       (the same integer arithmetic mixture_plan reports) over the
+       GATED set via the deterministic hash-bucket sampler;
+    3. write_corpus lands the mixed corpus partitioned by lang;
+    4. pack_assignments packs the READ-BACK rows into 512-token
+       training sequences (32 shards).
+
+    Output: one row per packed sequence with n_docs, n_toks_packed,
+    and a content fingerprint (order-free sum of each member
+    document's md5-prefix BIGINT) — so the driver hash pins WHICH
+    documents survived both filters, that the written files carry
+    them, and which training sequence each landed in. The oracle
+    re-derives all four stages in SQL (gate CTEs from
+    SQL_QUALITY_GATE, the closed-form mixture thresholds, the same
+    windowed streaming-fill packing); all-integer output, exact."""
+    from ..operators.curation import (
+        mixture_sample,
+        pack_assignments,
+        quality_gate,
+    )
+    from ..session import session_tmp_path
+    from ..sources.corpus import write_corpus
+
+    docs = table(spark, sf, "documents")
+    gate = quality_gate(docs, min_toks=20, max_toks=120, min_coverage=0.2)
+    gated = docs.join(
+        gate.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sampled = mixture_sample(
+        gated, "lang", {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+    )
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = session_tmp_path(spark, f"curation_corpus_{tag}")
+    write_corpus(sampled, path, max_records_per_file=1000)
+    back = spark.read.parquet(path)
+    fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (
+        pack_assignments(back, budget=512, n_shards=32)
+        .join(back.select("doc_id", fp.alias("_fp")), "doc_id")
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks_packed"),
+            F.sum("_fp").cast("long").alias("content_fp"),
+        )
+        .select(
+            F.col("shard").cast("long"),
+            F.col("seq_id").cast("long"),
+            "n_docs",
+            "n_toks_packed",
+            "content_fp",
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+SQL_CURATION_PIPELINE_WRITE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT 16),
+hits AS (
+  SELECT doc_id, count(*) AS n_in_vocab
+  FROM t WHERE tok IN (SELECT tok FROM v) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+g AS (
+  SELECT d.*
+  FROM documents d
+  JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+  WHERE NOT (n_toks < 20 OR n_toks > 120
+             OR coalesce(n_in_vocab, 0)::DOUBLE / n_toks::DOUBLE < 0.2)
+),
+w(lang, wt) AS (
+  VALUES ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)
+),
+cnt AS (SELECT lang, count(*) AS n FROM g GROUP BY lang),
+j AS (SELECT cnt.lang, cnt.n, w.wt FROM cnt JOIN w USING (lang)
+      WHERE cnt.n > 0),
+tm AS (SELECT min(n * 100 // wt) AS tmax FROM j),
+th AS (
+  SELECT lang, least(tmax * wt // 100, n) * 256 // n AS thresh
+  FROM j CROSS JOIN tm
+),
+s AS (
+  SELECT g.doc_id, g.text
+  FROM g JOIN th USING (lang)
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+        < th.thresh
+),
+sized AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         len(string_split(text, ' ')) AS n_toks,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp
+  FROM s
+),
+cum AS (
+  SELECT shard, n_toks, fp,
+         coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS c
+  FROM sized
+),
+p AS (
+  SELECT shard, n_toks, fp,
+         CAST(floor(c::DOUBLE / 512) AS BIGINT) AS seq_id
+  FROM cum
+)
+SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks_packed,
+       CAST(sum(fp) AS BIGINT) AS content_fp
+FROM p GROUP BY shard, seq_id ORDER BY shard, seq_id
+"""
+
+
 def q_corpus_compact(spark: SparkSession, sf: str) -> DataFrame:
     """Small-files compaction end-to-end, checked from the ACTUAL
     written files (sources/corpus.py:compact_corpus): fragment the
@@ -3490,4 +3709,21 @@ REGISTRY_EXT = {
     # r7: LSH index compaction content-verified from the post-swap
     # files (write -> append -> compact -> per-band digest)
     "lsh_index_compact": (q_lsh_index_compact, SQL_LSH_INDEX_COMPACT),
+    # r9: the distributed Lloyd trainer hashed DIRECTLY against the
+    # closed-form k-means oracle (r8 VERDICT item 2 — until now its
+    # correctness was transitively argued through the collected path)
+    "train_centroids_distributed": (
+        q_train_centroids_distributed,
+        SQL_TRAIN_CENTROIDS_DISTRIBUTED,
+    ),
+    # r9: incremental near-dup as a STREAM (readStream -> row-local
+    # shingle/sig/bucket -> stream-static index probe -> verify),
+    # held to the batch lifecycle's exact oracle
+    "stream_lsh_delta": (q_stream_lsh_delta, SQL_STREAM_LSH_DELTA),
+    # r9: the end-to-end curation deliverable (gate -> mixture ->
+    # corpus write -> pack), summarized from the written files
+    "curation_pipeline_write": (
+        q_curation_pipeline_write,
+        SQL_CURATION_PIPELINE_WRITE,
+    ),
 }

@@ -111,6 +111,12 @@ CAPPED_QUERIES = [
     # its params_for tier; the Python-LZW decode loop is the per-file
     # cost, the plan is the same one-boundary pair-parallel shape)
     "scene_tensors_int16",
+    # r9: the streaming LSH-delta drain, probed the round it lands —
+    # same capped classification as lsh_delta_checks (its batch twin):
+    # the candidate state and the verify join's shingle arrays are the
+    # pair-space working set; the drain machinery itself adds a memory
+    # sink bounded by the VERIFIED pairs (tiny), not the corpus
+    "stream_lsh_delta",
 ]
 
 QUERIES = TABLE_QUERIES + CAPPED_QUERIES
@@ -138,6 +144,13 @@ DECADE2_QUERIES = [
     # + hash-only dictionary rows; pii_scrub is a pure projection
     "winnow_fingerprint",
     "pii_scrub",
+    # r9 (r8 VERDICT item 3): containment's decade-2 measurement moves
+    # from prose into the artifact. The PPJoin cascade + the r9 plen
+    # accounting keep the probe's hash-agg state bounded at sf10 under
+    # the capped conditions (measured r8: ~150 s, 27,827 rows); its
+    # tier-2 VERIFY is the in-engine digest (verify_scale.DIGEST_TIER2)
+    # because the full DuckDB oracle needs tens of minutes at sf10.
+    "containment_dedup",
 ]
 SECOND_DECADE_NOT_RUN = {
     # minhash_estimate left this dict in r8: the 60-bit key narrowing

@@ -86,6 +86,14 @@ EXTRA_UNCAPPED = [
     "winnow_fingerprint",
     "pii_scrub",
     "semantic_dedup",
+    # r9 entries, hash-verified at 10x the round they land:
+    # the distributed Lloyd trainer (broadcast-state recurrence; its
+    # PAST-THE-CEILING shape is separately proven by
+    # _centroid_scale_probe) and the end-to-end curation write (gate
+    # -> mixture -> corpus write -> pack; one vocab probe + narrow
+    # filters + a per-shard window — no pair space anywhere)
+    "train_centroids_distributed",
+    "curation_pipeline_write",
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in
@@ -117,7 +125,18 @@ from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 # is exact by design (longs / strings / bools — no engine-variant
 # float rendering enters the digest). user_sessions emits ~9.5M rows
 # at sf10; its full-frame collect killed the 1 GB Spark driver.
-DIGEST_TIER2 = {"user_sessions", "minhash_lsh", "minhash_estimate"}
+DIGEST_TIER2 = {
+    "user_sessions",
+    "minhash_lsh",
+    "minhash_estimate",
+    # r9 (r8 VERDICT item 3): containment joins the decade-2 cohort
+    # with the digest comparison — its sf10 result (~28k rows) would
+    # collect fine, but the DuckDB side's unfiltered pair formulation
+    # is the expensive half (~tens of minutes; the digest keeps the
+    # comparison in-engine on BOTH sides and O(1) rows on the wire,
+    # and the cost is paid once per offline full run)
+    "containment_dedup",
+}
 
 # Payload-pipeline tier-2 conditions: CAPPED_CONF with the per-slot
 # memory knobs one notch tighter (rationale at the call site).

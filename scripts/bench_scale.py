@@ -147,9 +147,10 @@ DECADE2_QUERIES = [
     # r9 (r8 VERDICT item 3): containment's decade-2 measurement moves
     # from prose into the artifact. The PPJoin cascade + the r9 plen
     # accounting keep the probe's hash-agg state bounded at sf10 under
-    # the capped conditions (measured r8: ~150 s, 27,827 rows); its
-    # tier-2 VERIFY is the in-engine digest (verify_scale.DIGEST_TIER2)
-    # because the full DuckDB oracle needs tens of minutes at sf10.
+    # the capped conditions (measured r9: 173.6 s, 27,827 rows); its
+    # tier-2 ORACLE half is excluded with two measured deaths — the
+    # unfiltered DuckDB formulation's spill exceeds the box's free
+    # disk (story + what IS verified: verify_scale.EXCLUDED_TIER2).
     "containment_dedup",
 ]
 SECOND_DECADE_NOT_RUN = {

@@ -106,6 +106,13 @@ TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
     "dedup_clusters",
     "lsh_delta_checks",
     "containment_dedup",
+    # r9: the streaming LSH-delta drain runs in the capped set (its
+    # membership comes from bench_scale.CAPPED_QUERIES) and is held to
+    # the batch lifecycle's oracle here exactly as at sf0.01 — this
+    # list is what builds the oracle dict, and omitting a capped
+    # runner is a KeyError at compare time (measured: the first r9
+    # full run died on exactly that after every frame had matched)
+    "stream_lsh_delta",
 ]
 
 # second decade: when bench_scale's sf10 synthetic exists, the
@@ -129,13 +136,42 @@ DIGEST_TIER2 = {
     "user_sessions",
     "minhash_lsh",
     "minhash_estimate",
-    # r9 (r8 VERDICT item 3): containment joins the decade-2 cohort
-    # with the digest comparison — its sf10 result (~28k rows) would
-    # collect fine, but the DuckDB side's unfiltered pair formulation
-    # is the expensive half (~tens of minutes; the digest keeps the
-    # comparison in-engine on BOTH sides and O(1) rows on the wire,
-    # and the cost is paid once per offline full run)
-    "containment_dedup",
+}
+
+# Tier-2 oracle exclusions, each with its measured story (the same
+# honesty contract as EXCLUDED below and bench_scale's
+# quadratic_baselines_excluded). containment_dedup: r9 attempted the
+# r8 VERDICT's in-engine-digest plan and MEASURED it infeasible on
+# this box — the UNFILTERED oracle formulation's distinct-pair state
+# at sf10 (the naive inverted-index self-join the PPJoin cascade
+# exists to avoid; ~1.7G directed probe rows on the
+# boilerplate-dominated synthetic) exceeded the ~73 GB of free disk
+# as spill TWICE: once under the default DuckDB session (died writing
+# .tmp under the repo) and once tuned (preserve_insertion_order=false,
+# threads=8, memory_limit=90GB, dedicated temp dir — died after ~55
+# min at 73 GB spilled). A chunked pure-output-partition evaluation
+# (WHERE doc_a % K = i, digests summed) bounds the DISTINCT state by
+# 1/K but re-runs the full probe join K times (~3-5 h at K=4) —
+# out of scope for a per-round artifact run on one node. What IS
+# verified: the cascade == unfiltered-oracle equivalence is
+# hash-pinned at sf0.01 (driver gate) and at sf1 (tier-1 full-frame
+# MATCH here, 341 s oracle), the sf10 Spark digest row count (27,827)
+# reproduces the r8 measurement exactly, and the sf10 TIMING is in
+# BENCH_SCALE.json's second decade (e 0.98). The exclusion is
+# recorded in the artifact so the gap is visible, not silent.
+EXCLUDED_TIER2 = {
+    "containment_dedup": (
+        "unfiltered-oracle DuckDB evaluation at sf10 needs more than "
+        "the box's 73 GB free disk as spill (two measured deaths: "
+        "default session, and preserve_insertion_order=false + "
+        "threads=8 + memory_limit=90GB + dedicated temp dir, ~55 min "
+        "in); chunked K-way evaluation bounds state but multiplies "
+        "the full probe join by K (~3-5 h at K=4). Equivalence to the "
+        "cascade is hash-pinned at sf0.01 (driver) and sf1 (tier-1 "
+        "full-frame MATCH, 341 s oracle); Spark's sf10 digest row "
+        "count 27,827 reproduces the r8 measurement; the sf10 timing "
+        "is recorded in BENCH_SCALE.json (second decade, e 0.98)."
+    ),
 }
 
 # Payload-pipeline tier-2 conditions: CAPPED_CONF with the per-slot
@@ -380,6 +416,19 @@ def _oracle_compare(
     digest_cols: dict | None = None,
 ) -> None:
     con = duckdb.connect()
+    # r9: tuned for the sf10-tier digest oracles. The containment
+    # digest's unfiltered pair formulation spilled past the ~73 GB of
+    # free disk under the DEFAULT session (measured: "No space left on
+    # device" from .tmp under the repo). Order never matters here —
+    # _normalize sorts full frames and the digests are order-free sums
+    # — and preserve_insertion_order=false removes the materialization
+    # that order guarantee costs; a bounded thread count bounds
+    # per-thread operator buffers; the explicit temp_directory keeps
+    # any residual spill off the repo tree.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='90GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     for t in tables:
         p = f"{tier_dir}/{t}.parquet"
@@ -587,6 +636,38 @@ def main() -> None:
         path.write_text(json.dumps(prior, indent=1) + "\n")
         print(f"\nSCALE VERIFY (tier1-patch merge): {n_pass}/{len(results)}")
         return
+    # --tier2-patch q1,q2: the tier-1 patch mode one tier up — re-run
+    # named queries at the sf10 tier (capped conditions, DIGEST_TIER2
+    # digest rules) and merge into the existing artifact's
+    # results_tier2. Exists because the sf10 containment digest is a
+    # multi-hour two-engine evaluation: repairing it after a harness
+    # fix must not cost the full ~40 min tier-1 run on top.
+    if "--tier2-patch" in sys.argv:
+        qnames = sys.argv[sys.argv.index("--tier2-patch") + 1].split(",")
+        path = Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json"
+        prior = json.loads(path.read_text())
+        results10 = prior["results_tier2"]
+        dcols: dict = {}
+        frames10 = _run_spark_set(
+            qnames,
+            capped=True,
+            results=results10,
+            tier_dir=SF10,
+            digest=frozenset(DIGEST_TIER2) & frozenset(qnames),
+            digest_cols=dcols,
+        )
+        oracles10 = {q: REGISTRY[q][1] for q in qnames}
+        _oracle_compare(frames10, oracles10, SF10, results10, digest_cols=dcols)
+        for q in dcols:
+            if q in results10:
+                results10[q]["digest"] = True
+        n_pass10 = sum(1 for r in results10.values() if r.get("values_match"))
+        prior["results_tier2"] = dict(sorted(results10.items()))
+        prior["n_checked_tier2"] = len(results10)
+        prior["n_pass_tier2"] = n_pass10
+        path.write_text(json.dumps(prior, indent=1) + "\n")
+        print(f"\nSCALE VERIFY (tier2-patch merge): {n_pass10}/{len(results10)}")
+        return
     # --centroids-only: (re)run just the centroid-scale probe and merge
     # it into the existing artifact — it needs no tier fixtures, so
     # iterating on it must not cost the ~40 min full run
@@ -748,8 +829,9 @@ def main() -> None:
         # harness heap at 32 slots
         print("second decade (sf10, local[8] capped) ...")
         dcols: dict = {}
+        tier2_run = [q for q in TIER2_QUERIES if q not in EXCLUDED_TIER2]
         frames10 = _run_spark_set(
-            TIER2_QUERIES,
+            tier2_run,
             capped=True,
             results=results10,
             tier_dir=SF10,
@@ -787,7 +869,7 @@ def main() -> None:
         )
 
         sp10 = _sv.params_for(SF10)
-        oracles10 = {q: REGISTRY[q][1] for q in TIER2_QUERIES}
+        oracles10 = {q: REGISTRY[q][1] for q in tier2_run}
         oracles10["scene_tensors_volume"] = _sv.scale_oracle_sql(
             sp10["n_pairs"], sp10["hrw"], sp10["lrw"]
         )
@@ -815,6 +897,7 @@ def main() -> None:
         "n_pass_tier2": n_pass10,
         "results_tier2": dict(sorted(results10.items())),
         "excluded": EXCLUDED,
+        "excluded_tier2": EXCLUDED_TIER2,
     }
     out = Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json"
     out.write_text(json.dumps(payload, indent=1) + "\n")

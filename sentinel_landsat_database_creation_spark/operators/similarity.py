@@ -642,6 +642,151 @@ def ivf_topk_trained(
     )
 
 
+def _l2_quant(a: Column, b: Column) -> Column:
+    """Exact squared-L2 distance between two quantized BIGINT arrays —
+    the same compact-fold discipline as dot_cast (no aliased pre-cast,
+    no unrolling); every term and the sum are exact 64-bit integers
+    (|x| ≤ 2·65536·max|e| per element, dsub terms — orders of magnitude
+    under the BIGINT range for any real embedding)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Quantized PQ subvector rows: (out_id, sub, sq) — the d-dim vector
+    on the exact 2^16 integer grid (quantize_vec), split into ``m``
+    contiguous ``dsub``-dim subspaces via one posexplode (m narrow rows
+    per vector, no shuffle)."""
+    qv = quantize_vec(F.col(vec_col))
+    subs = F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
+    return vectors.select(
+        F.col(id_col).alias(out_id), F.posexplode(subs).alias("sub", "sq")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    n_sub_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-Quantization ANN with ADC scoring (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    the compression half of the production 100 TB vector-search stack
+    (IVF prunes WHERE to look, PQ shrinks WHAT is scored):
+
+    - each vector is ENCODED once as m sub-codebook ids (here m=4 codes
+      over 16-dim subspaces): at 100 TB a 64-dim float vector's 256 B
+      payload becomes m single-byte codes — the candidate table the
+      probe actually scans is ~64× narrower, and the raw vectors are
+      touched only to rerank the final k rows per query;
+    - a query builds an m × k* lookup table of exact integer squared-L2
+      distances to every sub-centroid (tiny, broadcast), and a
+      candidate's approximate distance is the SUM of m LUT entries
+      keyed by its codes — per-candidate work is m integer adds over
+      the code table, no float arrays move, no vector payload shuffles.
+
+    Determinism/oracle design mirrors ivf_topk: sub-codebooks are the
+    deterministic stand-in "subvectors of the first k* corpus vectors"
+    (plug per-subspace trained centroids in on a real corpus — the plan
+    shape is unchanged), all distances are exact BIGINTs on the
+    quantize_vec grid (cross-engine identical), ranking ties break on
+    lowest candidate id, and the emitted ``cos`` is the exact float
+    cosine of the k returned pairs (the rerank presentation), computed
+    with the same dot_cast arithmetic the other ANN paths hash against.
+
+    Plan shape: encode = one narrow N·m·k* scoring join against the
+    broadcast codebook folded by a map-side struct-min (assign_cells'
+    full-corpus discipline — no window over the corpus); ADC = the
+    (N·m)-row code table joined to the broadcast LUT and summed; only
+    the ≤ nq·k ranked rows ever rejoin the raw vectors."""
+    d = embedding_dim(embeddings, vec_col)
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    codebook = pq_subvectors(
+        embeddings.filter(F.col(id_col) < n_sub_centroids),
+        m,
+        dsub,
+        id_col,
+        vec_col,
+        out_id="cent_id",
+    ).withColumnRenamed("sq", "cv")
+
+    # encode the corpus: argmin sub-centroid per (vector, subspace) via
+    # struct-min — partial map-side aggregation, safe for the full corpus
+    sub_c = pq_subvectors(embeddings, m, dsub, id_col, vec_col, out_id="cid")
+    dist_c = sub_c.join(F.broadcast(codebook), "sub").withColumn(
+        "dist", _l2_quant(F.col("sq"), F.col("cv"))
+    )
+    best = F.min(F.struct(F.col("dist"), F.col("cent_id")))
+    codes = (
+        dist_c.groupBy("cid", "sub")
+        .agg(best.alias("b"))
+        .select("cid", "sub", F.col("b.cent_id").alias("code"))
+    )
+
+    # per-query LUT: exact distance to EVERY sub-centroid (nq·m·k* rows)
+    lut = (
+        pq_subvectors(queries, m, dsub, id_col, vec_col, out_id="qid")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "sub",
+            F.col("cent_id").alias("code"),
+            _l2_quant(F.col("sq"), F.col("cv")).alias("d"),
+        )
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("cid"))
+    ranked = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+    # exact-cosine rerank presentation on the ≤ nq·k surviving rows
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_cast(F.col("qv")))
+    cv = embeddings.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm_cast(F.col("cv")))
+    return (
+        ranked.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .withColumn(
+            "cos",
+            dot_cast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+        .select(
+            F.col("qid").cast("long"),
+            F.col("rnk").cast("long"),
+            F.col("cid").cast("long"),
+            F.col("cos"),
+        )
+    )
+
+
 def topk_recall(exact: DataFrame, approxes: dict[str, DataFrame]) -> DataFrame:
     """recall@k of approximate top-k results against the brute-force
     baseline — the number a 100 TB user tunes LSH bits / IVF cell counts

@@ -172,18 +172,24 @@ def quality_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def regex_token_counts(docs: DataFrame) -> DataFrame:
-    """BPE-ish regex tokenization counts: word tokens vs non-word
-    symbols — the standard pre-tokenizer split."""
-    return docs.select(
-        F.col("doc_id").cast("long"),
+def _regex_token_cols() -> list[Column]:
+    """The BPE-ish pre-tokenizer split counts as named columns — the
+    single definition regex_token_counts and the r9 merged
+    token_fingerprint_stats both project."""
+    return [
         F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z0-9]+"))
         .cast("long")
         .alias("n_word_tokens"),
         F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
         .cast("long")
         .alias("n_symbol_tokens"),
-    )
+    ]
+
+
+def regex_token_counts(docs: DataFrame) -> DataFrame:
+    """BPE-ish regex tokenization counts: word tokens vs non-word
+    symbols — the standard pre-tokenizer split."""
+    return docs.select(F.col("doc_id").cast("long"), *_regex_token_cols())
 
 
 def rolling_fingerprint(text: Column) -> Column:
@@ -196,6 +202,18 @@ def rolling_fingerprint(text: Column) -> Column:
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: (acc * ROLLING_BASE + tok_hash(t)) % ROLLING_MOD,
+    )
+
+
+def token_fingerprint_stats(docs: DataFrame) -> DataFrame:
+    """r9 merged single-scan projection: regex_token_counts' column set
+    plus the rolling document fingerprint, one row-local select over
+    the documents table (no join, no shuffle — the merge must not cost
+    a plan shape either parent didn't have)."""
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        *_regex_token_cols(),
+        rolling_fingerprint(F.col("text")).alias("fp"),
     )
 
 

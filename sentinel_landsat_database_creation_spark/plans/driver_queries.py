@@ -1782,8 +1782,17 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # Rotating entries whose code r9 deliberately changed — span_dedup /
 # span_scrub (NULL-text coalescing) and semantic_dedup (zero-norm
 # exclusion), the two r7-ADVICE oracle divergences fixed on BOTH
-# engines this round — are in the checked prefix by rotation, as the
-# policy requires for plan changes.
+# engines this round, plus ann_recall (widened with the 'pq'
+# product-quantization recall arm, operators/similarity.py:pq_topk)
+# — are in the checked prefix by rotation, as the policy requires
+# for plan changes. One additional in-prefix merge funds one more r9
+# entry: the two single-scan documents projections regex_tokens +
+# doc_fingerprint merge into token_fingerprint_checks (one row-local
+# select carrying both parents' column sets — the doc_stats merge
+# shape), and the freed slot lands pq_topk (the full PQ/ADC ranking
+# under its own hash). ann_topk keeps its pinned PLAN unchanged in the
+# tail (snapshot hash identical) — the pq method joins its union only when that entry next
+# rotates into the prefix.
 #
 # The 46 spilled below are r8-green (CORRECTNESS_r08: rows+schema+
 # hash, err null, all 50 prefix entries) and untouched by r9's work:

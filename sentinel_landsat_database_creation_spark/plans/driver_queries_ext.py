@@ -39,8 +39,6 @@ from ..operators.similarity import brute_force_topk, sign_lsh_buckets
 from ..operators.textops import (
     LANG_PROFILES,
     language_id,
-    regex_token_counts,
-    rolling_fingerprint,
     top_tokens_per_lang,
     ROLLING_BASE,
     ROLLING_MOD,
@@ -624,14 +622,33 @@ ORDER BY doc_a, doc_b
 SQL_CONTAINMENT_DEDUP = _sql_containment()
 
 
-def q_regex_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    return regex_token_counts(table(spark, sf, "documents")).orderBy("doc_id")
+def q_token_fingerprint_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """r9 merge: regex_tokens + doc_fingerprint under one driver hash —
+    the same single-scan-projection merge shape as r7's doc_stats
+    (both parents are row-local expressions over the documents table
+    with no join and no shuffle, so the merged entry is ONE projection
+    carrying both parents' column sets unchanged: the BPE-ish
+    word/symbol regex counts and the order-sensitive polynomial
+    rolling fingerprint). Any drift in either regex, the token split,
+    or the rolling-hash arithmetic flips the merged hash. Both parents
+    sat inside the r9 checked prefix at merge time (rotation policy);
+    the freed slot funds the new pq_topk entry."""
+    from ..operators.textops import token_fingerprint_stats
+
+    return token_fingerprint_stats(table(spark, sf, "documents")).orderBy(
+        "doc_id"
+    )
 
 
-SQL_REGEX_TOKENS = """
+SQL_TOKEN_FINGERPRINT_CHECKS = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_word_tokens,
-       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r]')) AS BIGINT) AS n_symbol_tokens
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r]')) AS BIGINT) AS n_symbol_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+         (a, x) -> (a * {ROLLING_BASE} + x) % {ROLLING_MOD}) AS fp
 FROM documents ORDER BY doc_id
 """
 
@@ -757,25 +774,6 @@ SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
             ELSE 0.0 END AS rep_ngram_ratio
 FROM sh JOIN mx ON sh.doc_id = mx.doc_id
 ORDER BY doc_id
-"""
-
-
-def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
-    return docs.select(
-        F.col("doc_id").cast("long"),
-        rolling_fingerprint(F.col("text")).alias("fp"),
-    ).orderBy("doc_id")
-
-
-SQL_DOC_FINGERPRINT = f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(text, ' '),
-             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
-         (a, x) -> (a * {ROLLING_BASE} + x) % {ROLLING_MOD}) AS fp
-FROM documents ORDER BY doc_id
 """
 
 
@@ -1310,10 +1308,16 @@ def q_stream_lsh_delta(spark: SparkSession, sf: str) -> DataFrame:
     index files q_delta_neardup lands, a bounded candidate
     dropDuplicates (the sole state), and a stream-static join against
     the memoized corpus shingle arrays for verification. Drained with
-    availableNow into a memory sink; the whole table arrives in one
-    micro-batch (single parquet file), so the emitted set equals the
-    batch probe exactly and the entry shares SQL_DELTA_NEARDUP — the
-    streaming plan is held to the same hash as the batch one."""
+    availableNow into a memory sink; the candidate dropDuplicates is
+    keyed state shared ACROSS micro-batches, so the emitted set equals
+    the batch probe whether the table arrives as one file (the
+    testdata layout) or as a directory of part files (the scale
+    synthetics — r9 fix, caught by the 10x hash gate: the glob form
+    matches ZERO files on the directory layout and silently streamed
+    an empty table, while FileStreamSource refuses single-file paths,
+    so the source branches on the fixture layout at plan time), and
+    the entry shares SQL_DELTA_NEARDUP —
+    the streaming plan is held to the same hash as the batch one."""
     import os as _os
     import time as _time
     import uuid
@@ -1343,12 +1347,21 @@ def q_stream_lsh_delta(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.collect_list("s").alias("sh"))
     )
     raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf)
-        .filter(F.col("doc_id") % 10 == 0)
-    )
+    # FileStreamSource accepts only DIRECTORIES ("Option 'basePath'
+    # must be a directory"): the testdata layout is a single file (so
+    # glob the parent for it), the scale synthetics are Spark-written
+    # directories (so read the directory itself — the glob form
+    # matches zero FILES there and silently streams nothing)
+    doc_path = _os.path.join(sf, "documents.parquet")
+    if _os.path.isdir(doc_path):
+        reader = spark.readStream.schema(raw_schema).parquet(doc_path)
+    else:
+        reader = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+    stream = reader.filter(F.col("doc_id") % 10 == 0)
     out = lsh_delta_stream(stream, index, corpus_sh, threshold=0.3)
     name = f"stream_lsh_delta_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, 8):
@@ -1769,10 +1782,70 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     Both parents sat in the rotating r6-green cohort (inside the r8
     prefix at merge time); the freed slot pulls lsh_index_compact
     forward for the narrowing (its persisted bucket column goes
-    string -> long)."""
+    string -> long). NOTE (r9): the third ANN method, PQ/ADC, gets its
+    OWN prefix entry (q_pq_topk) rather than widening this union —
+    this entry sits plan-pinned in the r9 tail, so its bytes must not
+    move this round; fold the union three-way when it next rotates."""
     lsh = q_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "*")
     ivf = q_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "*")
     return lsh.unionByName(ivf).orderBy("method", "qid", "rnk")
+
+
+def _sql_pq_topk(m: int = 4, dsub: int = 16, ksub: int = 16, k: int = 3) -> str:
+    """DuckDB mirror of pq_topk: the same quantize_vec grid, the same
+    exact-BIGINT squared-L2 sub-distances (indexed directly into the
+    quantized array — sub s covers elements s*dsub+1 .. s*dsub+dsub,
+    exactly Spark's F.slice window), argmin codes with the same
+    (dist, cent_id) tie-break, ADC as the m-term LUT sum, and the
+    exact cosine of the ranked pairs. sum(BIGINT) is HUGEINT in
+    DuckDB — cast back before it reaches the hashed frame."""
+    sq = (
+        f"(SELECT sum((v.qv[s.sub*{dsub}+i] - c.qv[s.sub*{dsub}+i])"
+        f" * (v.qv[s.sub*{dsub}+i] - c.qv[s.sub*{dsub}+i]))"
+        f" FROM range(1, {dsub + 1}) t(i))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 65536) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dist AS (
+  SELECT v.vec_id, s.sub, c.vec_id AS cent_id, CAST({sq} AS BIGINT) AS dist
+  FROM v
+  CROSS JOIN range(0, {m}) s(sub)
+  CROSS JOIN (SELECT * FROM v WHERE vec_id < {ksub}) c
+),
+codes AS (
+  SELECT vec_id, sub, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, cent_id) AS rn
+    FROM dist) WHERE rn = 1
+),
+adc AS (
+  SELECT d.vec_id AS qid, c.vec_id AS cid, CAST(sum(d.dist) AS BIGINT) AS adc
+  FROM codes c
+  JOIN dist d ON d.sub = c.sub AND d.cent_id = c.code
+  WHERE d.vec_id < 5 AND d.vec_id != c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rnk
+  FROM adc
+)
+SELECT CAST(r.qid AS BIGINT) AS qid, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(r.cid AS BIGINT) AS cid,
+       list_cosine_similarity(qv2.ev, cv2.ev) AS cos
+FROM ranked r
+JOIN v qv2 ON qv2.vec_id = r.qid
+JOIN v cv2 ON cv2.vec_id = r.cid
+WHERE r.rnk <= {k}
+ORDER BY qid, rnk
+"""
+
+
+SQL_PQ_TOPK = _sql_pq_topk()
 
 
 SQL_ANN_TOPK = f"""
@@ -1784,13 +1857,38 @@ ORDER BY method, qid, rnk
 """
 
 
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-Quantization ANN with ADC scoring as its own driver
+    entry (r9; operators/similarity.py:pq_topk, Jégou et al. TPAMI
+    2011) — the compression half of the production IVF-PQ stack: the
+    full (qid, rnk, cid) ranking decided by exact-BIGINT sub-codebook
+    distances on the quantize_vec grid, plus the exact rerank cosine
+    of each returned pair, all under one hash. Funded by merging the
+    two single-scan documents projections regex_tokens +
+    doc_fingerprint into token_fingerprint_checks (both inside the r9
+    prefix at merge time). Joins ann_topk's union when that entry
+    next rotates out of its pinned tail."""
+    from ..operators.similarity import pq_topk
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_topk(e, q, k=3, m=4, n_sub_centroids=16).orderBy("qid", "rnk")
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """recall@k of the two approximate ANN paths (IVF nprobe=1, sign-LSH
-    buckets) against the brute-force baseline — the tuning number a real
-    100 TB user watches when trading candidate-set size for recall
+    """recall@k of the approximate ANN paths (IVF nprobe=1, sign-LSH
+    buckets, and — since r9 — PQ/ADC) against the brute-force baseline
+    — the tuning number a real 100 TB user watches when trading
+    candidate-set size (and, for PQ, code budget m·log2 k*) for recall
     (operators/similarity.py:topk_recall). Integer hit counts, so the
-    oracle is exact."""
-    from ..operators.similarity import bucketed_topk, ivf_topk, topk_recall
+    oracle is exact. The pq widening is a deliberate plan change to an
+    entry inside the r9 checked prefix; snapshot regenerated."""
+    from ..operators.similarity import (
+        bucketed_topk,
+        ivf_topk,
+        pq_topk,
+        topk_recall,
+    )
 
     e = table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
@@ -1800,6 +1898,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         {
             "ivf": ivf_topk(e, q, k=3, n_centroids=16),
             "lsh": bucketed_topk(e, q, k=3, n_bits=8),
+            "pq": pq_topk(e, q, k=3, m=4, n_sub_centroids=16),
         },
     ).orderBy("method")
 
@@ -1812,6 +1911,7 @@ def _sql_ann_recall() -> str:
 WITH bf AS ({SQL_COSINE_TOPK}),
 ivf AS ({SQL_IVF_TOPK}),
 lshr AS ({SQL_LSH_TOPK}),
+pqr AS ({SQL_PQ_TOPK}),
 tot AS (SELECT count(DISTINCT qid) AS nq, count(*) AS np FROM bf)
 SELECT 'ivf' AS method, CAST(nq AS BIGINT) AS n_queries,
        CAST(np AS BIGINT) AS n_possible,
@@ -1826,6 +1926,14 @@ SELECT 'lsh' AS method, CAST(nq AS BIGINT) AS n_queries,
        CAST((SELECT count(*) FROM lshr JOIN bf USING (qid, cid)) AS BIGINT)
          AS n_hits,
        (SELECT count(*) FROM lshr JOIN bf USING (qid, cid))::DOUBLE
+         / np::DOUBLE AS recall
+FROM tot
+UNION ALL
+SELECT 'pq' AS method, CAST(nq AS BIGINT) AS n_queries,
+       CAST(np AS BIGINT) AS n_possible,
+       CAST((SELECT count(*) FROM pqr JOIN bf USING (qid, cid)) AS BIGINT)
+         AS n_hits,
+       (SELECT count(*) FROM pqr JOIN bf USING (qid, cid))::DOUBLE
          / np::DOUBLE AS recall
 FROM tot
 ORDER BY method
@@ -3620,9 +3728,12 @@ REGISTRY_EXT = {
     # r7 merge partner of doc_stats (driver_queries.py): doc_quality
     # retired into it; the freed slot funds containment_dedup.
     "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
-    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "token_fingerprint_checks": (
+        q_token_fingerprint_checks,
+        SQL_TOKEN_FINGERPRINT_CHECKS,
+    ),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     # r7 merge (late, same mechanism as salted_skew_checks): chunking
     # and the 90/5/5 split now ride one hash at chunk granularity

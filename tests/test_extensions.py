@@ -1884,3 +1884,57 @@ def test_containment_probe_df_cap_is_lossless(spark):
     capped = run(probe_df_max=5)
     assert capped == uncapped
     assert (1, 2) in capped and capped[(1, 2)][0] == 10
+
+
+def test_pq_topk_matches_python_reference(spark):
+    """pq_topk's whole decision surface — quantize grid, per-subspace
+    argmin codes with the (dist, cent_id) tie-break, m-term ADC sums,
+    (adc, cid) ranking — against a from-the-paper pure-Python ADC
+    reference (Jégou et al. TPAMI 2011) in exact integer arithmetic."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    m, dsub, ksub, k = 4, 16, 16, 3
+    e = table(spark, SF, "embeddings").filter(F.col("vec_id") < 400)
+    q = e.filter(F.col("vec_id") < 5)
+
+    def grid(x: float) -> int:  # half-away-from-zero, like F.round
+        import math
+
+        y = float(x) * 65536.0
+        return int(math.floor(abs(y) + 0.5)) * (1 if y >= 0 else -1)
+
+    vecs = {
+        r["vec_id"]: [grid(x) for x in r["embedding"]]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+
+    def sub_d(a: int, c: int, s: int) -> int:
+        va, vc = vecs[a], vecs[c]
+        return sum(
+            (va[s * dsub + i] - vc[s * dsub + i]) ** 2 for i in range(dsub)
+        )
+
+    cents = [cid for cid in sorted(vecs) if cid < ksub]
+    codes = {
+        (vid, s): min(cents, key=lambda c: (sub_d(vid, c, s), c))
+        for vid in vecs
+        for s in range(m)
+    }
+    expected = {}
+    for qid in range(5):
+        adc = {
+            cid: sum(sub_d(qid, codes[(cid, s)], s) for s in range(m))
+            for cid in vecs
+            if cid != qid
+        }
+        top = sorted(adc, key=lambda c: (adc[c], c))[:k]
+        for rnk, cid in enumerate(top, 1):
+            expected[(qid, rnk)] = cid
+
+    got = {
+        (r["qid"], r["rnk"]): r["cid"]
+        for r in pq_topk(e, q, k=k, m=m, n_sub_centroids=ksub).collect()
+    }
+    assert got == expected

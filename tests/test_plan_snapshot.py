@@ -155,7 +155,7 @@ def test_every_twin_is_pinned():
 def test_unpinned_allowlist_is_closed():
     """The ALLOWED_UNPINNED_TAIL escape hatch must not grow silently
     (r7 VERDICT item 6): every member needs a written justification
-    AND deliberate enrollment here. The six streaming drains are the
+    AND deliberate enrollment here. The seven streaming drains are the
     only plans whose analyzed form embeds per-run stream state that
     no normalization can scrub; each is guarded by its exact oracle
     in the in-repo replica plus a pinned batch twin (twin_plans /
@@ -172,6 +172,9 @@ def test_unpinned_allowlist_is_closed():
         "stream_dedup_keys",
         "stream_dedup_ttl",
         "stream_click_signup",
+        # r10: spills to the tail for the first time; justified by the
+        # exact batch oracle + the new twin_stream_lsh_delta pin
+        "stream_lsh_delta",
     }
     assert set(ALLOWED_UNPINNED_TAIL) == enrolled, (
         "ALLOWED_UNPINNED_TAIL changed without deliberate enrollment: "

@@ -100,9 +100,12 @@ EXTRA_UNCAPPED = [
     # CTE is N*m*k* ~ 2.6M exact-BIGINT sub-sums at sf1) and
     # jsonl_quarantine (one fixture write + one PERMISSIVE read + a
     # lang-keyed aggregate — linear, no pair space; the corrupt_split
-    # cache spills MEMORY_AND_DISK so the uncapped heap holds)
+    # cache spills MEMORY_AND_DISK so the uncapped heap holds), and
+    # corpus_append_compact (two partition-aligned writes + one
+    # compaction shuffle + a read-back aggregate — linear)
     "ivfpq_topk",
     "jsonl_quarantine",
+    "corpus_append_compact",
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in

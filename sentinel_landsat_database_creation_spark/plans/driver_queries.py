@@ -1760,13 +1760,14 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # Round 10 prefix (mandatory rotation of the whole r9 tail): the 46
 # entries spilled in r9 were last driver-checked in r8 — the staleness
 # deadline — so ALL of them rotate back into the prefix. Registry
-# grows 96 -> 98 (two new r10 entries), so the prefix holds
-# 46 rotating + 3 = 49 entries and the driver's 50th check lands on
-# the first tail entry (a harmless extra re-check of a pinned query):
-# - TWO new r10 entries (in the prefix per policy): ivfpq_topk (the
+# grows 96 -> 99 (three new r10 entries), so the prefix holds exactly
+# 46 rotating + 4 = 50 entries:
+# - THREE new r10 entries (in the prefix per policy): ivfpq_topk (the
 #   composed IVF-pruned + PQ/ADC-scored production ANN stack — r9
-#   VERDICT item 2) and jsonl_quarantine (the PERMISSIVE corrupt-
-#   record ingest path driven end-to-end — item 7);
+#   VERDICT item 2), jsonl_quarantine (the PERMISSIVE corrupt-record
+#   ingest path driven end-to-end — item 7), and corpus_append_compact
+#   (base write -> append-mode delta -> compact, file-checked — item
+#   7's second suggestion);
 # - ONE r9-checked entry pulled forward instead of spilling:
 #   ann_recall (widened with the 'ivfpq' recall arm — a plan change
 #   may not sit pinned in the tail).
@@ -1804,8 +1805,8 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 #
 # r11 math: the 49 below were last driver-checked in r9, so they hit
 # the staleness deadline next round and must ALL rotate into the r11
-# prefix — 49 rotating + the 49 r10-checked spilling leaves 1 free
-# slot at registry size 98 before any merge; more new entries or plan
+# prefix — 49 rotating + the 50 r10-checked spilling leaves 1 free
+# slot at registry size 99 before any merge; more new entries or plan
 # changes need in-prefix merges exactly as before (both parents
 # inside the r11 prefix at merge time).
 _PROVEN_TAIL = [

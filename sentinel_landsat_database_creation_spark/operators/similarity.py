@@ -388,6 +388,18 @@ def train_centroids(
         # shallow copy: entries are (cell, sums, n) tuples, so copying
         # the list isolates callers who sort/filter/append in place
         return list(_TRAIN_MEMO[memo_key])
+    # miss-path cost goes to the shared memo-attribution stream
+    # (operators/dedup.py:MEMO_BUILD_LOG): the n_iters corpus scans are
+    # a SHARED build paid by whichever trained-IVF query runs first,
+    # and un-logged it swings that query's bench number with registry
+    # order (measured r10: the rotation moved the trainer entries
+    # behind ann_recall_trained and its solo number jumped 3.2 -> 7.5 s
+    # of someone else's training cost)
+    import time as _time
+
+    from .dedup import log_setup_time
+
+    _t0 = _time.perf_counter()
     q = embeddings.select(
         F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
     )
@@ -452,6 +464,7 @@ def train_centroids(
         if len(_TRAIN_MEMO) > 16:
             _TRAIN_MEMO.clear()
         _TRAIN_MEMO[memo_key] = list(cents)
+    log_setup_time("memo:train_centroids", _time.perf_counter() - _t0)
     return cents
 
 

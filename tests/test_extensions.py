@@ -2030,3 +2030,41 @@ def test_ivfpq_results_come_from_probed_cells(spark):
     assert len(out) == 15
     for r in out:
         assert cell_of[r["cid"]] in probed[r["qid"]]
+
+
+def test_ivfpq_recall_bounded_by_ivf_same_nprobe(spark):
+    """Provable recall order at equal nprobe: if a brute-force top-k
+    member is in the probed candidate set, exact in-cell scoring (ivf)
+    necessarily ranks it into the top-k (cosine order is global), so IVF's hit
+    count equals |bf top-k ∩ probed| — the maximum any scorer of the
+    same candidate set can reach. IVFPQ scores the SAME candidates by
+    quantized ADC, so its hits can only match or miss: recall(ivfpq)
+    <= recall(ivf) at the same nprobe, with equality when the code
+    budget suffices. A violation means the composition scored
+    candidates outside its probed cells (pruning broken) or the rerank
+    reordered the ADC decision."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        topk_recall,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(e, q, k=3)
+    rec = {
+        r["method"]: (r["n_hits"], r["recall"])
+        for r in topk_recall(
+            bf,
+            {
+                "ivf2": ivf_topk(e, q, k=3, n_centroids=16, nprobe=2),
+                "ivfpq2": ivfpq_topk(
+                    e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16,
+                    nprobe=2,
+                ),
+            },
+        ).collect()
+    }
+    assert rec["ivfpq2"][0] <= rec["ivf2"][0]
+    assert rec["ivfpq2"][1] > 0  # the composed path finds real hits

@@ -50,6 +50,7 @@ from bench_scale import (  # noqa: E402
     CAPPED_CONF,
     CAPPED_QUERIES,
     SF1,
+    SF10,
     TABLE_QUERIES,
     _fresh_session,
     build_sf1,
@@ -832,8 +833,8 @@ def main() -> None:
                 results[q]["digest"] = True
 
     # second decade, when bench_scale has landed the sf10 synthetic
-    from bench_scale import SF10
-
+    # (SF10 imported at module top — an inner import here once made the
+    # name main-local and broke --tier2-patch's earlier use of it)
     results10: dict[str, dict] = {}
     if os.path.exists(os.path.join(SF10, "_DONE")):
         # capped conditions, as in bench_scale's second decade: at sf10

@@ -921,8 +921,13 @@ def ivfpq_topk(
     # IVF pruning: attach each code row's cell (equi-join on cid — the
     # one corpus-sized shuffle, of m-byte code rows, not vectors), then
     # keep only rows in a probed cell via the broadcast probe set.
+    # shuffle_hash on the cell side: both inputs grow with the corpus
+    # (cells_c may not broadcast at 10^9 vectors) and a sort-merge join
+    # would SORT the N·m code table just to test cid equality — hash
+    # the narrow (cid, cell) side per partition instead, the same pin
+    # as the dedup family's candidate/array attaches.
     cand_codes = (
-        codes.join(cells_c, "cid")
+        codes.join(cells_c.hint("shuffle_hash"), "cid")
         .join(F.broadcast(cells_q), "cell")
         .filter(F.col("qid") != F.col("cid"))
     )

@@ -145,3 +145,30 @@ def test_memo_checkpoint_rebuilds_after_block_loss(spark, events):
     assert builds == [1, 1], "stale entry must trigger a rebuild"
     assert rebuilt.count() == n0
     del _MEMO_CACHE[next(k for k in _MEMO_CACHE if k[-1] == "memo-guard-test")]
+
+
+def test_verify_scale_harness_names_resolve_at_module_level():
+    """r10 regression pin: verify_scale's --tier2-patch crashed with
+    UnboundLocalError because a late inner `from bench_scale import
+    SF10` inside main() made the name function-local before its first
+    use. Both tier dirs (and the cohort lists the patch modes index)
+    must resolve as MODULE attributes so every code path in main() —
+    which runs long after an edit, on an expensive fixture — sees them
+    regardless of where its branch sits relative to any import."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    vs = importlib.import_module("verify_scale")
+    for name in ("SF1", "SF10", "TIER2_QUERIES", "EXCLUDED_TIER2",
+                 "TABLE_ORACLE_QUERIES", "DIGEST_TIER2"):
+        assert hasattr(vs, name), f"verify_scale.{name} not module-level"
+    # the inner-import pattern must not come back
+    import inspect
+
+    src = inspect.getsource(vs.main)
+    assert "from bench_scale import" not in src, (
+        "an import inside main() rebinds bench_scale names function-"
+        "locally and re-opens the --tier2-patch UnboundLocalError"
+    )

@@ -106,3 +106,72 @@ def test_compact_corpus_collapses_small_files(spark, tmp_path):
     a = sorted(map(tuple, docs.select(*cols).collect()))
     b = sorted(map(tuple, back.select(*cols).collect()))
     assert a == b
+
+
+def test_jsonl_quarantine_roundtrip_is_byte_exact(spark, tmp_path):
+    """The q_jsonl_quarantine fixture rule end-to-end on adversarial
+    text: clean rows must survive to_json -> PERMISSIVE parse with
+    every field BYTE-EXACT (escapes, unicode planes, embedded quotes/
+    newlines), corrupt rows must quarantine EXACTLY the doc_id%7==3
+    cohort with all schema fields NULL, and the anchored triage regex
+    must recover (doc_id, n_chars) from every raw corrupt line. The
+    registry entry pins aggregates under the driver hash; this pins
+    the row-level roundtrip those aggregates summarize."""
+    from pyspark.sql import functions as F
+
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        CORRUPT_COL,
+        corrupt_split,
+        read_documents_jsonl,
+    )
+
+    rows = [
+        (i, t, "en", "web", len(t) if t is not None else None)
+        for i, t in enumerate(
+            [
+                'plain words',
+                'quotes "inside" and \\backslash\\',
+                "newline\nand\ttab",
+                "naïve café 日本語 🛰️",
+                "",
+                None,
+                "{looks: like json}",
+                '{"doc_id": 999, "fake": true}',
+                "trailing spaces   ",
+                "a" * 500,
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "jsonl")
+    payload = F.to_json(F.struct("doc_id", "n_chars", "lang", "source", "text"))
+    line = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(F.lit("{CORRUPT "), payload)
+    ).otherwise(payload)
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    clean, bad = corrupt_split(read_documents_jsonl(spark, path))
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in clean.collect()
+    }
+    want = {i: (t, lg, s, n) for i, t, lg, s, n in rows if i % 7 != 3}
+    assert got == want  # byte-exact fields, nothing lost or mutated
+
+    bad_rows = bad.collect()
+    assert {r[CORRUPT_COL] is not None for r in bad_rows} == {True}
+    assert sorted(
+        int(r[CORRUPT_COL].split('"doc_id":')[1].split(",")[0])
+        for r in bad_rows
+    ) == [i for i, *_ in rows if i % 7 == 3]
+    for r in bad_rows:  # schema fields all NULL on quarantined rows
+        assert r["doc_id"] is None and r["text"] is None
+    triage = r'^\{CORRUPT \{"doc_id":(\d+),"n_chars":(\d+)'
+    triaged = bad.select(
+        F.regexp_extract(F.col(CORRUPT_COL), triage, 1).cast("long").alias("d"),
+        F.regexp_extract(F.col(CORRUPT_COL), triage, 2).cast("long").alias("n"),
+    ).collect()
+    for r in triaged:
+        assert r["d"] is not None and r["d"] % 7 == 3

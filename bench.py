@@ -74,6 +74,66 @@ def _regressions_vs_prior(
 
 _BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
 
+# Fixed single-thread calibration spin (r10 VERDICT item 2: the r10
+# committed baseline carried ~25% host inflation on untouched
+# plan-pinned entries — loadavg alone cannot see HYPERVISOR steal, the
+# r9 1.8x episode, because a single runnable thread on a 32-cpu host
+# keeps loadavg ~1 while every cycle is slower). The spin hashes a
+# fixed 400 MiB through md5 on one thread: deterministic work whose
+# wall time moves only with effective single-thread throughput.
+# Measured on this host, verified-quiet (loadavg 0.03): 0.718 s median,
+# spread < 1% across 5 runs — and notably STABLE (~0.72 s) even while a
+# 32-thread Spark job held loadavg ~5, so it specifically detects
+# steal/frequency pathology, complementing (not replacing) the loadavg
+# guard. A run whose spin lands >15% over the committed reference must
+# not become the comparison baseline; the spin and the reference are
+# both recorded in the payload so the artifact itself proves whether
+# the run was hot (r10 VERDICT item 6). Override the reference via
+# SPARK_GRAFT_CALIBRATION_REF (different host); <= 0 disables.
+_CALIBRATION_REF_SEC = 0.718
+_CALIBRATION_TOL = 0.15
+
+
+def _calibration_spin() -> float:
+    """Seconds for the fixed single-thread md5 spin (one warm-up pass
+    included so allocator/dispatch warm-up doesn't land in the
+    measurement)."""
+    import hashlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB
+    h = hashlib.md5()
+    for _ in range(50):  # warm-up, unmeasured
+        h.update(buf)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(400):
+        h.update(buf)
+    h.hexdigest()
+    return time.perf_counter() - t0
+
+
+def _calibration_contended(calib: float) -> str | None:
+    """None if the spin is within tolerance of the committed reference,
+    else the reason string (same contract as _start_contended)."""
+    try:
+        ref = float(
+            os.environ.get(
+                "SPARK_GRAFT_CALIBRATION_REF", _CALIBRATION_REF_SEC
+            )
+        )
+    except ValueError:
+        ref = _CALIBRATION_REF_SEC
+    if ref <= 0:
+        return None
+    if calib > ref * (1 + _CALIBRATION_TOL):
+        return (
+            f"calibration spin {calib:.3f}s > {ref:.3f}s "
+            f"* {1 + _CALIBRATION_TOL:g} (single-thread throughput "
+            "degraded — hypervisor steal or frequency pathology)"
+        )
+    return None
+
+
 # 1-minute loadavg above which a run is considered CONTENDED at start
 # and must not become the committed comparison baseline (round-7
 # VERDICT item 7: three r7 runs that overlapped pytest/probe sessions
@@ -204,6 +264,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     contended = _start_contended()  # must read load BEFORE Spark starts
+    calibration = _calibration_spin()  # ... and spin before Spark too
+    if contended is None:
+        contended = _calibration_contended(calibration)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -323,6 +386,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # always recorded, even on green runs: the artifact itself
+        # proves whether the host was hot (r10 VERDICT item 6)
+        "calibration_sec": round(calibration, 4),
+        "calibration_ref_sec": _CALIBRATION_REF_SEC,
     }
     if regressions is not None:
         payload["regressions"] = regressions

@@ -30,6 +30,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def _check_width(width: int) -> None:
+    """Shared guard for the r10 hash-width knob (r11 ADVICE): every
+    family member that branches on ``width == 120`` must reject other
+    values, or a typo (width=12) silently runs the 60-bit path — a
+    different, unverified hash family — instead of erroring."""
+    if width not in (60, 120):
+        raise ValueError(f"width must be 60 or 120, got {width}")
+
+
 def _shingle_rows(docs: DataFrame, n: int, width: int = 60) -> DataFrame:
     """Distinct (doc_id, shingle-key) rows: explode, hash each raw
     shingle to its 60-bit md5-prefix BIGINT (functions/text.py:hash60),
@@ -66,8 +75,7 @@ def _shingle_rows(docs: DataFrame, n: int, width: int = 60) -> DataFrame:
     and therefore every pinned plan — byte-identical. The DuckDB
     oracles mirror the identical substr(md5(raw), 1, 15) (and 16, 15)
     arithmetic, so driver hashes stay exact at either width."""
-    if width not in (60, 120):
-        raise ValueError(f"width must be 60 or 120, got {width}")
+    _check_width(width)
     toks = F.split(F.col("text"), " ")
     ex = docs.select("doc_id", F.explode(shingles(toks, n)).alias("sraw"))
     if width == 60:
@@ -562,6 +570,7 @@ def banded_buckets(
     so the key-width argument that forces 120-bit SIGNATURES does not
     apply to the bucket (the same reasoning that let the v2 format drop
     68 digest bits at width 60)."""
+    _check_width(width)
     if bands >= 8:
         raise ValueError("banded_buckets packs the band id into bits "
                          "60..62 — bands must be < 8")
@@ -616,6 +625,24 @@ def minhash_signatures(
     columns are h{i}_a / h{i}_b; the DuckDB mirror min's the 30-char
     hex prefix string and splits it, which the lemma makes equal
     word-for-word. Default 60 keeps the plan byte-identical."""
+    _check_width(width)
+    # the shingle table's shape must MATCH the requested width: a
+    # width-120 ex fed to the 60 path would hash word0 alone (an
+    # unverified family); a width-60 ex on the 120 path lacks s2
+    has_s2 = "s2" in ex.columns
+    if width == 120 and not has_s2:
+        raise ValueError(
+            "width=120 signatures need a two-word shingle table "
+            "(columns s, s2 from _shingle_rows(width=120)); got "
+            f"columns {ex.columns}"
+        )
+    if width == 60 and has_s2:
+        raise ValueError(
+            "shingle table carries a width-120 two-word key (s, s2) "
+            "but width=60 was requested — signatures built from word0 "
+            "alone are a different, unverified hash family; pass "
+            "width=120 through the whole call chain"
+        )
     if width == 120:
         pair_cols = []
         for i in range(n_hashes):
@@ -1063,6 +1090,7 @@ def _span_occurrences(
     identically on both engines, so the PERMISSIVE JSONL ingest path's
     NULL rows flow through the whole span family instead of tripping a
     documented precondition. The oracles coalesce in the same place."""
+    _check_width(width)
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     exploded = lambda: docs.select(  # noqa: E731 - tiny plan thunk
         "doc_id",
@@ -1118,6 +1146,7 @@ def span_dedup(
     # twice — materialized once it's the usual halving (measured r5:
     # 3.2 s -> ~1.9 s warm at sf0.1, build charged to memo:spanpos60,
     # shared with scrub_spans since r7)
+    _check_width(width)
     key = ["s"] if width == 60 else ["s", "s2"]
     occ = _span_occurrences(docs, span_tokens, width).select("doc_id", *key)
     shared = (

@@ -3975,6 +3975,25 @@ def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     path = session_tmp_path(spark, f"jsonl_quarantine_{tag}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         t0 = _time.perf_counter()
+        # r11 ADVICE: the triage regex below assumes every corrupt-
+        # cohort row renders a non-negative decimal doc_id and n_chars
+        # (to_json OMITS null fields and \d+ rejects '-'); a violating
+        # row would yield NULL q_doc/q_chars and silently skew the
+        # quarantine min/max/sum while n_docs still matched. Holds by
+        # construction on the driver testdata, but assert it at fixture
+        # write time so a future data change fails loudly here instead.
+        n_bad = d.filter(
+            (F.col("doc_id") % 7 == 3)
+            & (F.col("n_chars").isNull() | (F.col("n_chars") < 0))
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"jsonl_quarantine fixture precondition violated: {n_bad} "
+                "corrupt-cohort rows (doc_id % 7 == 3) have NULL or "
+                "negative n_chars — the raw-line triage regex cannot "
+                "recover them and the quarantine aggregates would "
+                "silently diverge from the oracle"
+            )
         payload = F.to_json(
             F.struct("doc_id", "n_chars", "lang", "source", "text")
         )

@@ -294,3 +294,48 @@ FROM tot LEFT JOIN pd USING (doc_id)
         for r in span_dedup(docs, span_tokens=8).collect()
     }
     assert got == sixty
+
+
+def test_width_knob_rejects_typos_everywhere(spark):
+    """r11 ADVICE: every family member that branches on width==120 must
+    reject other values — before this guard, width=12 silently ran the
+    60-bit path (a different, unverified hash family) in everything but
+    _shingle_rows."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        _shingle_rows,
+        _span_occurrences,
+        banded_buckets,
+        minhash_signatures,
+        span_dedup,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    ex60 = _shingle_rows(docs, 2)
+    sig60 = minhash_signatures(ex60, 8)
+    for call in (
+        lambda: _shingle_rows(docs, 2, width=12),
+        lambda: minhash_signatures(ex60, 8, width=12),
+        lambda: banded_buckets(sig60, 8, 4, width=12),
+        lambda: _span_occurrences(docs, 8, width=12),
+        lambda: span_dedup(docs, 8, width=12),
+    ):
+        with pytest.raises(ValueError, match="width must be 60 or 120"):
+            call()
+
+
+def test_minhash_signatures_rejects_width_mismatched_shingles(spark):
+    """A width-120 shingle table fed to the 60 path would build
+    signatures from word0 alone; a width-60 table on the 120 path lacks
+    s2 — both are now plan-time errors, not silent family changes."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        _shingle_rows,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    ex60 = _shingle_rows(docs, 2, width=60)
+    ex120 = _shingle_rows(docs, 2, width=120)
+    with pytest.raises(ValueError, match="two-word"):
+        minhash_signatures(ex60, 8, width=120)
+    with pytest.raises(ValueError, match="width-120 two-word key"):
+        minhash_signatures(ex120, 8, width=60)

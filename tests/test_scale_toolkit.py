@@ -159,8 +159,14 @@ def test_verify_scale_harness_names_resolve_at_module_level():
     import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
-    vs = importlib.import_module("verify_scale")
+    # r11 ADVICE: the path entry must not outlive the import — leaked,
+    # it shadows same-named modules for every later test in the session
+    scripts_dir = str(Path(__file__).resolve().parents[1] / "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        vs = importlib.import_module("verify_scale")
+    finally:
+        sys.path.remove(scripts_dir)
     for name in ("SF1", "SF10", "TIER2_QUERIES", "EXCLUDED_TIER2",
                  "TABLE_ORACLE_QUERIES", "DIGEST_TIER2"):
         assert hasattr(vs, name), f"verify_scale.{name} not module-level"

@@ -107,6 +107,21 @@ EXTRA_UNCAPPED = [
     "ivfpq_topk",
     "jsonl_quarantine",
     "corpus_append_compact",
+    # r11 entries, hash-verified at 10x the round they land:
+    # ivfpq_topk_trained (same cell-pruned IVFADC probe as ivfpq_topk
+    # plus the two training recurrences — coarse 2 x N x K dot-64s and
+    # per-subspace 2 x N*m*k* exact sub-sums, both linear scans; the
+    # DuckDB side triples ivfpq's dist-CTE cost, affordable at sf1),
+    # corpus_delete_compact (one broadcast semi probe + one partition-
+    # pruned anti-join rewrite + a read-back aggregate — linear, the
+    # corpus_append_compact cost class), and lsh_index_delete (one
+    # full-index scan + bounded shuffle through the sibling swap + a
+    # map-side-combined per-band digest — the lsh_index_compact cost
+    # class; its oracle re-derives the surviving index rows from
+    # documents exactly as lsh_index_compact's does)
+    "ivfpq_topk_trained",
+    "corpus_delete_compact",
+    "lsh_index_delete",
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in

@@ -1411,7 +1411,21 @@ def lsh_index_compact(spark, path: str) -> None:
     or (b) both ``path`` (new set) and ``__old`` (pre-compact set),
     where ``path`` is already correct and ``__old`` is stale. Stale
     sibling dirs from crashed runs are pre-removed so shutil.move
-    renames instead of nesting the index inside a leftover target."""
+    renames instead of nesting the index inside a leftover target.
+    (r11: the swap machinery is factored into _sibling_swap_rewrite,
+    shared with lsh_index_delete — identical semantics.)"""
+    _sibling_swap_rewrite(spark, path, lambda idx: idx)
+
+
+def _sibling_swap_rewrite(spark, path: str, transform) -> None:
+    """Rewrite a parquet index directory in place through the
+    crash-safe sibling swap (full story in lsh_index_compact's
+    docstring — this is its machinery, factored in r11 so
+    lsh_index_delete shares it instead of duplicating the recovery
+    rules): read ``path``, apply ``transform`` (a DataFrame ->
+    DataFrame function; identity = pure compaction), land the result
+    repartitioned+sorted on bucket at ``__compacting``, park the live
+    set at ``__old``, move the new set in, delete the park."""
     import os
     import shutil
 
@@ -1421,12 +1435,12 @@ def lsh_index_compact(spark, path: str) -> None:
     old = path.rstrip("/") + "__old"
     if os.path.isdir(old) and not os.path.isdir(path):
         # a prior run died between the two swap moves: __old holds the
-        # live index — restore it before compacting
+        # live index — restore it before rewriting
         shutil.move(old, path)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        spark.read.parquet(path)
+        transform(spark.read.parquet(path))
         .repartition(_F.col("bucket"))
         .sortWithinPartitions("bucket")
         .write.mode("overwrite")
@@ -1435,6 +1449,45 @@ def lsh_index_compact(spark, path: str) -> None:
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
+
+
+def lsh_index_delete(
+    spark,
+    path: str,
+    tombstones,
+    id_col: str = "doc_id",
+) -> None:
+    """Index maintenance part 4 — the DELETE half of the corpus
+    takedown lifecycle (r10 VERDICT item 4): remove every index row
+    whose ``doc_id`` is in ``tombstones`` (a DataFrame of ids, small
+    by construction — takedown batches), so probes stop matching
+    documents that sources/corpus.py:delete_from_corpus removed.
+    Without this, the persisted index keeps serving GHOST pairs: a
+    re-ingested copy of a deleted document would be suppressed as a
+    near-dup of data the corpus no longer contains — the exact
+    failure a GDPR erasure audit looks for.
+
+    The rewrite rides the same crash-safe sibling swap as
+    lsh_index_compact (shared _sibling_swap_rewrite; same recovery
+    rules, same "never concurrent with a probe" operational note) and
+    re-lands the survivors sorted on bucket, so a delete doubles as a
+    compaction — one full-index scan + one bounded shuffle, the same
+    cost class as the compaction the maintenance window already pays.
+    The anti-join broadcasts the tombstone set; work is O(index), and
+    the index is O(corpus × bands) rows of two BIGINTs.
+
+    Run it in the same maintenance window as the corpus delete:
+    delta_neardup's candidate memo keys on the concrete file listing,
+    so the first probe after the swap rebuilds instead of serving
+    stale candidates."""
+    from pyspark.sql import functions as _F
+
+    ids = tombstones.select(_F.col(id_col).alias("doc_id")).distinct()
+    _sibling_swap_rewrite(
+        spark,
+        path,
+        lambda idx: idx.join(_F.broadcast(ids), "doc_id", "left_anti"),
+    )
 
 
 def delta_neardup(

@@ -172,3 +172,30 @@ def test_contention_guard_reads_load(monkeypatch):
 
     monkeypatch.setattr(os, "getloadavg", _boom)
     assert bench._start_contended() is None
+
+
+def test_calibration_guard_detects_steal(monkeypatch):
+    """The steal-aware half of the baseline guard (r10 VERDICT item 2:
+    the r10 committed baseline carried ~25% host inflation that
+    loadavg never saw): a spin >15% over the committed reference
+    yields a reason string, within-tolerance is None, the env knob
+    re-bases for other hosts, and <= 0 disables."""
+    monkeypatch.delenv("SPARK_GRAFT_CALIBRATION_REF", raising=False)
+    ref = bench._CALIBRATION_REF_SEC
+    assert bench._calibration_contended(ref * 1.10) is None
+    reason = bench._calibration_contended(ref * 1.30)
+    assert reason is not None and "calibration spin" in reason
+
+    monkeypatch.setenv("SPARK_GRAFT_CALIBRATION_REF", str(ref * 2))
+    assert bench._calibration_contended(ref * 1.30) is None
+    monkeypatch.setenv("SPARK_GRAFT_CALIBRATION_REF", "0")
+    assert bench._calibration_contended(ref * 100) is None
+    monkeypatch.setenv("SPARK_GRAFT_CALIBRATION_REF", "junk")
+    assert bench._calibration_contended(ref * 1.30) is not None
+
+
+def test_calibration_spin_is_quick_and_positive():
+    """The spin itself must stay cheap (sub-second-scale) so running
+    it before every bench is free relative to the run it guards."""
+    s = bench._calibration_spin()
+    assert 0.05 < s < 10.0

@@ -175,3 +175,83 @@ def test_jsonl_quarantine_roundtrip_is_byte_exact(spark, tmp_path):
     ).collect()
     for r in triaged:
         assert r["d"] is not None and r["d"] % 7 == 3
+
+
+def test_delete_from_corpus_is_partition_pruned(spark, tmp_path):
+    """Tombstones confined to one lang must leave every other lang dir
+    BYTE-UNTOUCHED (same file names, same bytes) — the pruning that
+    makes a takedown rewrite 10% of a 100 TB corpus instead of all of
+    it is structural, not advisory."""
+    import glob
+    import hashlib
+
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        delete_from_corpus,
+    )
+
+    docs = _docs(spark)
+    target = docs.select("lang").distinct().orderBy("lang").first()["lang"]
+    p = str(tmp_path / "corpus")
+    write_corpus(docs, p, max_records_per_file=10)
+
+    def fileset(lang_glob):
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{p}/{lang_glob}/*.parquet")
+        }
+
+    before_others = {
+        d: fileset(d)
+        for d in os.listdir(p)
+        if d.startswith("lang=") and d != f"lang={target}"
+    }
+    tomb = docs.filter(F.col("lang") == target).select("doc_id").limit(5)
+    tomb_ids = {r["doc_id"] for r in tomb.collect()}
+    back = delete_from_corpus(
+        spark, p, spark.createDataFrame([(i,) for i in tomb_ids], "doc_id long"),
+        max_records_per_file=10,
+    )
+    # untouched langs: identical files, byte for byte
+    for d, want in before_others.items():
+        assert fileset(d) == want, f"{d} was rewritten"
+    # target lang: tombstoned rows gone, everything else intact
+    got = {r["doc_id"] for r in back.collect()}
+    want_ids = {r["doc_id"] for r in docs.collect()} - tomb_ids
+    assert got == want_ids
+
+
+def test_delete_from_corpus_idempotent_and_removes_empty_partition(
+    spark, tmp_path
+):
+    """Re-running the same delete converges (the documented crash
+    recovery), and a partition whose every row is tombstoned is
+    REMOVED from the layout rather than left as an empty dir."""
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        delete_from_corpus,
+    )
+
+    docs = _docs(spark)
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    gone, trimmed = langs[0], langs[1]
+    p = str(tmp_path / "corpus")
+    write_corpus(docs, p, max_records_per_file=10)
+    tomb = docs.filter(
+        (F.col("lang") == gone)
+        | ((F.col("lang") == trimmed) & (F.col("doc_id") % 2 == 0))
+    ).select("doc_id")
+    tomb_ids = {r["doc_id"] for r in tomb.collect()}
+    tdf = spark.createDataFrame([(i,) for i in sorted(tomb_ids)], "doc_id long")
+
+    back1 = delete_from_corpus(spark, p, tdf, max_records_per_file=10)
+    rows1 = sorted(map(tuple, back1.select(*sorted(back1.columns)).collect()))
+    assert not os.path.isdir(os.path.join(p, f"lang={gone}"))
+    assert {r["doc_id"] for r in back1.collect()}.isdisjoint(tomb_ids)
+
+    back2 = delete_from_corpus(spark, p, tdf, max_records_per_file=10)
+    rows2 = sorted(map(tuple, back2.select(*sorted(back2.columns)).collect()))
+    assert rows1 == rows2
+    # no leftover swap siblings
+    assert not os.path.isdir(p + "__deleting")
+    assert not os.path.isdir(p + "__deleting_old")

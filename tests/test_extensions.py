@@ -2068,3 +2068,259 @@ def test_ivfpq_recall_bounded_by_ivf_same_nprobe(spark):
     }
     assert rec["ivfpq2"][0] <= rec["ivf2"][0]
     assert rec["ivfpq2"][1] > 0  # the composed path finds real hits
+
+
+def test_train_pq_codebooks_matches_python_reference(spark):
+    """The per-subspace Lloyd recurrence — exact squared-L2 assignment
+    on the quantize grid with (dist, cent_id) tie-break, per-(sub,
+    cent, pos) BIGINT sums, mean rounded half-away-from-zero back onto
+    the grid, empty cells carrying their previous centroid — against a
+    from-scratch pure-Python reference (same discipline as
+    test_pq_topk_matches_python_reference)."""
+    import math
+
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    m, dsub, ksub, iters = 4, 16, 8, 2
+    e = table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+
+    def grid(x: float) -> int:  # half-away-from-zero, like F.round
+        y = float(x) * 65536.0
+        return int(math.floor(abs(y) + 0.5)) * (1 if y >= 0 else -1)
+
+    vecs = {
+        r["vec_id"]: [grid(x) for x in r["embedding"]]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    subs = {
+        (vid, s): v[s * dsub : (s + 1) * dsub]
+        for vid, v in vecs.items()
+        for s in range(m)
+    }
+    cb = {(s, c): list(subs[(c, s)]) for s in range(m) for c in range(ksub)}
+    for _ in range(iters):
+        members: dict[tuple[int, int], list[list[int]]] = {}
+        for (vid, s), sq in subs.items():
+            best = min(
+                range(ksub),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(sq, cb[(s, c)])),
+                    c,
+                ),
+            )
+            members.setdefault((s, best), []).append(sq)
+        new = {}
+        for key, old in cb.items():
+            got = members.get(key)
+            if not got:
+                new[key] = old  # empty cell keeps previous centroid
+                continue
+            n = len(got)
+            new[key] = [
+                int(math.floor(abs(q) + 0.5)) * (1 if q >= 0 else -1)
+                for q in (sum(col) / n for col in zip(*got))
+            ]
+        cb = new
+
+    trained = train_pq_codebooks(e, m=m, n_sub_centroids=ksub, n_iters=iters)
+    got = {(s, c): list(v) for s, c, v in trained}
+    assert got == cb
+
+
+def test_train_pq_codebooks_zero_iters_is_standin(spark):
+    """n_iters=0 must return exactly the first-k* subvectors — the
+    deterministic stand-in pq_topk uses — so the trained path is a
+    strict generalization, not a different quantizer family."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        pq_subvectors,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, SF, "embeddings")
+    cb = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=0)
+    want = {
+        (int(r["sub"]), int(r["vid"])): [int(x) for x in r["sq"]]
+        for r in pq_subvectors(e, 4, 16, out_id="vid")
+        .filter(F.col("vid") < 16)
+        .collect()
+    }
+    assert {(s, c): list(v) for s, c, v in cb} == want
+
+
+def test_train_pq_codebooks_empty_cell_carries(spark):
+    """A sub-centroid that loses every member keeps its previous
+    centroid (the coarse trainer's LEFT-join rule): vec 1 duplicates
+    vec 0, so BOTH initial centroids are identical, every vector ties
+    at equal distance to both, and the (dist, cent_id) tie-break sends
+    everything to cent 0 — cent 1 is empty in iteration 1 and must
+    still emit its initial subvectors (one iteration only: a carried
+    duplicate centroid legitimately re-attracts members in iteration 2
+    once cent 0 has moved to the global mean — verified by hand and by
+    the Python-reference test above, which models the same rule)."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    base = [float(i % 7) / 8.0 for i in range(8)]
+    rows = [
+        (0, base),
+        (1, list(base)),  # exact duplicate of vec 0
+        (2, [x + 0.25 for x in base]),
+        (3, [x - 0.125 for x in base]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = train_pq_codebooks(e, m=2, n_sub_centroids=2, n_iters=1)
+    got = {(s, c): list(v) for s, c, v in cb}
+    init = train_pq_codebooks(e, m=2, n_sub_centroids=2, n_iters=0)
+    init_map = {(s, c): list(v) for s, c, v in init}
+    for s in range(2):
+        assert got[(s, 1)] == init_map[(s, 1)], "empty cell must carry"
+        # ...and cent 0 must have MOVED (to the 4-member mean), so the
+        # carry assertion is discriminating, not trivially equal
+        assert got[(s, 0)] != init_map[(s, 0)]
+
+
+def test_ivfpq_trained_recall_beats_standin(spark):
+    """The r10 VERDICT's acceptance test for trained quantizers:
+    recall of the fully-trained IVFADC stack must be >= the first-K
+    stand-in's at identical (k, m, k*, K, nprobe). Measured strictly
+    greater on the fixture (0.40 vs 0.20 at sf0.01)."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_trained,
+        topk_recall,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(e, q, k=3)
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=2)
+    rec = {
+        r["method"]: r["n_hits"]
+        for r in topk_recall(
+            bf,
+            {
+                "standin": ivfpq_topk(
+                    e, q, k=3, m=4, n_sub_centroids=16, n_centroids=16,
+                    nprobe=2,
+                ),
+                "trained": ivfpq_topk_trained(
+                    e, q, coarse, cb, k=3, m=4, nprobe=2
+                ),
+            },
+        ).collect()
+    }
+    assert rec["trained"] >= rec["standin"]
+    assert rec["trained"] > 0
+
+
+def test_ivfpq_trained_results_come_from_probed_cells(spark):
+    """The IVF bound holds with TRAINED centroids too: every returned
+    candidate's (trained) cell is among its query's nprobe probed
+    cells, and the ADC ranking carries the same two-phase
+    WindowGroupLimit(Partial) bound as the stand-in stack."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        _assign_trained,
+        _trained_centroid_frame,
+        ivfpq_topk_trained,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=2)
+    cdf = _trained_centroid_frame(spark, coarse)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_trained(e, cdf, "vec_id", 1).collect()
+    }
+    probed = {}
+    for r in _assign_trained(q, cdf, "vec_id", 2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    out_df = ivfpq_topk_trained(e, q, coarse, cb, k=3, m=4, nprobe=2)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "WindowGroupLimit" in ln and "Partial" in ln and "qid" in ln
+        for ln in plan.splitlines()
+    ), "trained ADC ranking lost the two-phase rank-limit pushdown"
+    out = out_df.collect()
+    assert len(out) == 15
+    for r in out:
+        assert cell_of[r["cid"]] in probed[r["qid"]]
+
+
+def test_lsh_index_delete_removes_ghost_pairs(spark, tmp_path):
+    """The GDPR-erasure audit check: after lsh_index_delete, (1) no
+    index row carries a tombstoned doc_id, (2) a probe of the deleted
+    documents re-arriving as a 'new' batch matches only SURVIVING
+    near-dups — never its own ghost — and (3) surviving rows are
+    byte-identical to a from-scratch index over the surviving corpus
+    (delete == rebuild, at one scan instead of a full re-shingle)."""
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        delta_neardup,
+        lsh_index_delete,
+        lsh_index_write,
+    )
+
+    docs = table(spark, SF, "documents").filter(F.col("doc_id") < 300)
+    path = str(tmp_path / "idx")
+    lsh_index_write(docs, path)
+    tomb_ids = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 5 == 1).select("doc_id").collect()]
+    tdf = spark.createDataFrame([(i,) for i in tomb_ids], "doc_id long")
+    lsh_index_delete(spark, path, tdf)
+
+    idx = spark.read.parquet(path)
+    assert idx.filter(F.col("doc_id").isin(tomb_ids)).count() == 0
+
+    # delete == rebuild over survivors
+    survivors = docs.filter(~F.col("doc_id").isin(tomb_ids))
+    rebuilt_path = str(tmp_path / "rebuilt")
+    lsh_index_write(survivors, rebuilt_path)
+    a = sorted(map(tuple, idx.collect()))
+    b = sorted(map(tuple, spark.read.parquet(rebuilt_path).collect()))
+    assert a == b
+
+    # the deleted docs re-arrive as a batch: every emitted pair's
+    # index (corpus) side must be a survivor (no ghost matches)
+    batch = docs.filter(F.col("doc_id").isin(tomb_ids))
+    pairs = delta_neardup(survivors, batch, idx).collect()
+    surviving = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    for r in pairs:
+        assert r["corpus_doc"] in surviving
+        assert r["corpus_doc"] not in tomb_ids
+
+
+def test_lsh_index_delete_crash_recovery(spark, tmp_path):
+    """The delete rides lsh_index_compact's sibling swap (shared
+    _sibling_swap_rewrite): a run that died between the two swap moves
+    leaves __old holding the live index, and the next delete must
+    restore it before rewriting — same recovery contract the compact
+    test pins."""
+    import shutil
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        lsh_index_delete,
+        lsh_index_write,
+    )
+
+    docs = table(spark, SF, "documents").filter(F.col("doc_id") < 200)
+    path = str(tmp_path / "idx")
+    lsh_index_write(docs, path)
+    want_all = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # simulate the worst crash point: live set parked at __old, path gone
+    shutil.move(path, path + "__old")
+    tdf = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    lsh_index_delete(spark, path, tdf)
+
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # index rows are (doc_id, bucket) — drop the tombstoned ids
+    want = [t for t in want_all if t[0] not in (1, 3)]
+    assert got == want

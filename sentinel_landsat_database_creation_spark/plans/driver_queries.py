@@ -892,17 +892,24 @@ def q_embed_slice(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embed_checks(spark: SparkSession, sf: str) -> DataFrame:
-    """Both embeddings-table shape checks under ONE driver hash —
+    """The embeddings-table shape checks under ONE driver hash —
     merged in r7 from the r5-green ``embed_quality`` + ``embed_slice``
     entries (one table, adjacent ops 14/26 + 43 shapes) to free a
-    checked-prefix slot for ``winnow_fingerprint``; coverage is
-    preserved because the merged row goes green only if BOTH the HOF
-    filter-count columns and the exploded slice values are exact (the
-    slice rows fan each vec to 8, carrying the quality columns on
-    every row — any drift in either component flips the hash)."""
+    checked-prefix slot for ``winnow_fingerprint``; r11 absorbs the
+    r5-green ``embed_normalize`` too (same table, the adjacent
+    unit-norm preprocessing projection), funding the deletion-
+    lifecycle entries per the rotation math. Coverage is preserved
+    because the merged row goes green only if the HOF filter-count
+    columns, the exploded slice values, AND the normalization
+    arithmetic (exact sequential-fold norm + two one-IEEE-op divided
+    dims, riding every slice row) are ALL exact — any drift in any
+    component flips the hash."""
+    from .driver_queries_ext import q_embed_normalize
+
     a = q_embed_quality(spark, sf)
     s = q_embed_slice(spark, sf)
-    return s.join(a, "vec_id").orderBy("vec_id", "pos")
+    n = q_embed_normalize(spark, sf)
+    return s.join(a, "vec_id").join(n, "vec_id").orderBy("vec_id", "pos")
 
 
 SQL_EMBED_CHECKS = """
@@ -917,9 +924,19 @@ WITH a AS (
          CAST(t.i + 8 AS BIGINT) AS pos,
          CAST(embedding[CAST(t.i AS INTEGER) + 8] AS DOUBLE) AS val
   FROM embeddings, (SELECT unnest(range(1, 9)) AS i) t
+), nv AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, nrm AS norm,
+         ev[1] / nrm AS u0, ev[2] / nrm AS u1
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS ev,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding::DOUBLE[], x -> x * x)),
+                (a, x) -> a + x)) AS nrm
+    FROM embeddings)
 )
-SELECT s.vec_id, s.pos, s.val, a.n_pos, a.n_big, a.label
-FROM s JOIN a ON s.vec_id = a.vec_id
+SELECT s.vec_id, s.pos, s.val, a.n_pos, a.n_big, a.label,
+       nv.norm, nv.u0, nv.u1
+FROM s JOIN a ON s.vec_id = a.vec_id JOIN nv ON s.vec_id = nv.vec_id
 ORDER BY s.vec_id, s.pos
 """
 
@@ -1757,108 +1774,104 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 10 prefix (mandatory rotation of the whole r9 tail): the 46
-# entries spilled in r9 were last driver-checked in r8 — the staleness
-# deadline — so ALL of them rotate back into the prefix. Registry
-# grows 96 -> 99 (three new r10 entries), so the prefix holds exactly
-# 46 rotating + 4 = 50 entries:
-# - THREE new r10 entries (in the prefix per policy): ivfpq_topk (the
-#   composed IVF-pruned + PQ/ADC-scored production ANN stack — r9
-#   VERDICT item 2), jsonl_quarantine (the PERMISSIVE corrupt-record
-#   ingest path driven end-to-end — item 7), and corpus_append_compact
-#   (base write -> append-mode delta -> compact, file-checked — item
-#   7's second suggestion);
-# - ONE r9-checked entry pulled forward instead of spilling:
-#   ann_recall (widened with the 'ivfpq' recall arm — a plan change
-#   may not sit pinned in the tail).
-# Rotating entries whose code r10 deliberately changed: ann_topk
-# folds the 'pq' method into its union three-way (the fold its r9
-# docstring committed to) — in the checked prefix by rotation, as
-# required. pq_topk — the r9 VERDICT's `weak` (full-corpus per-qid
-# ranking window) — was ADJUDICATED rather than rewritten: the
-# executed plan already carries Catalyst's WindowGroupLimit(Partial)
-# below the qid exchange (k rows per qid per map partition reach the
-# reducer — the two-phase bound the VERDICT asked for, native); an
-# explicit spark_partition_id pre-window was built, measured to add
-# one extra exchange for the same bound, and reverted. Its plan is
-# byte-identical to the r9 snapshot (pinned), and the bound is now
-# enforced by tests/test_extensions.py:test_pq_ranking_is_two_phase,
-# so it spills normally. The r10 hash-width knob (width=60|120
-# through _shingle_rows/_span_occurrences/minhash_signatures/
-# banded_buckets and the shared oracle fragment generators) keeps
-# every default-width plan byte-identical — verified by the snapshot
-# suite passing UNregenerated over all pinned entries before the
-# rotation commit.
+# Round 11 prefix (mandatory rotation of the whole r10 tail): the 49
+# entries spilled in r10 were last driver-checked in r9 — the
+# staleness deadline — so ALL of them rotate back into the prefix.
+# Two in-prefix merges fund three new entries (both parents inside
+# the r11 prefix at merge time, per policy):
+# - embed_checks absorbs embed_normalize (one embeddings table; the
+#   unit-norm projection columns ride the slice/quality hash —
+#   q_embed_checks docstring has the coverage argument);
+# - quality_gate absorbs length_trim (adjacent curation filters over
+#   documents; the per-lang trim stats ride every doc row of that
+#   lang — q_quality_gate docstring).
+# Registry grows 99 -> 100 (two retired into merges, three new), so
+# the prefix holds exactly 47 rotating + 3 = 50 entries. The new r11
+# entries (in the prefix per policy):
+# - ivfpq_topk_trained: IVFADC with BOTH quantizers trained — coarse
+#   from train_centroids, per-subspace sub-codebooks from the new
+#   train_pq_codebooks (r10 VERDICT item 3);
+# - corpus_delete_compact: tombstone cohort -> partition-pruned
+#   rewrite -> erasure proved from the destination files (item 4);
+# - lsh_index_delete: the index half — ghost-pair removal through the
+#   shared crash-safe sibling swap, per-band content digest + zero-
+#   tombstone proof from the post-swap files (item 4).
+# Rotating entries whose plan r11 deliberately changed: ONLY the two
+# merge hosts (embed_checks, quality_gate) — both in the checked
+# prefix as required; the snapshot was regenerated for them plus the
+# three new entries, and every other pin stayed byte-identical
+# (the milestone-2/3 regen diff added exactly the 3 new lines).
 #
-# The 49 spilled below are r9-green (CORRECTNESS_r09: rows+schema+
-# hash, err null, all 50 prefix entries) and untouched by r10's work
-# (the ANN changes touch only ann_topk/ann_recall, both in the r10
-# prefix; the snapshot diff against r9 flags exactly those two). The
-# five streaming drains in this tail (stream_weekly_counts,
-# stream_dedup_keys, stream_dedup_ttl, stream_click_signup,
-# stream_lsh_delta) are session-variant and carry
-# ALLOWED_UNPINNED_TAIL justifications + pinned batch twins
-# (plans/stream_twins.py — stream_lsh_delta's twin is new this round,
-# enrolled with the allowlist in the same commit); the in-repo
-# replica (tests/test_oracle_equivalence.py) still checks ALL entries
-# every run.
+# The 50 spilled below are r10-green (CORRECTNESS_r10: rows+schema+
+# hash, err null, all 50 prefix entries) and untouched by r11's work
+# — the only code that moved near them is behavior-preserving
+# hardening with plans byte-identical per the snapshot suite:
+# jsonl_quarantine gained a fixture-precondition assert (setup block
+# only) and lsh_index_compact's swap was factored into
+# _sibling_swap_rewrite (shared with the new delete, same recovery
+# rules). stream_sessions and stream_sessions_native are the only
+# session-variant members (ALLOWED_UNPINNED_TAIL justifications; the
+# pinned batch twin user_sessions rotates into the prefix this
+# round); the in-repo replica (tests/test_oracle_equivalence.py)
+# still checks ALL entries every run.
 #
-# r11 math: the 49 below were last driver-checked in r9, so they hit
-# the staleness deadline next round and must ALL rotate into the r11
-# prefix — 49 rotating + the 50 r10-checked spilling leaves 1 free
-# slot at registry size 99 before any merge; more new entries or plan
-# changes need in-prefix merges exactly as before (both parents
-# inside the r11 prefix at merge time).
+# r12 math: the 50 below were last driver-checked in r10, so they hit
+# the staleness deadline next round and must ALL rotate into the r12
+# prefix — 50 rotating + the 50 r11-checked spilling fills the
+# registry exactly at size 100 with ZERO free prefix slots; every new
+# r12 entry needs an in-prefix merge (both parents inside the r12
+# prefix at merge time), exactly as the two r11 merges above.
 _PROVEN_TAIL = [
-    "crop_pipeline",
-    "crop_slice_quality",
-    "catalog_week_class",
-    "compat_csv_roundtrip",
-    "event_funnel",
-    "retention_cohorts",
-    "weekly_click_signup_outer",
-    "distinct_users_by_type",
-    "doc_stats",
-    "embed_checks",
-    "stream_weekly_counts",
-    "stream_dedup_keys",
-    "stream_click_signup",
-    "media_frames",
-    "cosine_topk",
-    "sign_lsh_buckets",
-    "containment_dedup",
-    "token_fingerprint_checks",
-    "pq_topk",
-    "lang_guess",
-    "chunk_split",
-    "epoch_shuffle",
-    "stratified_sample",
-    "vocab_coverage",
-    "pack_sequences",
-    "length_trim",
-    "bigram_nll",
-    "zorder_checks",
-    "semantic_dedup",
-    "bucketed_join_check",
-    "corpus_roundtrip",
-    "mixture_plan",
-    "stream_dedup_ttl",
-    "span_dedup",
-    "delta_dedup",
-    "ivf_probe2",
-    "ivf_train_centroids",
-    "quality_gate",
-    "salted_skew_checks",
-    "corpus_pruned_read",
-    "embed_normalize",
-    "media_checks",
-    "span_scrub",
-    "lsh_delta_checks",
-    "crop_volume",
-    "scene_tensors_int16",
-    "train_centroids_distributed",
-    "stream_lsh_delta",
-    "curation_pipeline_write",
+    "overlap_grid",
+    "catalog_event_labels",
+    "pair_counts",
+    "pairing_keys",
+    "pairing_compat",
+    "range_join_events",
+    "antijoin_checks",
+    "pivot_rollup_checks",
+    "user_value_moving_avg",
+    "doc_length_quantiles",
+    "pricing_summary",
+    "order_rank_checks",
+    "nation_revenue",
+    "promo_revenue",
+    "asof_last_click",
+    "shipping_lag",
+    "winnow_fingerprint",
+    "stream_sessions",
+    "stream_sessions_native",
+    "ann_topk",
+    "user_sessions",
+    "jaccard_neardup",
+    "minhash_lsh",
+    "neardup_pipeline",
+    "dedup_clusters",
+    "simhash_docs",
+    "embed_cosine_neardup",
+    "doc_repetition",
+    "decontaminate",
+    "tfidf_terms",
+    "unigram_nll",
+    "top_tokens_per_lang",
+    "ann_recall",
+    "dedup_clusters_lss",
+    "minhash_estimate",
+    "ann_recall_trained",
+    "pii_scrub",
+    "corpus_dedup_write",
+    "domain_quota",
+    "corpus_compact",
+    "media_neardup",
+    "corpus_cube",
+    "exact_dedup_checks",
+    "scene_tensors_volume",
+    "crop_volume_greedy",
+    "scene_tensors_compressed",
+    "lsh_index_compact",
+    "ivfpq_topk",
+    "jsonl_quarantine",
+    "corpus_append_compact",
 ]
 
 

@@ -23,7 +23,6 @@ from ..operators.curation import (
     TRAIN_BUCKET_BOUND,
     _hash_bucket,
     contaminated_docs,
-    length_trim,
     pack_sequences,
     stratified_sample,
     vocab_coverage,
@@ -1608,13 +1607,33 @@ FROM tot LEFT JOIN hits USING (doc_id) ORDER BY doc_id
 
 def q_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     """Composed C4-style keep/drop decision with per-rule attribution
-    (operators/curation.py:quality_gate)."""
-    from ..operators.curation import quality_gate
+    (operators/curation.py:quality_gate). r11 merge: absorbs the
+    r5-green ``length_trim`` entry (operators/curation.py:length_trim
+    — the per-language percent-rank length band, the adjacent curation
+    filter over the same table) so its slot funds the r11 deletion
+    lifecycle per the rotation math. Each doc row carries its lang and
+    that lang's trim stats (trim_n_kept / trim_min_chars /
+    trim_max_chars — a 5-row broadcast join), so the merged row goes
+    green only if BOTH the per-doc gate columns AND the per-lang
+    percent-rank arithmetic are exact; any drift in either component
+    flips the hash. Scale shape unchanged: the gate is one vocab probe
+    + narrow filters, the trim a lang-partitioned window — both
+    linear."""
+    from ..operators.curation import length_trim, quality_gate
 
-    return quality_gate(
-        table(spark, sf, "documents"), min_toks=20, max_toks=120,
-        min_coverage=0.2,
-    ).orderBy("doc_id")
+    docs = table(spark, sf, "documents")
+    g = quality_gate(docs, min_toks=20, max_toks=120, min_coverage=0.2)
+    lt = length_trim(docs).select(
+        "lang",
+        F.col("n_kept").alias("trim_n_kept"),
+        F.col("min_chars").alias("trim_min_chars"),
+        F.col("max_chars").alias("trim_max_chars"),
+    )
+    return (
+        g.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(F.broadcast(lt), "lang")
+        .orderBy("doc_id")
+    )
 
 
 SQL_QUALITY_GATE = """
@@ -1634,13 +1653,28 @@ sc AS (
   SELECT tot.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
          coalesce(n_in_vocab, 0)::DOUBLE / n_toks::DOUBLE AS coverage
   FROM tot LEFT JOIN hits USING (doc_id)
+),
+r AS (
+  SELECT lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+  FROM documents
+),
+lt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS trim_n_kept,
+         CAST(min(n_chars) AS BIGINT) AS trim_min_chars,
+         CAST(max(n_chars) AS BIGINT) AS trim_max_chars
+  FROM r WHERE pr >= 0.05 AND pr <= 0.95 GROUP BY lang
 )
-SELECT doc_id, n_toks, coverage,
-       n_toks < 20 AS too_short,
-       n_toks > 120 AS too_long,
-       coverage < 0.2 AS low_coverage,
-       NOT (n_toks < 20 OR n_toks > 120 OR coverage < 0.2) AS keep
-FROM sc ORDER BY doc_id
+SELECT d.lang, sc.doc_id, sc.n_toks, sc.coverage,
+       sc.n_toks < 20 AS too_short,
+       sc.n_toks > 120 AS too_long,
+       sc.coverage < 0.2 AS low_coverage,
+       NOT (sc.n_toks < 20 OR sc.n_toks > 120 OR sc.coverage < 0.2) AS keep,
+       lt.trim_n_kept, lt.trim_min_chars, lt.trim_max_chars
+FROM sc
+JOIN documents d USING (doc_id)
+JOIN lt ON lt.lang = d.lang
+ORDER BY sc.doc_id
 """
 
 
@@ -1648,7 +1682,10 @@ def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unit-norm projection of the embedding column (the preprocessing
     step before cosine search reduces to dot product). Norm is the exact
     sequential fold; each element's division is one IEEE op — bit-exact
-    vs DuckDB. Emits the norm and the first two normalized dims."""
+    vs DuckDB. Emits the norm and the first two normalized dims.
+    r11: retired as a standalone entry into the embed_checks merge
+    (driver_queries.py:q_embed_checks consumes this function; the
+    normalization columns ride every slice row of that hash)."""
     from ..operators.similarity import norm_cast
 
     e = table(spark, sf, "embeddings")
@@ -1661,18 +1698,8 @@ def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-SQL_EMBED_NORMALIZE = """
-WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS ev,
-         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              list_transform(embedding::DOUBLE[], x -> x * x)),
-              (a, x) -> a + x)) AS nrm
-  FROM embeddings
-)
-SELECT CAST(vec_id AS BIGINT) AS vec_id, nrm AS norm,
-       ev[1] / nrm AS u0, ev[2] / nrm AS u1
-FROM v ORDER BY vec_id
-"""
+# (its oracle SQL lives inline in driver_queries.py:SQL_EMBED_CHECKS's
+# nv CTE since the r11 merge)
 
 
 # ---------------------------------------------------------------------------
@@ -2965,24 +2992,9 @@ FROM p GROUP BY shard, seq_id ORDER BY shard, seq_id
 """
 
 
-def q_length_trim(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-language percent-rank length band [0.05, 0.95]
-    (operators/curation.py:length_trim)."""
-    return length_trim(table(spark, sf, "documents")).orderBy("lang")
-
-
-SQL_LENGTH_TRIM = """
-WITH r AS (
-  SELECT lang, n_chars,
-         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
-  FROM documents
-)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-       CAST(min(n_chars) AS BIGINT) AS min_chars,
-       CAST(max(n_chars) AS BIGINT) AS max_chars
-FROM r WHERE pr >= 0.05 AND pr <= 0.95
-GROUP BY lang ORDER BY lang
-"""
+# (length_trim retired as a standalone entry in the r11 quality_gate
+# merge — operator unchanged in operators/curation.py, its oracle SQL
+# lives inline in SQL_QUALITY_GATE's r/lt CTEs)
 
 
 def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
@@ -4433,7 +4445,10 @@ REGISTRY_EXT = {
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "unigram_nll": (q_unigram_nll, SQL_UNIGRAM_NLL),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "length_trim": (q_length_trim, SQL_LENGTH_TRIM),
+    # r11 merge: length_trim retired into quality_gate (same table,
+    # adjacent curation filter; the per-lang trim stats ride every doc
+    # row of that hash — q_quality_gate docstring); the freed slot
+    # funds the r11 deletion-lifecycle entries.
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "bigram_nll": (q_bigram_nll, SQL_BIGRAM_NLL),
     # r7 merge: the two z-order entries ride one hash (q_zorder_checks
@@ -4460,7 +4475,10 @@ REGISTRY_EXT = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "corpus_pruned_read": (q_corpus_pruned_read, SQL_CORPUS_PRUNED_READ),
     "corpus_dedup_write": (q_corpus_dedup_write, SQL_CORPUS_DEDUP_WRITE),
-    "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
+    # r11 merge: embed_normalize retired into driver_queries.py's
+    # embed_checks (one embeddings table; the unit-norm projection
+    # rides every slice row of that hash — q_embed_checks docstring);
+    # the freed slot funds the r11 deletion-lifecycle entries.
     # r7 merge (late, same mechanism as salted_skew_checks): the two
     # r5-green media payload entries now ride one hash
     # (q_media_checks docstring has the coverage argument); the freed

@@ -122,6 +122,12 @@ EXTRA_UNCAPPED = [
     "ivfpq_topk_trained",
     "corpus_delete_compact",
     "lsh_index_delete",
+    # approx_stats_checks: two grouped one-pass sketches + exact rank
+    # arithmetic per lang — linear, and the sketches' error contracts
+    # are what the booleans verify AT scale (the GK rank bound is
+    # deterministic at every n; the HLL 10-sigma slack is confirmed
+    # empirically at each tier the entry runs)
+    "approx_stats_checks",
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in

@@ -1777,16 +1777,19 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # Round 11 prefix (mandatory rotation of the whole r10 tail): the 49
 # entries spilled in r10 were last driver-checked in r9 — the
 # staleness deadline — so ALL of them rotate back into the prefix.
-# Two in-prefix merges fund three new entries (both parents inside
+# Three in-prefix merges fund four new entries (both parents inside
 # the r11 prefix at merge time, per policy):
 # - embed_checks absorbs embed_normalize (one embeddings table; the
 #   unit-norm projection columns ride the slice/quality hash —
 #   q_embed_checks docstring has the coverage argument);
 # - quality_gate absorbs length_trim (adjacent curation filters over
 #   documents; the per-lang trim stats ride every doc row of that
-#   lang — q_quality_gate docstring).
-# Registry grows 99 -> 100 (two retired into merges, three new), so
-# the prefix holds exactly 47 rotating + 3 = 50 entries. The new r11
+#   lang — q_quality_gate docstring);
+# - mixture_plan absorbs stratified_sample (the same hash-bucket
+#   sampler under two independent rate tables rides one hash —
+#   q_mixture_plan docstring).
+# Registry grows 99 -> 100 (three retired into merges, four new), so
+# the prefix holds exactly 46 rotating + 4 = 50 entries. The new r11
 # entries (in the prefix per policy):
 # - ivfpq_topk_trained: IVFADC with BOTH quantizers trained — coarse
 #   from train_centroids, per-subspace sub-codebooks from the new
@@ -1795,7 +1798,11 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 #   rewrite -> erasure proved from the destination files (item 4);
 # - lsh_index_delete: the index half — ghost-pair removal through the
 #   shared crash-safe sibling swap, per-band content digest + zero-
-#   tombstone proof from the post-swap files (item 4).
+#   tombstone proof from the post-swap files (item 4);
+# - approx_stats_checks: the approximate members for the exact-only
+#   aggregates (item 7) — percentile_approx's DETERMINISTIC GK rank
+#   bound and approx_count_distinct's 10-sigma HLL bound enforced as
+#   booleans under the hash, exact siblings alongside.
 # Rotating entries whose plan r11 deliberately changed: ONLY the two
 # merge hosts (embed_checks, quality_gate) — both in the checked
 # prefix as required; the snapshot was regenerated for them plus the

@@ -24,7 +24,6 @@ from ..operators.curation import (
     _hash_bucket,
     contaminated_docs,
     pack_sequences,
-    stratified_sample,
     vocab_coverage,
 )
 from ..operators.scoring import bigram_surprisal, tfidf_terms, unigram_surprisal
@@ -1549,31 +1548,119 @@ GROUP BY tr.doc_id ORDER BY doc_id
 _SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
 
 
-def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic per-language downsampling (data mixing); emits the
-    per-language kept counts. Hash-bucket filter — reshuffle-stable,
-    unlike sampleBy's per-partition RNG."""
+# (stratified_sample retired as a standalone entry in the r11
+# mixture_plan merge — the operator is unchanged in
+# operators/curation.py; its kept counts ride every mixture_plan row
+# as strat_n_kept, and its oracle SQL lives inline in
+# SQL_MIXTURE_PLAN's sb/strat CTEs)
+
+
+def q_approx_stats_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates pinned against their exact siblings
+    under the driver hash (r11, r10 VERDICT item 7): at 100 TB the
+    first swaps a user makes are percentile_approx for exact rank
+    arithmetic and approx_count_distinct (HyperLogLog++) for exact
+    count_distinct — both are MERGEABLE one-pass sketches (map-side
+    partial agg, constant state per group, no per-group sort or
+    distinct-expand), where the exact forms carry per-group sort
+    state or a distinct shuffle that grows with the data.
+
+    Approximate outputs are engine-specific, so what the hash pins is
+    the ERROR CONTRACT, not the sketch values: per lang, the exact
+    discrete median and exact distinct count (cross-engine rank
+    arithmetic — the doc_length_quantiles discipline) plus two
+    booleans computed ON THE SPARK SIDE:
+
+    - p50_within_bound: percentile_approx(accuracy=10000) must return
+      an element whose rank interval [lo+1, hi] overlaps the target
+      rank ±ceil(n/accuracy) — the Greenwald-Khanna sketch's
+      DETERMINISTIC rank-error guarantee (eps = 1/accuracy), so this
+      holds at every scale by contract, not luck;
+    - hll_within_bound: |approx - exact| <= max(10·rsd·exact, 5) at
+      rsd=0.02 — HLL++ has only a probabilistic bound, so the slack
+      is 10 standard errors; the sketch is hash-based and
+      order/partitioning-independent, hence DETERMINISTIC for a fixed
+      dataset, and the 10-sigma bound is verified empirically on
+      every fixture tier the entry runs at.
+
+    The DuckDB oracle re-derives the exact columns and pins the
+    booleans as literal TRUE — a Spark-side contract violation (or an
+    optimizer change that breaks sketch determinism) flips the hash."""
+    from pyspark.sql.window import Window
+
     d = table(spark, sf, "documents")
-    kept = stratified_sample(d, "lang", _SAMPLE_RATES)
+    acc = 10000
+    rsd = 0.02
+    nn = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("n_chars").cast("long").alias("exact_distinct"),
+    )
+    counts = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cums = counts.withColumn("cum", F.sum("c").over(w))
+    med = (
+        cums.join(nn.select("lang", "n_docs"), "lang")
+        .filter(F.col("cum") >= F.expr("(n_docs + 1) div 2"))
+        .groupBy("lang")
+        .agg(F.min("n_chars").cast("long").alias("exact_p50"))
+    )
+    approx = d.groupBy("lang").agg(
+        F.percentile_approx("n_chars", 0.5, acc).alias("ap50"),
+        F.approx_count_distinct("n_chars", rsd).alias("ahll"),
+    )
+    ranks = (
+        d.join(approx.select("lang", "ap50"), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum((F.col("n_chars") < F.col("ap50")).cast("long")).alias("lo"),
+            F.sum((F.col("n_chars") <= F.col("ap50")).cast("long")).alias("hi"),
+        )
+    )
+    target = F.expr("(n_docs + 1) div 2")
+    tol = F.greatest(F.ceil(F.col("n_docs") / acc), F.lit(1))
+    hll_tol = F.greatest(
+        F.ceil(F.col("exact_distinct") * (10 * rsd)), F.lit(5)
+    )
     return (
-        kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        nn.join(med, "lang")
+        .join(approx, "lang")
+        .join(ranks, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "exact_p50",
+            "exact_distinct",
+            ((F.col("lo") < target + tol) & (F.col("hi") >= target - tol))
+            .alias("p50_within_bound"),
+            (
+                F.abs(F.col("ahll") - F.col("exact_distinct")) <= hll_tol
+            ).alias("hll_within_bound"),
+        )
         .orderBy("lang")
     )
 
 
-SQL_STRATIFIED_SAMPLE = """
-WITH b AS (
-  SELECT lang,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER AS bucket
-  FROM documents
+SQL_APPROX_STATS_CHECKS = """
+WITH nn AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT n_chars) AS BIGINT) AS exact_distinct
+  FROM documents GROUP BY lang
+),
+r AS (SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY lang, n_chars),
+cums AS (
+  SELECT lang, n_chars,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+  FROM r
+),
+med AS (
+  SELECT cums.lang, CAST(min(n_chars) AS BIGINT) AS exact_p50
+  FROM cums JOIN nn USING (lang)
+  WHERE cum >= (n_docs + 1) // 2
+  GROUP BY cums.lang
 )
-SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
-FROM b
-WHERE bucket < CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 128
-                         WHEN 'fr' THEN 128 WHEN 'es' THEN 128
-                         WHEN 'zh' THEN 64 ELSE 256 END
-GROUP BY lang ORDER BY lang
+SELECT nn.lang, nn.n_docs, med.exact_p50, nn.exact_distinct,
+       TRUE AS p50_within_bound, TRUE AS hll_within_bound
+FROM nn JOIN med USING (lang) ORDER BY nn.lang
 """
 
 
@@ -3235,14 +3322,27 @@ def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Target-mixture downsampling plan + execution over documents:
     40% en / 15% each of de, es, fr, zh, retention-maximal, with the
     achieved post-sampling counts (operators/curation.py:mixture_plan).
-    All-integer plan arithmetic -> exact oracle."""
-    from ..operators.curation import mixture_plan
+    All-integer plan arithmetic -> exact oracle. r11 merge: absorbs
+    the r5-green ``stratified_sample`` entry — the SAME hash-bucket
+    sampler machinery (operators/curation.py:stratified_sample)
+    executed at its own fixed per-lang rate table, its kept counts
+    riding each lang row as ``strat_n_kept`` — so the merged hash
+    covers the sampler under two independent rate tables (the plan's
+    derived thresholds AND the fixed ones); either component drifting
+    flips it. The freed slot funds approx_stats_checks per the
+    rotation math."""
+    from ..operators.curation import mixture_plan, stratified_sample
 
-    return mixture_plan(
-        table(spark, sf, "documents"),
-        "lang",
-        {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15},
-    ).orderBy("lang")
+    d = table(spark, sf, "documents")
+    plan = mixture_plan(
+        d, "lang", {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+    )
+    strat = (
+        stratified_sample(d, "lang", _SAMPLE_RATES)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("strat_n_kept"))
+    )
+    return plan.join(strat, "lang").orderBy("lang")
 
 
 SQL_MIXTURE_PLAN = """
@@ -3263,12 +3363,26 @@ a AS (
   WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
         < th.thresh
   GROUP BY d.lang
+),
+sb AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER AS bucket
+  FROM documents
+),
+strat AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS strat_n_kept
+  FROM sb
+  WHERE bucket < CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 128
+                           WHEN 'fr' THEN 128 WHEN 'es' THEN 128
+                           WHEN 'zh' THEN 64 ELSE 256 END
+  GROUP BY lang
 )
 SELECT th.lang, CAST(n AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
        CAST(keep AS BIGINT) AS keep_target,
        CAST(thresh AS BIGINT) AS thresh,
-       CAST(coalesce(achieved, 0) AS BIGINT) AS achieved
-FROM th LEFT JOIN a USING (lang) ORDER BY lang
+       CAST(coalesce(achieved, 0) AS BIGINT) AS achieved,
+       strat.strat_n_kept
+FROM th LEFT JOIN a USING (lang) JOIN strat USING (lang) ORDER BY th.lang
 """
 
 
@@ -4440,7 +4554,10 @@ REGISTRY_EXT = {
     "chunk_split": (q_chunk_split, SQL_CHUNK_SPLIT),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    # r11 merge: stratified_sample retired into mixture_plan (the same
+    # hash-bucket sampler under two independent rate tables rides one
+    # hash — q_mixture_plan docstring); the freed slot funds
+    # approx_stats_checks.
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "unigram_nll": (q_unigram_nll, SQL_UNIGRAM_NLL),
@@ -4573,4 +4690,10 @@ REGISTRY_EXT = {
     # per-band content digest + zero-tombstone proof from the
     # post-swap files
     "lsh_index_delete": (q_lsh_index_delete, SQL_LSH_INDEX_DELETE),
+    # r11 (r10 VERDICT item 7): approximate members for the exact-only
+    # aggregates — percentile_approx's deterministic GK rank bound and
+    # approx_count_distinct's 10-sigma HLL bound enforced as booleans
+    # under the hash, exact siblings alongside; funded by the
+    # mixture_plan/stratified_sample merge
+    "approx_stats_checks": (q_approx_stats_checks, SQL_APPROX_STATS_CHECKS),
 }

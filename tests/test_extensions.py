@@ -2324,3 +2324,70 @@ def test_lsh_index_delete_crash_recovery(spark, tmp_path):
     # index rows are (doc_id, bucket) — drop the tombstoned ids
     want = [t for t in want_all if t[0] not in (1, 3)]
     assert got == want
+
+
+def test_approx_stats_exact_median_is_true_median(spark):
+    """The entry's exact_p50 column is the discrete median by rank
+    arithmetic — cross-check against a Python-computed median of the
+    same data so the rank formula (min value with cum >= ceil(n/2))
+    can't drift."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        q_approx_stats_checks,
+    )
+
+    d = table(spark, SF, "documents")
+    by_lang = {}
+    for r in d.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    rows = {r["lang"]: r for r in q_approx_stats_checks(spark, SF).collect()}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]  # rank ceil(n/2), 1-based
+        assert rows[lang]["exact_p50"] == want, lang
+        assert rows[lang]["n_docs"] == len(vals)
+        assert rows[lang]["exact_distinct"] == len(set(vals))
+
+
+def test_approx_stats_bounds_hold_and_are_tightish(spark):
+    """Both error-contract booleans hold on the fixture, and the HLL
+    estimate is actually CLOSE (within 3 standard errors) — so the
+    10-sigma gate in the entry is slack over a real margin, not a
+    tautology."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        q_approx_stats_checks,
+    )
+
+    rows = q_approx_stats_checks(spark, SF).collect()
+    assert rows, "entry returned no rows"
+    for r in rows:
+        assert r["p50_within_bound"] is True, r
+        assert r["hll_within_bound"] is True, r
+    d = table(spark, SF, "documents")
+    est = {
+        r["lang"]: (r["ahll"], r["ex"])
+        for r in d.groupBy("lang")
+        .agg(
+            F.approx_count_distinct("n_chars", 0.02).alias("ahll"),
+            F.count_distinct("n_chars").alias("ex"),
+        )
+        .collect()
+    }
+    for lang, (ahll, ex) in est.items():
+        assert abs(ahll - ex) <= max(3 * 0.02 * ex, 3), (lang, ahll, ex)
+
+
+def test_approx_stats_sketches_are_one_pass_aggregates(spark):
+    """The scale story the entry exists to pin: the approximate side
+    plans as ObjectHashAggregate pairs (mergeable sketch state,
+    map-side partial), with no Sort/Window/Expand anywhere in the
+    sketch aggregation — the exact-median window lives on the tiny
+    (lang, n_chars) count table, never on the corpus."""
+    d = table(spark, SF, "documents")
+    df = d.groupBy("lang").agg(
+        F.percentile_approx("n_chars", 0.5, 10000).alias("ap50"),
+        F.approx_count_distinct("n_chars", 0.02).alias("ahll"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan
+    for bad in ("Sort", "Window", "Expand"):
+        assert bad not in plan, f"{bad} in the sketch aggregation:\n{plan[:2000]}"

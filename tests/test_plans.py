@@ -206,12 +206,24 @@ def test_decontaminate_broadcasts_eval_dictionary(spark):
 
 def test_stratified_sample_is_shuffle_free_before_agg(spark):
     """The sampling filter itself is a narrow map: exactly one exchange
-    in the whole plan (the final per-lang count), none for sampling."""
-    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
-        REGISTRY_EXT,
-    )
+    in the whole plan (the final per-lang count), none for sampling.
+    (r11: the standalone registry entry merged into mixture_plan; the
+    plan property is pinned on the operator composed the way the
+    merged entry's strat arm composes it.)"""
+    from pyspark.sql import functions as F
 
-    df = REGISTRY_EXT["stratified_sample"][0](spark, SF)
+    from sentinel_landsat_database_creation_spark.operators.curation import (
+        stratified_sample,
+    )
+    from sentinel_landsat_database_creation_spark.sources.testdata import table
+
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+    df = (
+        stratified_sample(table(spark, SF, "documents"), "lang", rates)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("strat_n_kept"))
+        .orderBy("lang")
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one shuffle for the groupBy('lang'), one for the orderBy — the
     # filter adds none

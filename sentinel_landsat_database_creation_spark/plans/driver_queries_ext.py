@@ -2268,7 +2268,19 @@ def _sql_kmeans_ctes(n_centroids: int = 16, n_iters: int = 2, d: int = 64) -> st
     operators/similarity.py:train_centroids for the determinism design:
     quantized BIGINT grid, sum-vector centroids, integer-exact dot
     numerator, sequential-fold double denominator). Ends with CTE ``cf``
-    = (cell, s BIGINT[], n) after ``n_iters`` Lloyd iterations."""
+    = (cell, s BIGINT[], n) after ``n_iters`` Lloyd iterations.
+
+    r11 evaluation-shape note: the dot numerator is an IN-ROW list
+    lambda (list_aggregate over list_transform), NOT a correlated
+    ``(SELECT sum(..) FROM range(d))`` subquery — DuckDB decorrelates
+    the subquery form into an N·K×d-row join that materializes the
+    full list columns per expanded row; at the sf10 tier that join
+    (~200M rows carrying 64-element lists, × iterations) exceeded the
+    box's spill disk (measured: the ivfpq_topk_trained oracle died at
+    74 GB of temp). The in-row form is value-identical: products and
+    the sum stay exact BIGINT/HUGEINT either way (verified zero
+    difference over the full fixture), the same integers the Spark
+    side folds."""
     sqnorm = (
         "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
@@ -2288,7 +2300,8 @@ c0 AS (SELECT vec_id AS cell, qv AS s, 1 AS n FROM q WHERE vec_id < {n_centroids
         parts.append(
             f"""sc{it} AS (
   SELECT q.vec_id, c.cell,
-         (SELECT sum(q.qv[i] * c.s[i]) FROM range(1, {d + 1}) t(i))::DOUBLE
+         list_aggregate(list_transform(range(1, {d + 1}),
+                                       i -> q.qv[i] * c.s[i]), 'sum')::DOUBLE
            / {sqnorm} AS score
   FROM q CROSS JOIN {prev} c
 ),
@@ -2379,9 +2392,12 @@ def _sql_ivf_trained_topk(nprobe: int = 1) -> str:
     """IVF top-k with the TRAINED centroids: the k-means CTEs feed the
     cell assignment (corpus nprobe=1; query side probes ``nprobe``
     cells); within-cell scoring is the plain float cosine, exactly like
-    SQL_IVF_TOPK."""
+    SQL_IVF_TOPK. Dot numerator in the in-row list-lambda form (the
+    _sql_kmeans_ctes evaluation-shape note — value-identical, no
+    decorrelated join fan-out)."""
     score = (
-        "(SELECT sum(q.qv[i] * c.s[i]) FROM range(1, 65) t(i))::DOUBLE"
+        "list_aggregate(list_transform(range(1, 65),"
+        " i -> q.qv[i] * c.s[i]), 'sum')::DOUBLE"
         " / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
         " list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
         " (a, x) -> a + x))"
@@ -2500,9 +2516,13 @@ def _sql_pq_kmeans_ctes(
     q yourself. Ends with ``pbf`` = (sub, cent_id, cv BIGINT[dsub]).
     Verified against an independent NumPy reference of the recurrence
     and against the Spark trainer (tests/test_extensions.py)."""
+    # in-row list lambda, not a correlated range subquery — the
+    # _sql_kmeans_ctes evaluation-shape note (value-identical; the
+    # decorrelated form's N·m·k*×dsub join spilled past the disk at
+    # sf10)
     dist = (
-        f"(SELECT sum((sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i]))"
-        f" FROM range(1, {dsub + 1}) t(i))"
+        f"list_aggregate(list_transform(range(1, {dsub + 1}),"
+        f" i -> (sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i])), 'sum')"
     )
     parts = [
         f"""sv AS (
@@ -2556,9 +2576,14 @@ def _sql_ivfpq_trained_topk(
     SQL_IVF_TRAIN_CENTROIDS oracle), the trained-cosine cell
     assignment (the _sql_ivf_trained_topk score), and the per-subspace
     PQ k-means CTEs above feeding the exact-BIGINT code/LUT/ADC
-    arithmetic of _sql_ivfpq_topk."""
+    arithmetic of _sql_ivfpq_topk. All distance/dot arithmetic is in
+    the in-row list-lambda form (the _sql_kmeans_ctes evaluation-shape
+    note): the correlated-range formulation decorrelated into ~200M-row
+    joins at sf10 and exhausted the box's 74 GB of spill disk —
+    measured, the r11 tier-2 patch's one failure before this rewrite."""
     score = (
-        "(SELECT sum(q.qv[i] * c.s[i]) FROM range(1, 65) t(i))::DOUBLE"
+        "list_aggregate(list_transform(range(1, 65),"
+        " i -> q.qv[i] * c.s[i]), 'sum')::DOUBLE"
         " / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
         " list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
         " (a, x) -> a + x))"
@@ -2576,8 +2601,9 @@ cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
 qcells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
 tdist AS (
   SELECT sv.vec_id, sv.sub, p.cent_id,
-         CAST((SELECT sum((sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i]))
-               FROM range(1, {dsub + 1}) t(i)) AS BIGINT) AS dist
+         CAST(list_aggregate(list_transform(range(1, {dsub + 1}),
+                i -> (sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i])),
+              'sum') AS BIGINT) AS dist
   FROM sv JOIN pbf p USING (sub)
 ),
 tcodes AS (

@@ -182,8 +182,10 @@ def test_calibration_guard_detects_steal(monkeypatch):
     re-bases for other hosts, and <= 0 disables."""
     monkeypatch.delenv("SPARK_GRAFT_CALIBRATION_REF", raising=False)
     ref = bench._CALIBRATION_REF_SEC
-    assert bench._calibration_contended(ref * 1.10) is None
-    reason = bench._calibration_contended(ref * 1.30)
+    # tolerance is 5% (quiet-host spin spread <= 1.3%; the single-
+    # thread spin under-reads 32-thread steal ~2-3x)
+    assert bench._calibration_contended(ref * 1.03) is None
+    reason = bench._calibration_contended(ref * 1.10)
     assert reason is not None and "calibration spin" in reason
 
     monkeypatch.setenv("SPARK_GRAFT_CALIBRATION_REF", str(ref * 2))
@@ -199,3 +201,15 @@ def test_calibration_spin_is_quick_and_positive():
     it before every bench is free relative to the run it guards."""
     s = bench._calibration_spin()
     assert 0.05 < s < 10.0
+
+
+def test_calibration_guard_names_the_measurement_point(monkeypatch):
+    """The end-of-run spin (r11: steal accrued DURING three clean-start
+    solo runs, 222 -> 243 -> 277 s, and the third briefly poisoned the
+    baseline) must be distinguishable in the reason string so the
+    artifact says WHERE the run went hot."""
+    monkeypatch.delenv("SPARK_GRAFT_CALIBRATION_REF", raising=False)
+    ref = bench._CALIBRATION_REF_SEC
+    r_start = bench._calibration_contended(ref * 2, "start")
+    r_end = bench._calibration_contended(ref * 2, "end")
+    assert "at start" in r_start and "at end" in r_end

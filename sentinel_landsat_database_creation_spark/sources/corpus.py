@@ -172,14 +172,21 @@ def delete_from_corpus(
 
     Crash safety: the new file set for every affected value lands in a
     ``__deleting`` sibling first (the corpus stays fully live), then
-    each affected dir is swapped through a per-dir ``__old`` park. The
-    multi-dir swap is not atomic, but the operation is IDEMPOTENT —
-    deleted rows are simply absent on re-run — so recovery from any
-    crash point is "run the same delete again"; stale sibling dirs
-    from a crashed run are pre-cleaned on entry. A partition whose
-    every row is tombstoned is REMOVED (parquet readers skip absent
-    dirs; an empty dir left behind would list as a schema-less file
-    set and break the read).
+    each affected dir is swapped through a per-dir ``__deleting_old``
+    park. The multi-dir swap is not atomic, but the operation is
+    IDEMPOTENT — deleted rows are simply absent on re-run — so
+    recovery from any crash point is "run the same delete again":
+    on entry, any PARKED dir whose live counterpart is missing (a
+    crash between the park move and the new-set move) is RESTORED
+    into the live tree before anything is cleaned — the same
+    restore-before-rewrite rule as the LSH index swap
+    (operators/dedup.py:_sibling_swap_rewrite); without it the entry
+    cleanup would destroy the only copy of that partition. Parked
+    dirs whose live counterpart exists are stale (the new set already
+    landed) and are removed with the rest of the siblings. A
+    partition whose every row is tombstoned is REMOVED (parquet
+    readers skip absent dirs; an empty dir left behind would list as
+    a schema-less file set and break the read).
 
     The persisted LSH index over the same corpus must be deleted from
     in the same maintenance window (operators/dedup.py:
@@ -188,6 +195,25 @@ def delete_from_corpus(
     Returns the post-delete corpus read back from ``path``."""
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "__deleting"
+    old = path.rstrip("/") + "__deleting_old"
+    # recovery BEFORE any read or cleanup: a prior run that died
+    # between its two per-dir swap moves left the live partition
+    # parked — restore it, or the rmtree below destroys its only copy.
+    # Parks preserve the partition-relative path, so recovery is a
+    # walk over file-bearing park dirs (no name mangling to invert)
+    if os.path.isdir(old):
+        parked = [
+            dirpath
+            for dirpath, _dirnames, filenames in os.walk(old)
+            if filenames
+        ]
+        for dirpath in parked:
+            live_dir = os.path.join(path, os.path.relpath(dirpath, old))
+            if not os.path.isdir(live_dir):
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                shutil.move(dirpath, live_dir)
 
     ids = tombstones.select(F.col(id_col)).distinct()
     corpus = spark.read.parquet(path)
@@ -199,10 +225,10 @@ def delete_from_corpus(
         .collect()
     ]
     if not affected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         return spark.read.parquet(path)
 
-    tmp = path.rstrip("/") + "__deleting"
-    old = path.rstrip("/") + "__deleting_old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
 
@@ -230,8 +256,9 @@ def delete_from_corpus(
         rel = "/".join(f"{c}={v}" for c, v in zip(partition_by, vals))
         live_dir = os.path.join(path, rel)
         new_dir = os.path.join(tmp, rel)
-        park = os.path.join(old, rel.replace("/", "__"))
+        park = os.path.join(old, rel)  # structure-preserving park
         if os.path.isdir(live_dir):
+            os.makedirs(os.path.dirname(park), exist_ok=True)
             shutil.move(live_dir, park)
         if os.path.isdir(new_dir):
             # parent exists for depth-1 partitioning; deeper layouts

@@ -255,3 +255,42 @@ def test_delete_from_corpus_idempotent_and_removes_empty_partition(
     # no leftover swap siblings
     assert not os.path.isdir(p + "__deleting")
     assert not os.path.isdir(p + "__deleting_old")
+
+
+def test_delete_from_corpus_restores_parked_partition_on_rerun(
+    spark, tmp_path
+):
+    """The worst crash point: a prior delete died BETWEEN its two
+    per-dir swap moves — the live partition dir is gone and its only
+    copy sits parked under __deleting_old. The re-run (the documented
+    recovery) must RESTORE the park before its entry cleanup, then
+    finish the delete; before the r11 restore rule, the cleanup
+    rmtree'd the park and silently lost the whole partition."""
+    import shutil
+
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        delete_from_corpus,
+    )
+
+    docs = _docs(spark)
+    target = docs.select("lang").distinct().orderBy("lang").first()["lang"]
+    p = str(tmp_path / "corpus")
+    write_corpus(docs, p, max_records_per_file=10)
+
+    tomb = docs.filter(F.col("lang") == target).select("doc_id").limit(3)
+    tomb_ids = {r["doc_id"] for r in tomb.collect()}
+    tdf = spark.createDataFrame([(i,) for i in sorted(tomb_ids)], "doc_id long")
+
+    # simulate the mid-swap crash: park the target partition, live gone
+    old = p + "__deleting_old"
+    os.makedirs(old, exist_ok=True)
+    shutil.move(
+        os.path.join(p, f"lang={target}"), os.path.join(old, f"lang={target}")
+    )
+    assert not os.path.isdir(os.path.join(p, f"lang={target}"))
+
+    back = delete_from_corpus(spark, p, tdf, max_records_per_file=10)
+    got = {r["doc_id"] for r in back.collect()}
+    want = {r["doc_id"] for r in docs.collect()} - tomb_ids
+    assert got == want, "parked partition must be restored, then deleted from"
+    assert not os.path.isdir(old)

@@ -157,6 +157,26 @@ TABLE_ORACLE_QUERIES = TABLE_QUERIES + EXTRA_UNCAPPED + [
 # sf10 candidate table is too wide to collect)
 from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 
+# Tier-2 members beyond bench_scale's TIMING cohort: entries whose
+# 100x HASH verification landed via --tier2-patch the round they
+# shipped (the r10 trio, then the r11 four). They are deliberately
+# NOT in DECADE2_QUERIES — that list drives bench_scale's decade-2
+# TIMING probes, and these entries' costs are dominated by one-time
+# session fixtures (index/corpus writes) whose exponents would
+# measure setup, not plans — but the FULL verification run must still
+# cover them: without this list a full re-run would silently DROP
+# their results_tier2 evidence down to the timing cohort (r11 ADVICE-
+# class gap, caught in self-review).
+TIER2_EXTRA = [
+    "ivfpq_topk",
+    "jsonl_quarantine",
+    "corpus_append_compact",
+    "ivfpq_topk_trained",
+    "corpus_delete_compact",
+    "lsh_index_delete",
+    "approx_stats_checks",
+]
+
 # Results too large to collect to the driver at the 100x tier are
 # compared via an IN-ENGINE digest instead of a row-by-row frame diff:
 # both engines aggregate (count, sum of a 32-bit md5 prefix over the
@@ -863,7 +883,11 @@ def main() -> None:
         # harness heap at 32 slots
         print("second decade (sf10, local[8] capped) ...")
         dcols: dict = {}
-        tier2_run = [q for q in TIER2_QUERIES if q not in EXCLUDED_TIER2]
+        tier2_run = [
+            q
+            for q in list(TIER2_QUERIES) + TIER2_EXTRA
+            if q not in EXCLUDED_TIER2
+        ]
         frames10 = _run_spark_set(
             tier2_run,
             capped=True,

@@ -178,3 +178,47 @@ def test_verify_scale_harness_names_resolve_at_module_level():
         "an import inside main() rebinds bench_scale names function-"
         "locally and re-opens the --tier2-patch UnboundLocalError"
     )
+
+
+def test_tier2_extra_covers_patch_verified_entries():
+    """The full verify_scale run must reproduce the committed tier-2
+    artifact: every entry whose 100x evidence landed via --tier2-patch
+    belongs to TIER2_EXTRA (disjoint from the timing cohort, all
+    registry-resolvable), or a full re-run silently drops its
+    results_tier2 record."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    scripts_dir = str(Path(__file__).resolve().parents[1] / "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        vs = importlib.import_module("verify_scale")
+    finally:
+        sys.path.remove(scripts_dir)
+
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    extra = set(vs.TIER2_EXTRA)
+    assert extra.isdisjoint(set(vs.TIER2_QUERIES)), (
+        "TIER2_EXTRA must not duplicate the timing cohort"
+    )
+    missing = extra - set(REGISTRY)
+    assert not missing, f"TIER2_EXTRA names not in the registry: {missing}"
+    # every committed tier-2 result is producible by the full run:
+    # timing cohort + extras + the separately-run payload pipeline
+    import json
+
+    art = json.loads(
+        (Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json")
+        .read_text()
+    )
+    producible = (
+        set(vs.TIER2_QUERIES) | extra | {"scene_tensors_volume"}
+    ) - set(vs.EXCLUDED_TIER2)
+    orphans = set(art["results_tier2"]) - producible
+    assert not orphans, (
+        f"committed tier-2 results a full run would drop: {orphans}"
+    )

@@ -85,7 +85,8 @@ _BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
 # spread < 1% across 5 runs — and notably STABLE (~0.72 s) even while a
 # 32-thread Spark job held loadavg ~5, so it specifically detects
 # steal/frequency pathology, complementing (not replacing) the loadavg
-# guard. A run whose spin lands >15% over the committed reference must
+# guard. A run whose spin lands >5% (_CALIBRATION_TOL) over the
+# committed reference must
 # not become the comparison baseline; the spin and the reference are
 # both recorded in the payload so the artifact itself proves whether
 # the run was hot (r10 VERDICT item 6). Override the reference via
@@ -118,6 +119,23 @@ def _calibration_spin() -> float:
     return time.perf_counter() - t0
 
 
+def _calibration_reference() -> float:
+    """The reference the guard actually compares against: the
+    committed host constant unless SPARK_GRAFT_CALIBRATION_REF
+    re-bases it (different host). Resolved in one place so the payload
+    records the SAME value the comparison used (r11 ADVICE: recording
+    the constant while comparing against the override broke the
+    artifact's self-proving property on re-based hosts)."""
+    try:
+        return float(
+            os.environ.get(
+                "SPARK_GRAFT_CALIBRATION_REF", _CALIBRATION_REF_SEC
+            )
+        )
+    except ValueError:
+        return _CALIBRATION_REF_SEC
+
+
 def _calibration_contended(calib: float, when: str = "start") -> str | None:
     """None if the spin is within tolerance of the committed reference,
     else the reason string (same contract as _start_contended). Called
@@ -126,14 +144,7 @@ def _calibration_contended(calib: float, when: str = "start") -> str | None:
     accrued DURING the runs, the r9 sustained-contention signature, and
     the third run briefly poisoned the baseline; the end spin is what
     catches mid-run degradation)."""
-    try:
-        ref = float(
-            os.environ.get(
-                "SPARK_GRAFT_CALIBRATION_REF", _CALIBRATION_REF_SEC
-            )
-        )
-    except ValueError:
-        ref = _CALIBRATION_REF_SEC
+    ref = _calibration_reference()
     if ref <= 0:
         return None
     if calib > ref * (1 + _CALIBRATION_TOL):
@@ -409,7 +420,11 @@ def main() -> None:
         # proves whether the host was hot (r10 VERDICT item 6)
         "calibration_sec": round(calibration, 4),
         "calibration_end_sec": round(calibration_end, 4),
-        "calibration_ref_sec": _CALIBRATION_REF_SEC,
+        # the env-resolved reference the guard COMPARED AGAINST (r11
+        # ADVICE: the constant alone misreports on re-based hosts)
+        "calibration_ref_sec": _calibration_reference(),
+        "calibration_ref_overridden": "SPARK_GRAFT_CALIBRATION_REF"
+        in os.environ,
     }
     if regressions is not None:
         payload["regressions"] = regressions

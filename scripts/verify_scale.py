@@ -95,16 +95,16 @@ EXTRA_UNCAPPED = [
     # filters + a per-shard window — no pair space anywhere)
     "train_centroids_distributed",
     "curation_pipeline_write",
-    # r10 entries, hash-verified at 10x the round they land:
-    # ivfpq_topk (cell-pruned candidates x m-byte code rows — per-query
-    # work O(nprobe*N/K), the cheapest ANN shape here; its DuckDB dist
-    # CTE is N*m*k* ~ 2.6M exact-BIGINT sub-sums at sf1) and
+    # r10 entries, hash-verified at 10x the round they land (r12: the
+    # standalone ivfpq_topk retired into ann_topk's union above — the
+    # merged entry carries its cell-pruned probe, per-query work
+    # O(nprobe*N/K), plus the lsh/ivf/pq arms; its DuckDB dist CTEs
+    # are N*m*k* ~ 2.6M exact-BIGINT sub-sums at sf1):
     # jsonl_quarantine (one fixture write + one PERMISSIVE read + a
     # lang-keyed aggregate — linear, no pair space; the corrupt_split
     # cache spills MEMORY_AND_DISK so the uncapped heap holds), and
     # corpus_append_compact (two partition-aligned writes + one
     # compaction shuffle + a read-back aggregate — linear)
-    "ivfpq_topk",
     "jsonl_quarantine",
     "corpus_append_compact",
     # r11 entries, hash-verified at 10x the round they land:
@@ -128,6 +128,12 @@ EXTRA_UNCAPPED = [
     # deterministic at every n; the HLL 10-sigma slack is confirmed
     # empirically at each tier the entry runs)
     "approx_stats_checks",
+    # r12 entry, hash-verified at 10x the round it lands:
+    # ivfpq_topk_residual — ivfpq_topk_trained's cost class plus the
+    # linear gcent/residual projections (one broadcast K-row attach on
+    # the corpus scan); the residual PQ trainer is the same 2 x N*m*k*
+    # recurrence over residual subvectors
+    "ivfpq_topk_residual",
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in
@@ -168,10 +174,19 @@ from bench_scale import DECADE2_QUERIES as TIER2_QUERIES  # noqa: E402
 # their results_tier2 evidence down to the timing cohort (r11 ADVICE-
 # class gap, caught in self-review).
 TIER2_EXTRA = [
-    "ivfpq_topk",
+    # r12: ivfpq_topk retired into ann_topk's four-way union (rotation
+    # merge) — the union entry inherits its tier-2 slot, so the ivfpq
+    # arm's 100x evidence continues under the merged hash (the other
+    # three arms are cell/bucket-pruned or N·m·k* linear, all cheaper
+    # than the ivfpq CTE stack already verified here in r10/r11)
+    "ann_topk",
     "jsonl_quarantine",
     "corpus_append_compact",
     "ivfpq_topk_trained",
+    # r12: the residual IVFADC entry, patch-verified the round it
+    # lands — its oracle adds the gcent/residual CTEs (linear) on top
+    # of ivfpq_topk_trained's verified coarse+PQ k-means cost
+    "ivfpq_topk_residual",
     "corpus_delete_compact",
     "lsh_index_delete",
     "approx_stats_checks",

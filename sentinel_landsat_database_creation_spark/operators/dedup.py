@@ -1314,12 +1314,71 @@ def delta_dedup(
     )
 
 
+# v3 sidecar name: leading underscore makes Spark/parquet readers skip
+# it, and it travels with the directory through os-level swaps.
+_LSH_FORMAT_SIDECAR = "_lsh_format.json"
+
+
+def _write_index_format(path: str, width: int, n: int, n_hashes: int,
+                        bands: int) -> None:
+    """Land the v3 format sidecar for a width-120 index. Width-60
+    directories stay sidecar-less BY DESIGN: absence == v2/width-60,
+    which keeps every pre-r12 index (and the pinned fixtures) valid
+    and byte-identical on disk."""
+    import json
+    import os
+
+    if width == 60:
+        return
+    payload = {
+        "format": 3,
+        "width": width,
+        "n": n,
+        "n_hashes": n_hashes,
+        "bands": bands,
+    }
+    with open(os.path.join(path, _LSH_FORMAT_SIDECAR), "w") as f:
+        json.dump(payload, f)
+
+
+def lsh_index_format(path: str) -> dict:
+    """Read an index directory's format descriptor: the v3 sidecar if
+    present, else the implicit v2/width-60 contract (every index
+    written before r12, and every width-60 index since)."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, _LSH_FORMAT_SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    return {"format": 2, "width": 60}
+
+
+def _check_index_width(path: str, width: int, op: str) -> None:
+    """Refuse cross-family index operations: a width-120 probe/append
+    against a v2 directory (or vice versa) joins buckets from two
+    DIFFERENT hash families — it would silently match nothing (or
+    wrong rows), the v1-vs-v2 failure mode the lsh_index_write
+    docstring warns about, now mechanical."""
+    have = int(lsh_index_format(path).get("width", 60))
+    if have != width:
+        raise ValueError(
+            f"{op}: index at {path} is width-{have} "
+            f"(format v{lsh_index_format(path).get('format', 2)}), but "
+            f"width={width} was requested — buckets from different "
+            "hash families never match; rebuild with lsh_index_write "
+            "at the desired width"
+        )
+
+
 def lsh_index_write(
     corpus: DataFrame,
     path: str,
     n: int = 2,
     n_hashes: int = 8,
     bands: int = 4,
+    width: int = 60,
 ) -> None:
     """Persist the corpus's LSH bucket index as parquet (bucket,
     doc_id): the standing near-dup index a growing corpus maintains so
@@ -1336,15 +1395,32 @@ def lsh_index_write(
     rebuild with lsh_index_write, as the session-scoped driver
     fixtures do automatically. Probes, appends, and compaction all
     carry the same column, so the format changes atomically with this
-    module."""
-    ex = _shingle_rows(corpus, n)
-    banded = banded_buckets(minhash_signatures(ex, n_hashes), n_hashes, bands)
+    module.
+
+    FORMAT v3 (r12, the width knob the hash60 docstring commits to
+    past ~1e10 distinct shingle keys): width=120 keeps the SAME
+    (bucket BIGINT, doc_id BIGINT) schema — the bucket key is still
+    band bits + one fold word, banded_buckets' collision argument —
+    but the hash FAMILY underneath is the two-word hash120 signature
+    chain, so v2 and v3 rows must never meet in one probe. A
+    ``_lsh_format.json`` sidecar (ignored by parquet readers,
+    preserved through the crash-safe swaps) marks v3 directories;
+    absence == v2/width-60, keeping every existing index valid.
+    lsh_index_append / delta_neardup refuse a width mismatch
+    mechanically (_check_index_width); delete/compact are
+    family-agnostic row operations and work on either."""
+    _check_width(width)
+    ex = _shingle_rows(corpus, n, width)
+    banded = banded_buckets(
+        minhash_signatures(ex, n_hashes, width), n_hashes, bands, width
+    )
     (
         banded.repartition(F.col("bucket"))
         .sortWithinPartitions("bucket")
         .write.mode("overwrite")
         .parquet(path)
     )
+    _write_index_format(path, width, n, n_hashes, bands)
 
 
 def lsh_index_append(
@@ -1353,6 +1429,7 @@ def lsh_index_append(
     n: int = 2,
     n_hashes: int = 8,
     bands: int = 4,
+    width: int = 60,
 ) -> None:
     """Index maintenance for a GROWING corpus (round-5 VERDICT item 4):
     append an accepted ingest batch's LSH buckets into an existing
@@ -1371,9 +1448,20 @@ def lsh_index_append(
     then per ingest cycle (1) delta_neardup(batch) probes the index,
     (2) accepted survivors append to the corpus, (3) lsh_index_append
     indexes exactly those survivors. Work per cycle is
-    O(batch x bands), never O(corpus)."""
-    ex = _shingle_rows(batch, n)
-    banded = banded_buckets(minhash_signatures(ex, n_hashes), n_hashes, bands)
+    O(batch x bands), never O(corpus).
+
+    ``width`` must match the directory's format (the v3 sidecar /
+    implicit v2 — lsh_index_write docstring): a cross-family append
+    would land buckets no probe can hit, so the mismatch raises."""
+    _check_width(width)
+    import os
+
+    if os.path.isdir(path):
+        _check_index_width(path, width, "lsh_index_append")
+    ex = _shingle_rows(batch, n, width)
+    banded = banded_buckets(
+        minhash_signatures(ex, n_hashes, width), n_hashes, bands, width
+    )
     (
         banded.repartition(F.col("bucket"))
         .sortWithinPartitions("bucket")
@@ -1425,7 +1513,11 @@ def _sibling_swap_rewrite(spark, path: str, transform) -> None:
     rules): read ``path``, apply ``transform`` (a DataFrame ->
     DataFrame function; identity = pure compaction), land the result
     repartitioned+sorted on bucket at ``__compacting``, park the live
-    set at ``__old``, move the new set in, delete the park."""
+    set at ``__old``, move the new set in, delete the park. The v3
+    format sidecar (r12) is copied onto the new set BEFORE the swap,
+    so a width-120 index keeps its family marker through compaction
+    and deletion (both are family-agnostic row operations); the copy
+    is a no-op for sidecar-less v2 directories."""
     import os
     import shutil
 
@@ -1446,6 +1538,9 @@ def _sibling_swap_rewrite(spark, path: str, transform) -> None:
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    sidecar = os.path.join(path, _LSH_FORMAT_SIDECAR)
+    if os.path.exists(sidecar):
+        shutil.copy2(sidecar, os.path.join(tmp, _LSH_FORMAT_SIDECAR))
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
@@ -1498,6 +1593,7 @@ def delta_neardup(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.3,
+    width: int = 60,
 ) -> DataFrame:
     """Incremental NEAR-dup: which documents of an incoming batch are
     near-duplicates of the existing corpus, probed through the
@@ -1511,14 +1607,22 @@ def delta_neardup(
     Returns (batch_doc, corpus_doc, n_inter, n_union, jaccard) for
     verified pairs at/above ``threshold``. Complements delta_dedup
     (exact content-hash) the way two_stage_neardup complements
-    exact_dedup for the full-corpus case."""
+    exact_dedup for the full-corpus case.
+
+    ``width=120`` (r12): probes a FORMAT v3 index — the whole batch
+    chain (shingles, signatures, buckets) runs the two-word hash120
+    family and the exact verify intersects (s, s2) struct keys, the
+    collision-free key set the width exists for. The caller is
+    responsible for the index/width pairing when passing a DataFrame
+    (path-based lifecycle ops check the sidecar mechanically)."""
+    _check_width(width)
     from .skew import full_width
 
     # memoized: the batch shingle table feeds signatures AND the
     # verification sets below — one explode+distinct shuffle, not two
-    bex = shingle_rows_materialized(batch, n)
+    bex = shingle_rows_materialized(batch, n, width)
     b_banded = banded_buckets(
-        minhash_signatures(bex, n_hashes), n_hashes, bands
+        minhash_signatures(bex, n_hashes, width), n_hashes, bands, width
     )
 
     def _cand():
@@ -1553,17 +1657,28 @@ def delta_neardup(
         idx_key = hash(tuple(sorted(index.inputFiles())))
     except Exception:
         idx_key = object()  # unique -> never collides, memo still works
-    cand = _memo_checkpoint(
-        batch, ("delta_neardup_cand", n, n_hashes, bands, idx_key), _cand
+    # width 60 keeps the historical memo key (warm-memo continuity, the
+    # shingle_rows_materialized discipline)
+    memo_tag = (
+        ("delta_neardup_cand", n, n_hashes, bands, idx_key)
+        if width == 60
+        else ("delta_neardup_cand", n, n_hashes, bands, idx_key, width)
     )
+    cand = _memo_checkpoint(batch, memo_tag, _cand)
     # exact verification on candidates only: corpus side re-shingles
     # just the candidate partners (semi join prunes the scan)
     partners = cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
     cex = _shingle_rows(
-        corpus.join(F.broadcast(partners), "doc_id", "left_semi"), n
+        corpus.join(F.broadcast(partners), "doc_id", "left_semi"), n, width
     )
-    b_sets = bex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
-    c_sets = cex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    # the verify key: at width 120 the collision-free unit is the
+    # two-word (s, s2) pair — intersecting word0 alone would re-admit
+    # exactly the collisions the width exists to remove
+    vkey = (
+        F.col("s") if width == 60 else F.struct(F.col("s"), F.col("s2"))
+    )
+    b_sets = bex.groupBy("doc_id").agg(F.collect_list(vkey).alias("sh"))
+    c_sets = cex.groupBy("doc_id").agg(F.collect_list(vkey).alias("sh"))
     scored = (
         cand.join(
             b_sets.select(

@@ -981,6 +981,61 @@ def ivfpq_topk(
     )
 
 
+def _round_half_away(quot: float) -> int:
+    """round() matching Spark/DuckDB: half AWAY from zero. Python's
+    built-in round() is half-to-even and would diverge on exact .5
+    quotients (the quantize_vec contract)."""
+    return int(math.floor(abs(quot) + 0.5) * (1 if quot >= 0 else -1))
+
+
+def _lloyd_pq(
+    spark,
+    subs: DataFrame,
+    dsub: int,
+    n_iters: int,
+    cb: list[tuple[int, int, list[int]]],
+) -> list[tuple[int, int, list[int]]]:
+    """The per-subspace Lloyd recurrence shared by train_pq_codebooks
+    (raw quantized subvectors) and train_pq_codebooks_residual
+    (residual subvectors): exact-BIGINT squared-L2 assignment against
+    the broadcast codebook, ties to lowest cent_id, new element =
+    round-half-away(sum/n) back onto the quantize_vec grid, empty
+    cells keep their previous centroid. ``subs`` must be
+    (vid, sub, sq array<long>); determinism notes live on
+    train_pq_codebooks."""
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            cb, "sub int, cent_id long, cv array<long>"
+        )
+        dist = subs.join(F.broadcast(cdf), "sub").withColumn(
+            "dist", _l2_quant(F.col("sq"), F.col("cv"))
+        )
+        best = F.min(F.struct(F.col("dist"), F.col("cent_id")))
+        codes = (
+            dist.groupBy("vid", "sub")
+            .agg(best.alias("b"))
+            .select("vid", "sub", F.col("b.cent_id").alias("code"))
+        )
+        sums = (
+            codes.join(subs, ["vid", "sub"])
+            .select("sub", "code", F.posexplode("sq").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], list[int | None]] = {}
+        for r in sums:
+            key = (int(r["sub"]), int(r["code"]))
+            vec = by_cell.setdefault(key, [None] * dsub)
+            quot = float(int(r["s"])) / float(int(r["n"]))
+            vec[int(r["pos"])] = _round_half_away(quot)
+        cb = [
+            (s, c, by_cell.get((s, c), old))  # empty cell keeps previous
+            for s, c, old in cb
+        ]
+    return cb
+
+
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -1064,41 +1119,7 @@ def train_pq_codebooks(
         (int(r["sub"]), int(r["vid"]), [int(x) for x in r["sq"]])
         for r in subs.filter(F.col("vid") < n_sub_centroids).collect()
     )
-    for _ in range(n_iters):
-        cdf = spark.createDataFrame(
-            cb, "sub int, cent_id long, cv array<long>"
-        )
-        dist = subs.join(F.broadcast(cdf), "sub").withColumn(
-            "dist", _l2_quant(F.col("sq"), F.col("cv"))
-        )
-        best = F.min(F.struct(F.col("dist"), F.col("cent_id")))
-        codes = (
-            dist.groupBy("vid", "sub")
-            .agg(best.alias("b"))
-            .select("vid", "sub", F.col("b.cent_id").alias("code"))
-        )
-        sums = (
-            codes.join(subs, ["vid", "sub"])
-            .select("sub", "code", F.posexplode("sq").alias("pos", "x"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[tuple[int, int], list[int | None]] = {}
-        for r in sums:
-            key = (int(r["sub"]), int(r["code"]))
-            vec = by_cell.setdefault(key, [None] * dsub)
-            # round half away from zero, matching Spark/DuckDB round():
-            # Python's round() is half-to-even and would diverge on
-            # exact .5 quotients
-            quot = float(int(r["s"])) / float(int(r["n"]))
-            vec[int(r["pos"])] = int(
-                math.floor(abs(quot) + 0.5) * (1 if quot >= 0 else -1)
-            )
-        cb = [
-            (s, c, by_cell.get((s, c), old))  # empty cell keeps previous
-            for s, c, old in cb
-        ]
+    cb = _lloyd_pq(spark, subs, dsub, n_iters, cb)
     if memo_key is not None:
         if len(_TRAIN_MEMO) > 16:
             _TRAIN_MEMO.clear()
@@ -1189,6 +1210,317 @@ def ivfpq_topk_trained(
     )
     adc = (
         cand_codes.join(F.broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("cid"))
+    ranked = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_cast(F.col("qv")))
+    cv = embeddings.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm_cast(F.col("cv")))
+    return (
+        ranked.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .withColumn(
+            "cos",
+            dot_cast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+        .select(
+            F.col("qid").cast("long"),
+            F.col("rnk").cast("long"),
+            F.col("cid").cast("long"),
+            F.col("cos"),
+        )
+    )
+
+
+def coarse_grid_centroids(
+    coarse: list[tuple[int, list[int], int]],
+) -> list[tuple[int, list[int]]]:
+    """Trained coarse centroids as GRID VECTORS: round-half-away(s/n)
+    per element back onto the quantize_vec grid — the train_pq_codebooks
+    mean rule applied to the coarse sums, which is what makes residual
+    arithmetic exact: residual[i] = qv[i] - gv[i] is a difference of two
+    exact int64s. Sums are < 2^53 (train_centroids' ceiling), so the
+    float division is correctly rounded identically in Spark/DuckDB/
+    Python. A cell left empty by training (n=0, previous sum kept)
+    divides by 1 — geometrically arbitrary but DETERMINISTIC and
+    reproduced verbatim by the oracle's greatest(n, 1); such a cell's
+    silly residuals only matter if index-time assignment routes vectors
+    into it, and recall there is already forfeit for IVF reasons."""
+    return [
+        (
+            int(cell),
+            [
+                _round_half_away(float(int(x)) / float(max(int(n), 1)))
+                for x in s
+            ],
+        )
+        for cell, s, n in coarse
+    ]
+
+
+def _residual_cells(
+    vectors: DataFrame,
+    cdf: DataFrame,
+    gdf: DataFrame,
+    id_col: str,
+    probes: int,
+) -> DataFrame:
+    """(id, cell, rq) — the quantized RESIDUAL of each vector to each of
+    its ``probes`` nearest trained cells: assignment is _assign_trained's
+    trained-cosine rule verbatim (score = dot(qv, S_c)/||S_c||, ties to
+    lowest cell), but qv rides the fold as struct payload so the residual
+    subtraction doesn't need a second corpus scan. rq[i] = qv[i] - gv[i]
+    — both on the quantize_vec grid, so every element is an exact int64.
+    ``gdf`` is the broadcastable (cell, gv) frame from
+    coarse_grid_centroids. The payload struct is safe: (score, -cell) is
+    already a total order per id, so qv never participates in a
+    comparison."""
+    v = vectors.select(
+        F.col(id_col), quantize_vec(F.col("embedding")).alias("qv")
+    )
+    scored = v.join(F.broadcast(cdf)).withColumn(
+        "score", dot_cast(F.col("qv"), F.col("s")) / F.col("sn")
+    )
+    if probes == 1:
+        best = F.max(
+            F.struct(F.col("score"), (-F.col("cell")).alias("nc"), F.col("qv"))
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(
+                F.col(id_col),
+                (-F.col("b.nc")).alias("cell"),
+                F.col("b.qv").alias("qv"),
+            )
+        )
+    else:
+        w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") <= probes)
+            .select(F.col(id_col), "cell", "qv")
+        )
+    return assigned.join(F.broadcast(gdf), "cell").select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(F.col("qv"), F.col("gv"), lambda x, y: x - y).alias("rq"),
+    )
+
+
+def _residual_sub_rows(
+    res: DataFrame, m: int, dsub: int, id_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, cell, sub, sq) — residual rows split into m contiguous
+    dsub-dim subspaces, pq_subvectors' posexplode shape with the cell
+    carried (residual codes are only comparable within a coarse cell)."""
+    subs = F.array(*[F.slice(F.col("rq"), s * dsub + 1, dsub) for s in range(m)])
+    return res.select(
+        F.col(id_col).alias(out_id),
+        "cell",
+        F.posexplode(subs).alias("sub", "sq"),
+    )
+
+
+def train_pq_codebooks_residual(
+    embeddings: DataFrame,
+    coarse: list[tuple[int, list[int], int]],
+    m: int = 4,
+    n_sub_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[int]]]:
+    """Per-subspace Lloyd's k-means over RESIDUAL subvectors — the
+    IVFADC training Jégou et al. TPAMI 2011 §IVFADC actually specifies:
+    sub-codebooks learn the distribution of y − q1(y) (the vector minus
+    its assigned coarse centroid), which is where most of the paper's
+    recall at equal code budget m comes from (residual energy ≪ vector
+    energy on clustered data, so the same k* sub-centroids quantize a
+    much smaller cloud). train_pq_codebooks (raw-vector codebooks) is
+    the §ADC baseline; this is the §IVFADC upgrade (r11 VERDICT item 2).
+
+    Determinism is inherited wholesale: coarse assignment is the
+    trained-cosine rule (_assign_trained), the coarse centroid is
+    rounded back onto the quantize_vec grid (coarse_grid_centroids), so
+    residuals are exact int64 differences and the shared _lloyd_pq
+    recurrence — exact squared-L2 assignment, ties to lowest cent_id,
+    round-half-away means, empty cells keep previous — runs on the same
+    integer arithmetic the DuckDB oracle reproduces bit-identically.
+    Seeds are the first-k* vectors' residual subvectors, mirroring
+    train_pq_codebooks' seed rule.
+
+    Scale: identical to train_pq_codebooks — one narrow corpus scan per
+    iteration against the broadcast codebook plus one K·d-bounded
+    partial-agg collect — with one extra broadcast join (the K-row gv
+    attach) on the corpus scan. Memoized per (session, corpus plan,
+    coarse values, params); the miss-path build drains through
+    memo:train_pq_codebooks_residual (every session-scoped memo build
+    must be itemized — rotations reorder who pays first)."""
+    spark = embeddings.sparkSession
+    d = embedding_dim(embeddings, vec_col)
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    if m * n_sub_centroids * dsub > TRAIN_KD_CEILING:
+        raise ValueError(
+            f"train_pq_codebooks_residual collects m*k*ated = {m}*"
+            f"{n_sub_centroids}*{dsub} codebook values per iteration, "
+            f"over the {TRAIN_KD_CEILING} driver ceiling; shrink the "
+            "codebook (see train_pq_codebooks' guard)"
+        )
+    coarse_sig = tuple((int(c), tuple(int(x) for x in s), int(n)) for c, s, n in coarse)
+    try:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),
+            "residual",
+            coarse_sig,
+            m,
+            n_sub_centroids,
+            n_iters,
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _TRAIN_MEMO:
+        return list(_TRAIN_MEMO[memo_key])
+    import time as _time
+
+    from .dedup import log_setup_time
+
+    _t0 = _time.perf_counter()
+    cdf = _trained_centroid_frame(spark, coarse)
+    gdf = spark.createDataFrame(
+        coarse_grid_centroids(coarse), "cell long, gv array<long>"
+    )
+    res = _residual_cells(
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+        cdf,
+        gdf,
+        id_col,
+        1,
+    )
+    subs = _residual_sub_rows(res, m, dsub, id_col, "vid").select(
+        "vid", "sub", "sq"
+    )
+    seed = sorted(
+        (int(r["sub"]), int(r["vid"]), [int(x) for x in r["sq"]])
+        for r in subs.filter(F.col("vid") < n_sub_centroids).collect()
+    )
+    cb = _lloyd_pq(spark, subs, dsub, n_iters, seed)
+    if memo_key is not None:
+        if len(_TRAIN_MEMO) > 16:
+            _TRAIN_MEMO.clear()
+        _TRAIN_MEMO[memo_key] = list(cb)
+    log_setup_time(
+        "memo:train_pq_codebooks_residual", _time.perf_counter() - _t0
+    )
+    return cb
+
+
+def ivfpq_topk_residual(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    coarse: list[tuple[int, list[int], int]],
+    codebooks: list[tuple[int, int, list[int]]],
+    k: int = 3,
+    m: int = 4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full Jégou et al. TPAMI 2011
+    §IVFADC configuration (r11 VERDICT item 2): each database vector is
+    PQ-encoded as its residual to its assigned coarse centroid
+    (``codebooks`` from train_pq_codebooks_residual), and a query builds
+    one LUT PER PROBED CELL from its residual to that cell's centroid.
+    ivfpq_topk_trained encodes the raw vector — the paper's ADC baseline
+    — and loses the recall that residual quantization buys at equal m.
+
+    Plan shape vs ivfpq_topk_trained, stage by stage:
+    - coarse assignment must now run BEFORE encoding (the residual needs
+      the cell), which REMOVES the separate cell-attach shuffle: the
+      (cid, cell) pair rides the residual rows from the assignment fold,
+      so the candidate prune is a broadcast-LUT equi-join on
+      (cell, sub, code) — one corpus-sized shuffle total (the code
+      groupBy), one fewer than the raw-vector plan.
+    - the query LUT is (qid, cell, sub, code, d) — nq·nprobe·m·k* rows,
+      still trivially broadcast; joining on cell IS the IVF prune (LUT
+      rows exist only for probed cells).
+    - everything downstream (exact-BIGINT ADC sums, (adc, cid) ties,
+      WindowGroupLimit two-phase ranking, raw vectors only at the
+      ≤ nq·k rerank) is byte-for-byte the family discipline.
+
+    Exactness end to end: residuals are int64 differences on the
+    quantize_vec grid (coarse_grid_centroids), codebook elements are
+    grid-rounded means, so every ADC distance is an exact BIGINT and
+    the DuckDB oracle reproduces coarse k-means + residual PQ k-means +
+    probe bit-identically."""
+    d = embedding_dim(embeddings, vec_col)
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    spark = embeddings.sparkSession
+
+    cdf = _trained_centroid_frame(spark, coarse)
+    gdf = spark.createDataFrame(
+        coarse_grid_centroids(coarse), "cell long, gv array<long>"
+    )
+    res_c = _residual_cells(
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+        cdf,
+        gdf,
+        id_col,
+        1,
+    )
+    res_q = _residual_cells(
+        queries.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+        cdf,
+        gdf,
+        id_col,
+        nprobe,
+    )
+
+    codebook = spark.createDataFrame(
+        codebooks, "sub int, cent_id long, cv array<long>"
+    )
+    sub_c = _residual_sub_rows(res_c, m, dsub, id_col, "cid")
+    dist_c = sub_c.join(F.broadcast(codebook), "sub").withColumn(
+        "dist", _l2_quant(F.col("sq"), F.col("cv"))
+    )
+    best = F.min(F.struct(F.col("dist"), F.col("cent_id")))
+    codes = (
+        dist_c.groupBy("cid", "cell", "sub")
+        .agg(best.alias("b"))
+        .select("cid", "cell", "sub", F.col("b.cent_id").alias("code"))
+    )
+
+    lut = (
+        _residual_sub_rows(res_q, m, dsub, id_col, "qid")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "cell",
+            "sub",
+            F.col("cent_id").alias("code"),
+            _l2_quant(F.col("sq"), F.col("cv")).alias("d"),
+        )
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("qid") != F.col("cid"))
         .groupBy("qid", "cid")
         .agg(F.sum("d").alias("adc"))
     )

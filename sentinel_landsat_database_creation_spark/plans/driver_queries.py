@@ -1774,111 +1774,107 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 11 prefix (mandatory rotation of the whole r10 tail): the 49
-# entries spilled in r10 were last driver-checked in r9 — the
+# Round 12 prefix (mandatory rotation of the whole r11 tail): the 50
+# entries spilled in r11 were last driver-checked in r10 — the
 # staleness deadline — so ALL of them rotate back into the prefix.
-# Three in-prefix merges fund four new entries (both parents inside
-# the r11 prefix at merge time, per policy):
-# - embed_checks absorbs embed_normalize (one embeddings table; the
-#   unit-norm projection columns ride the slice/quality hash —
-#   q_embed_checks docstring has the coverage argument);
-# - quality_gate absorbs length_trim (adjacent curation filters over
-#   documents; the per-lang trim stats ride every doc row of that
-#   lang — q_quality_gate docstring);
-# - mixture_plan absorbs stratified_sample (the same hash-bucket
-#   sampler under two independent rate tables rides one hash —
-#   q_mixture_plan docstring).
-# Registry grows 99 -> 100 (three retired into merges, four new), so
-# the prefix holds exactly 46 rotating + 4 = 50 entries. The new r11
-# entries (in the prefix per policy):
-# - ivfpq_topk_trained: IVFADC with BOTH quantizers trained — coarse
-#   from train_centroids, per-subspace sub-codebooks from the new
-#   train_pq_codebooks (r10 VERDICT item 3);
-# - corpus_delete_compact: tombstone cohort -> partition-pruned
-#   rewrite -> erasure proved from the destination files (item 4);
-# - lsh_index_delete: the index half — ghost-pair removal through the
-#   shared crash-safe sibling swap, per-band content digest + zero-
-#   tombstone proof from the post-swap files (item 4);
-# - approx_stats_checks: the approximate members for the exact-only
-#   aggregates (item 7) — percentile_approx's DETERMINISTIC GK rank
-#   bound and approx_count_distinct's 10-sigma HLL bound enforced as
-#   booleans under the hash, exact siblings alongside.
-# Rotating entries whose plan r11 deliberately changed: ONLY the two
-# merge hosts (embed_checks, quality_gate) — both in the checked
-# prefix as required; the snapshot was regenerated for them plus the
-# three new entries, and every other pin stayed byte-identical
-# (the milestone-2/3 regen diff added exactly the 3 new lines).
+# With the registry at 100 that leaves ZERO free prefix slots; per
+# policy every r12 addition is funded by an in-prefix merge (both
+# parents inside the r12 prefix at merge time). Two merges this round:
+# - dedup_clusters absorbs dedup_clusters_lss (the same connected-
+#   components semantics under two algorithms — min-label propagation
+#   and large-star/small-star; the merged entry runs BOTH and pins
+#   algorithm agreement as a boolean under the hash —
+#   q_dedup_clusters docstring has the coverage argument);
+# - ann_recall absorbs ann_topk (ann_recall already computes the
+#   brute-force cosine top-k as its recall denominator; the merged
+#   entry exposes those top-k rows alongside the recall rows, so the
+#   retired entry's coverage rides the same hash —
+#   q_ann_recall docstring).
+# The two freed slots fund, inside the r12 prefix per policy:
+# - ivfpq_topk_residual (NEW, r11 VERDICT item 2): IVFADC encoding
+#   PQ codes over exact integer RESIDUALS to the assigned coarse
+#   centroid (Jegou et al. TPAMI 2011 SSIVFADC), sub-codebooks trained
+#   on residuals; recall at equal m strictly beats the raw-vector
+#   trained variant (test-pinned);
+# - corpus_delete_compact MOVED from the slated tail into the prefix:
+#   delete_from_corpus's semantics moved this round (r11 ADVICE
+#   medium — eqNullSafe pruning + Spark partition-path escaping so
+#   NULL/escape-needing partition values are erased instead of
+#   silently kept; plus the optional partition-hinted probe, VERDICT
+#   item 5), so per the changed-entry rule it is driver-checked this
+#   round, with the entry widened to exercise a NULL-partition
+#   erasure.
+# Registry: 100 - 2 (absorbed) + 1 (new) = 99; prefix = 48 rotating
+# + ivfpq_topk_residual + corpus_delete_compact = 50; tail = the
+# other 49 r11-checked entries.
 #
-# The 50 spilled below are r10-green (CORRECTNESS_r10: rows+schema+
-# hash, err null, all 50 prefix entries) and untouched by r11's work
-# — the only code that moved near them is behavior-preserving
-# hardening with plans byte-identical per the snapshot suite:
-# jsonl_quarantine gained a fixture-precondition assert (setup block
-# only) and lsh_index_compact's swap was factored into
-# _sibling_swap_rewrite (shared with the new delete, same recovery
-# rules). stream_sessions and stream_sessions_native are the only
-# session-variant members (ALLOWED_UNPINNED_TAIL justifications; the
-# pinned batch twin user_sessions rotates into the prefix this
-# round); the in-repo replica (tests/test_oracle_equivalence.py)
-# still checks ALL entries every run.
+# The 49 spilled below are r11-green (CORRECTNESS_r11: rows+schema+
+# hash, err null, all 50 prefix entries — corpus_delete_compact, the
+# 50th, stays in the prefix as above) and untouched by r12's work.
+# stream_weekly_counts, stream_dedup_keys, stream_dedup_ttl,
+# stream_click_signup and stream_lsh_delta are the session-variant
+# members this round (ALLOWED_UNPINNED_TAIL justifications — the
+# dict is unchanged; membership is only load-bearing for tail
+# entries, and the other two streaming drains, stream_sessions and
+# stream_sessions_native, rotate into the prefix); the in-repo
+# replica (tests/test_oracle_equivalence.py) still checks ALL
+# entries every run.
 #
-# r12 math: the 50 below were last driver-checked in r10, so they hit
-# the staleness deadline next round and must ALL rotate into the r12
-# prefix — 50 rotating + the 50 r11-checked spilling fills the
-# registry exactly at size 100 with ZERO free prefix slots; every new
-# r12 entry needs an in-prefix merge (both parents inside the r12
-# prefix at merge time), exactly as the two r11 merges above.
+# r13 math: the 49 below were last driver-checked in r11, so they hit
+# the staleness deadline next round and must ALL rotate into the r13
+# prefix — 49 rotating leaves ONE free prefix slot; a second new r13
+# entry needs an in-prefix merge (both parents inside the r13 prefix
+# at merge time), exactly as the two r12 merges above.
 _PROVEN_TAIL = [
-    "overlap_grid",
-    "catalog_event_labels",
-    "pair_counts",
-    "pairing_keys",
-    "pairing_compat",
-    "range_join_events",
-    "antijoin_checks",
-    "pivot_rollup_checks",
-    "user_value_moving_avg",
-    "doc_length_quantiles",
-    "pricing_summary",
-    "order_rank_checks",
-    "nation_revenue",
-    "promo_revenue",
-    "asof_last_click",
-    "shipping_lag",
-    "winnow_fingerprint",
-    "stream_sessions",
-    "stream_sessions_native",
-    "ann_topk",
-    "user_sessions",
-    "jaccard_neardup",
-    "minhash_lsh",
-    "neardup_pipeline",
-    "dedup_clusters",
-    "simhash_docs",
-    "embed_cosine_neardup",
-    "doc_repetition",
-    "decontaminate",
-    "tfidf_terms",
-    "unigram_nll",
-    "top_tokens_per_lang",
-    "ann_recall",
-    "dedup_clusters_lss",
-    "minhash_estimate",
-    "ann_recall_trained",
-    "pii_scrub",
-    "corpus_dedup_write",
-    "domain_quota",
-    "corpus_compact",
-    "media_neardup",
-    "corpus_cube",
-    "exact_dedup_checks",
-    "scene_tensors_volume",
-    "crop_volume_greedy",
-    "scene_tensors_compressed",
-    "lsh_index_compact",
-    "ivfpq_topk",
-    "jsonl_quarantine",
-    "corpus_append_compact",
+    "crop_pipeline",
+    "crop_slice_quality",
+    "catalog_week_class",
+    "compat_csv_roundtrip",
+    "event_funnel",
+    "retention_cohorts",
+    "weekly_click_signup_outer",
+    "distinct_users_by_type",
+    "doc_stats",
+    "embed_checks",
+    "stream_weekly_counts",
+    "stream_dedup_keys",
+    "stream_click_signup",
+    "media_frames",
+    "cosine_topk",
+    "sign_lsh_buckets",
+    "containment_dedup",
+    "token_fingerprint_checks",
+    "pq_topk",
+    "lang_guess",
+    "chunk_split",
+    "epoch_shuffle",
+    "vocab_coverage",
+    "pack_sequences",
+    "bigram_nll",
+    "zorder_checks",
+    "semantic_dedup",
+    "bucketed_join_check",
+    "corpus_roundtrip",
+    "mixture_plan",
+    "stream_dedup_ttl",
+    "span_dedup",
+    "delta_dedup",
+    "ivf_probe2",
+    "ivf_train_centroids",
+    "quality_gate",
+    "salted_skew_checks",
+    "corpus_pruned_read",
+    "media_checks",
+    "span_scrub",
+    "lsh_delta_checks",
+    "crop_volume",
+    "scene_tensors_int16",
+    "train_centroids_distributed",
+    "stream_lsh_delta",
+    "curation_pipeline_write",
+    "ivfpq_topk_trained",
+    "lsh_index_delete",
+    "approx_stats_checks",
 ]
 
 

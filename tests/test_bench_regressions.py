@@ -177,7 +177,7 @@ def test_contention_guard_reads_load(monkeypatch):
 def test_calibration_guard_detects_steal(monkeypatch):
     """The steal-aware half of the baseline guard (r10 VERDICT item 2:
     the r10 committed baseline carried ~25% host inflation that
-    loadavg never saw): a spin >15% over the committed reference
+    loadavg never saw): a spin >5% (_CALIBRATION_TOL) over the reference
     yields a reason string, within-tolerance is None, the env knob
     re-bases for other hosts, and <= 0 disables."""
     monkeypatch.delenv("SPARK_GRAFT_CALIBRATION_REF", raising=False)

@@ -294,3 +294,127 @@ def test_delete_from_corpus_restores_parked_partition_on_rerun(
     want = {r["doc_id"] for r in docs.collect()} - tomb_ids
     assert got == want, "parked partition must be restored, then deleted from"
     assert not os.path.isdir(old)
+
+
+def _docs_with_odd_partitions(spark):
+    """documents with a partition column exercising the two values the
+    r11 delete silently skipped: NULL (lands on disk as
+    __HIVE_DEFAULT_PARTITION__) and an escape-needing string (':' is
+    %-hex-encoded in the dir name)."""
+    return _docs(spark).withColumn(
+        "plang",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 11 == 7, F.concat(F.col("lang"), F.lit(":x")))
+        .otherwise(F.col("lang")),
+    )
+
+
+def test_delete_from_corpus_null_and_escaped_partitions(spark, tmp_path):
+    """The r11 ADVICE medium hole: tombstoned rows living in a NULL or
+    escape-needing partition must be ERASED, not silently kept — the
+    pruning predicate needs eqNullSafe (plain == is never true against
+    NULL) and the swap needs Spark's partition-path escaping (the live
+    dir is lang%3Ax / __HIVE_DEFAULT_PARTITION__, not the raw value)."""
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        _HIVE_DEFAULT_PARTITION,
+        delete_from_corpus,
+    )
+
+    docs = _docs_with_odd_partitions(spark)
+    p = str(tmp_path / "corpus")
+    write_corpus(docs, p, partition_by=("plang",), max_records_per_file=10)
+    dirs = set(os.listdir(p))
+    assert f"plang={_HIVE_DEFAULT_PARTITION}" in dirs
+    assert any("%3A" in d for d in dirs), dirs  # ':' escaped on disk
+
+    # tombstones drawn from BOTH odd partitions plus a clean one
+    tomb = docs.filter(
+        (F.col("doc_id") % 11).isin(3, 7) | (F.col("doc_id") % 23 == 1)
+    ).select("doc_id")
+    tomb_ids = {r["doc_id"] for r in tomb.collect()}
+    assert tomb_ids, "fixture must contain odd-partition rows"
+    tdf = spark.createDataFrame(
+        [(i,) for i in sorted(tomb_ids)], "doc_id long"
+    )
+    back = delete_from_corpus(
+        spark, p, tdf, partition_by=("plang",), max_records_per_file=10
+    )
+    got = {r["doc_id"] for r in back.collect()}
+    want = {r["doc_id"] for r in docs.collect()} - tomb_ids
+    assert got == want, "NULL/escaped partitions must be erased from"
+    # every doc_id % 11 in {3, 7} row was tombstoned, so both odd
+    # partitions are now fully removed from the layout
+    dirs_after = set(os.listdir(p))
+    assert f"plang={_HIVE_DEFAULT_PARTITION}" not in dirs_after
+    assert not any("%3A" in d for d in dirs_after)
+    # no leftover swap siblings
+    assert not os.path.isdir(p + "__deleting")
+    assert not os.path.isdir(p + "__deleting_old")
+
+
+def test_delete_from_corpus_hinted_probe_prunes_and_fails_closed(
+    spark, tmp_path
+):
+    """The r11 VERDICT item-5 fast path: with tombstone_partitions the
+    affected-partition probe reads ONLY the hinted dirs (the partition
+    predicate reaches the scan's PartitionFilters — plan-pinned here),
+    and a hint that does NOT cover every tombstoned id raises instead
+    of silently skipping erasure (fail closed), leaving the corpus
+    untouched."""
+    import glob
+    import hashlib
+
+    import pytest
+
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        _partition_predicate,
+        delete_from_corpus,
+    )
+
+    docs = _docs(spark)
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    target, other = langs[0], langs[1]
+    p = str(tmp_path / "corpus")
+    write_corpus(docs, p, max_records_per_file=10)
+
+    # the probe's scan prunes to the hinted dirs: the eqNullSafe hint
+    # predicate must land in PartitionFilters (partition pruning), not
+    # in post-scan Filter
+    probe = spark.read.parquet(p).filter(
+        _partition_predicate(("lang",), [(target,)])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any(target in ln for ln in scan_lines), plan
+    assert probe.select("lang").distinct().collect()[0]["lang"] == target
+
+    tomb = docs.filter(F.col("lang") == target).select("doc_id").limit(5)
+    tomb_ids = {r["doc_id"] for r in tomb.collect()}
+    tdf = spark.createDataFrame(
+        [(i,) for i in sorted(tomb_ids)], "doc_id long"
+    )
+
+    def fileset():
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{p}/lang=*/*.parquet")
+        }
+
+    before = fileset()
+    # lying hint: the tombstones live in `target`, the hint names
+    # `other` — must raise and leave every byte in place
+    with pytest.raises(ValueError, match="does not cover"):
+        delete_from_corpus(
+            spark, p, tdf, max_records_per_file=10,
+            tombstone_partitions=[(other,)],
+        )
+    assert fileset() == before, "failed-closed delete must not rewrite"
+
+    # honest hint: erasure proceeds exactly as the unhinted path
+    back = delete_from_corpus(
+        spark, p, tdf, max_records_per_file=10,
+        tombstone_partitions=[(target,)],
+    )
+    got = {r["doc_id"] for r in back.collect()}
+    want = {r["doc_id"] for r in docs.collect()} - tomb_ids
+    assert got == want

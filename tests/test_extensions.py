@@ -2256,6 +2256,164 @@ def test_ivfpq_trained_results_come_from_probed_cells(spark):
         assert cell_of[r["cid"]] in probed[r["qid"]]
 
 
+def _clustered_embeddings(spark, d=64, n_clusters=8, n=400, sigma=0.15):
+    """Deterministic CLUSTERED embedding fixture for the residual-
+    encoding claim (Jégou et al. TPAMI 2011 §IVFADC assumes residual
+    energy << vector energy, which isotropic random vectors — the
+    driver testdata — cannot provide). Cluster ids interleave with
+    vec_id (vid % n_clusters) so the first-K seeds of BOTH trainers
+    span all clusters; a sorted-by-cluster layout degenerate-seeds
+    k-means and was measured to invert the comparison."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1.0, (n_clusters, d))
+    rows = [
+        (
+            vid,
+            [float(x) for x in centers[vid % n_clusters] + rng.normal(0, sigma, d)],
+        )
+        for vid in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_residual_beats_raw_on_clustered(spark):
+    """The r11 VERDICT's acceptance test for residual encoding — the
+    paper's central §IVFADC claim: at EQUAL code budget (k, m, k*, K,
+    nprobe), PQ over residuals y − q1(y) strictly out-recalls PQ over
+    raw vectors, because the residual cloud the sub-codebooks must
+    cover is much smaller on clustered data. Measured 15 vs 11 hits of
+    60 on this fixture (deterministic: exact integer arithmetic, fixed
+    seed). On the ISOTROPIC driver testdata the gain inverts (0.267 vs
+    0.40 at sf0.01 — no cluster structure to remove; documented in
+    q_ivfpq_topk_residual's docstring, the ann_recall_trained honest-
+    finding pattern), which is exactly why this claim is pinned on a
+    clustered fixture."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivfpq_topk_residual,
+        ivfpq_topk_trained,
+        topk_recall,
+        train_centroids,
+        train_pq_codebooks,
+        train_pq_codebooks_residual,
+    )
+
+    e = _clustered_embeddings(spark)
+    q = e.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(e, q, k=3)
+    coarse = train_centroids(e, n_centroids=8, n_iters=2)
+    cb_raw = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=2)
+    cb_res = train_pq_codebooks_residual(
+        e, coarse, m=4, n_sub_centroids=16, n_iters=2
+    )
+    rec = {
+        r["method"]: r["n_hits"]
+        for r in topk_recall(
+            bf,
+            {
+                "raw": ivfpq_topk_trained(
+                    e, q, coarse, cb_raw, k=3, m=4, nprobe=2
+                ),
+                "residual": ivfpq_topk_residual(
+                    e, q, coarse, cb_res, k=3, m=4, nprobe=2
+                ),
+            },
+        ).collect()
+    }
+    assert rec["residual"] > rec["raw"], rec
+    assert rec["residual"] > 0
+
+
+def test_ivfpq_residual_results_come_from_probed_cells(spark):
+    """The IVF bound holds through residual encoding: every returned
+    candidate's assigned cell is among its query's nprobe probed cells
+    (the per-cell LUT join IS the prune — a row from an unprobed cell
+    has no LUT row to join), and the ADC ranking keeps the two-phase
+    WindowGroupLimit(Partial) bound."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        _assign_trained,
+        _trained_centroid_frame,
+        ivfpq_topk_residual,
+        train_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb = train_pq_codebooks_residual(
+        e, coarse, m=4, n_sub_centroids=16, n_iters=2
+    )
+    cdf = _trained_centroid_frame(spark, coarse)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_trained(e, cdf, "vec_id", 1).collect()
+    }
+    probed = {}
+    for r in _assign_trained(q, cdf, "vec_id", 2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    out_df = ivfpq_topk_residual(e, q, coarse, cb, k=3, m=4, nprobe=2)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "WindowGroupLimit" in ln and "Partial" in ln and "qid" in ln
+        for ln in plan.splitlines()
+    ), "residual ADC ranking lost the two-phase rank-limit pushdown"
+    out = out_df.collect()
+    assert len(out) == 15
+    for r in out:
+        assert cell_of[r["cid"]] in probed[r["qid"]]
+
+
+def test_residual_trainer_zero_iters_is_residual_seed(spark):
+    """train_pq_codebooks_residual(n_iters=0) returns exactly the
+    first-k* vectors' RESIDUAL subvectors (the seed rule mirrors
+    train_pq_codebooks'), and the residual arithmetic is the exact
+    int64 difference qv - gv of coarse_grid_centroids' grid-rounded
+    means — recomputed independently here in Python."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        _assign_trained,
+        _trained_centroid_frame,
+        coarse_grid_centroids,
+        quantize_vec,
+        train_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    e = table(spark, SF, "embeddings")
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb0 = train_pq_codebooks_residual(
+        e, coarse, m=4, n_sub_centroids=16, n_iters=0
+    )
+    grid = dict(coarse_grid_centroids(coarse))
+    cdf = _trained_centroid_frame(spark, coarse)
+    firstk = e.filter(F.col("vec_id") < 16)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_trained(firstk, cdf, "vec_id", 1).collect()
+    }
+    qv = {
+        r["vec_id"]: [int(x) for x in r["qv"]]
+        for r in firstk.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    dsub = 16
+    expected = sorted(
+        (
+            s,
+            vid,
+            [
+                qv[vid][s * dsub + i] - grid[cells[vid]][s * dsub + i]
+                for i in range(dsub)
+            ],
+        )
+        for vid in range(16)
+        for s in range(4)
+    )
+    assert cb0 == expected
+
+
 def test_lsh_index_delete_removes_ghost_pairs(spark, tmp_path):
     """The GDPR-erasure audit check: after lsh_index_delete, (1) no
     index row carries a tombstoned doc_id, (2) a probe of the deleted
@@ -2295,6 +2453,86 @@ def test_lsh_index_delete_removes_ghost_pairs(spark, tmp_path):
     for r in pairs:
         assert r["corpus_doc"] in surviving
         assert r["corpus_doc"] not in tomb_ids
+
+
+def test_lsh_index_width120_lifecycle(spark, tmp_path):
+    """FORMAT v3 (r12, r11 VERDICT item 4): the full persisted-index
+    lifecycle at width=120 — write lands the sidecar marker, append
+    extends the same family, compact and delete PRESERVE the marker
+    through the crash-safe swap, delete == rebuild over survivors, and
+    the width-120 delta probe finds a planted near-dup through the v3
+    index. Cross-family operations refuse mechanically: a width-60
+    append into a v3 directory (and the reverse) raises instead of
+    landing buckets no probe can hit — the v1-vs-v2 silent-mismatch
+    failure mode, now closed for v2-vs-v3."""
+    import pytest
+
+    from sentinel_landsat_database_creation_spark.operators.dedup import (
+        delta_neardup,
+        lsh_index_append,
+        lsh_index_compact,
+        lsh_index_delete,
+        lsh_index_format,
+        lsh_index_write,
+    )
+
+    docs = table(spark, SF, "documents").filter(F.col("doc_id") < 240)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx120")
+    lsh_index_write(corpus, path, width=120)
+    fmt = lsh_index_format(path)
+    assert fmt == {
+        "format": 3, "width": 120, "n": 2, "n_hashes": 8, "bands": 4,
+    }
+
+    # cross-family operations refuse
+    with pytest.raises(ValueError, match="width-120"):
+        lsh_index_append(batch, path, width=60)
+    p60 = str(tmp_path / "idx60")
+    lsh_index_write(corpus, p60)  # default width-60, sidecar-less v2
+    assert lsh_index_format(p60) == {"format": 2, "width": 60}
+    with pytest.raises(ValueError, match="width-60"):
+        lsh_index_append(batch, p60, width=120)
+
+    # the v3 probe finds a PLANTED near-dup: batch doc 0's text is a
+    # copy of a corpus doc's text, so the verified pair must surface
+    donor = corpus.select("text").first()["text"]
+    planted = spark.createDataFrame(
+        [(100001, donor, "en", "t", len(donor))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = spark.read.parquet(path)
+    pairs = delta_neardup(corpus, planted, idx, width=120).collect()
+    assert any(r["batch_doc"] == 100001 and r["jaccard"] == 1.0 for r in pairs)
+
+    # append the real batch, compact: marker survives, rows equal a
+    # from-scratch v3 index over corpus+batch
+    lsh_index_append(batch, path, width=120)
+    lsh_index_compact(spark, path)
+    assert lsh_index_format(path)["format"] == 3
+    full_path = str(tmp_path / "idx120_full")
+    lsh_index_write(docs, full_path, width=120)
+    a = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(full_path).collect()))
+    assert a == b
+
+    # delete == rebuild over survivors, marker still in place
+    tomb_ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id")
+        .collect()
+    ]
+    tdf = spark.createDataFrame([(i,) for i in tomb_ids], "doc_id long")
+    lsh_index_delete(spark, path, tdf)
+    assert lsh_index_format(path)["format"] == 3
+    survivors = docs.filter(~F.col("doc_id").isin(tomb_ids))
+    rebuilt = str(tmp_path / "idx120_rebuilt")
+    lsh_index_write(survivors, rebuilt, width=120)
+    a = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(rebuilt).collect()))
+    assert a == b
 
 
 def test_lsh_index_delete_crash_recovery(spark, tmp_path):

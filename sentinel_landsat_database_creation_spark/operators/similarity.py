@@ -883,7 +883,15 @@ def ivfpq_topk(
     bounded by the probed cells (a true neighbor in an unprobed cell is
     invisible — the IVF recall story) AND by code quantization within
     them (the PQ story); ann_recall's 'ivfpq' arm reports the composed
-    number against brute force."""
+    number against brute force.
+
+    Batch queries (r12, the grouped-ANN API ask): ``queries`` is a
+    TABLE, and the corpus-side stages — encode scan, cell assignment,
+    code groupBy — appear once in the plan regardless of nq (query
+    rows meet the corpus only through broadcast LUT/cell joins), so
+    per-batch corpus work is one encode amortized over the whole
+    batch; pinned structurally by tests/test_extensions.py:
+    test_ivfpq_batch_queries_share_one_corpus_pass."""
     d = embedding_dim(embeddings, vec_col)
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")

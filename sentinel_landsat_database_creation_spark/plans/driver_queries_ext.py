@@ -2734,7 +2734,20 @@ def _sql_ivfpq_residual_topk(
     single source of truth with the raw-vector oracle), and the IVFADC
     probe where the per-cell LUT join IS the cell prune. All distance
     arithmetic in the in-row list-lambda form (the _sql_kmeans_ctes
-    evaluation-shape note)."""
+    evaluation-shape note).
+
+    Evaluation shape (r12, measured): the hot CTEs are AS MATERIALIZED.
+    DuckDB inlines CTE references, and unlike the raw-vector oracle —
+    whose subvector CTE's subtree is one cheap scan of q — rsv's
+    subtree contains the ENTIRE coarse k-means recurrence plus the
+    N x K assignment window; the PQ-k-means chain references its
+    subvector source ~6 times with nested multiplicity, and the
+    inlined form spilled past the box's 73 GB of free disk at sf1
+    (tier-1 patch death). Materializing ranked_cells / gcent / rsv —
+    and wrapping the shared trainer's pbf in a materialized rpbf so
+    the probe's two references evaluate the trainer once — bounds
+    every expensive subtree to one evaluation; values are identical
+    (same exact BIGINT arithmetic either way)."""
     score = (
         "list_aggregate(list_transform(range(1, 65),"
         " i -> q.qv[i] * c.s[i]), 'sum')::DOUBLE"
@@ -2748,7 +2761,7 @@ def _sql_ivfpq_residual_topk(
     )
     return f"""
 WITH {_sql_kmeans_ctes()},
-ranked_cells AS (
+ranked_cells AS MATERIALIZED (
   SELECT q.vec_id, c.cell,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY {score} DESC, c.cell) AS rn
@@ -2756,7 +2769,7 @@ ranked_cells AS (
 ),
 cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
 qcells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
-gcent AS (
+gcent AS MATERIALIZED (
   SELECT cell,
          list_transform(s, x -> CAST(round(CAST(x AS DOUBLE)
                                            / greatest(n, 1)) AS BIGINT)) AS gv
@@ -2767,18 +2780,19 @@ rc AS (
          list_transform(range(1, {d + 1}), i -> q.qv[i] - g.gv[i]) AS rv
   FROM q JOIN cells c USING (vec_id) JOIN gcent g USING (cell)
 ),
-rsv AS (
+rsv AS MATERIALIZED (
   SELECT vec_id, cell, s.sub,
          list_transform(range(1, {dsub + 1}), i -> rv[s.sub*{dsub} + i]) AS sq
   FROM rc CROSS JOIN range(0, {m}) s(sub)
 ),
 {_sql_pq_kmeans_ctes(m, dsub, ksub, sub_cte="rsv")},
+rpbf AS MATERIALIZED (SELECT sub, cent_id, cv FROM pbf),
 rdist AS (
   SELECT sv.vec_id, sv.cell, sv.sub, p.cent_id,
          CAST(list_aggregate(list_transform(range(1, {dsub + 1}),
                 i -> (sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i])),
               'sum') AS BIGINT) AS dist
-  FROM rsv sv JOIN pbf p USING (sub)
+  FROM rsv sv JOIN rpbf p USING (sub)
 ),
 rcodes AS (
   SELECT vec_id, cell, sub, cent_id AS code FROM (
@@ -2800,7 +2814,7 @@ qsv AS (
 rlut AS (
   SELECT q2.vec_id AS qid, q2.cell, q2.sub, p.cent_id AS code,
          CAST({l2q} AS BIGINT) AS d
-  FROM qsv q2 JOIN pbf p USING (sub)
+  FROM qsv q2 JOIN rpbf p USING (sub)
 ),
 adc AS (
   SELECT l.qid, c.vec_id AS cid, CAST(sum(l.d) AS BIGINT) AS adc

@@ -103,7 +103,11 @@ def decode_image(
     decodes actual PNG payloads (pure struct+zlib, round-6 VERDICT
     item 8: PIL is not installable in this container, so the real-
     format proof of this seam runs through that decoder — see
-    tests/test_png_codec.py). Undecodable payloads
+    tests/test_png_codec.py), and since r12
+    ``multimodal.jpegcodec.jpeg_decode_resize`` decodes baseline JFIF
+    — the format media corpora actually ship — with Huffman entropy
+    decode, 4:2:0/4:4:4 sampling and restart markers
+    (tests/test_jpeg_codec.py). Undecodable payloads
     (truncated, wrong magic — the ValueError/OSError family PIL raises)
     yield no row rather than failing the task, matching how a 100 TB
     media scan must treat corrupt objects; programming errors in an

@@ -1468,6 +1468,13 @@ def lsh_index_append(
         .write.mode("append")
         .parquet(path)
     )
+    # an append that CREATED the directory (fresh path) must land the
+    # v3 marker too, or the new width-120 index reads as v2 and every
+    # later width-120 operation refuses it (self-review r12)
+    if width != 60 and not os.path.exists(
+        os.path.join(path, _LSH_FORMAT_SIDECAR)
+    ):
+        _write_index_format(path, width, n, n_hashes, bands)
 
 
 def lsh_index_compact(spark, path: str) -> None:

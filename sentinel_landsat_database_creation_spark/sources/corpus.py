@@ -283,6 +283,19 @@ def delete_from_corpus(
     probe_src = corpus
     if tombstone_partitions is not None:
         hints = [tuple(vals) for vals in tombstone_partitions]
+        if not hints:
+            # an empty hint set claims NO partition holds a tombstoned
+            # row — fail closed unless the tombstone set is also empty
+            if ids.limit(1).count() > 0:
+                raise ValueError(
+                    "tombstone_partitions is empty but tombstones is "
+                    "not — no partition would be probed and every "
+                    "tombstoned row would survive; pass hints covering "
+                    "the ids or omit the parameter"
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return spark.read.parquet(path)
         # probe reads ONLY the hinted dirs (eqNullSafe predicates prune
         # at the scan — pinned by tests/test_corpus_io.py)
         probe_src = corpus.filter(_partition_predicate(partition_by, hints))

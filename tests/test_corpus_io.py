@@ -410,6 +410,13 @@ def test_delete_from_corpus_hinted_probe_prunes_and_fails_closed(
         )
     assert fileset() == before, "failed-closed delete must not rewrite"
 
+    # empty hint set + non-empty tombstones: fail closed, no rewrite
+    with pytest.raises(ValueError, match="empty"):
+        delete_from_corpus(
+            spark, p, tdf, max_records_per_file=10, tombstone_partitions=[]
+        )
+    assert fileset() == before
+
     # honest hint: erasure proceeds exactly as the unhinted path
     back = delete_from_corpus(
         spark, p, tdf, max_records_per_file=10,

@@ -2553,6 +2553,14 @@ def test_lsh_index_width120_lifecycle(spark, tmp_path):
     b = sorted(map(tuple, spark.read.parquet(full_path).collect()))
     assert a == b
 
+    # an append that CREATES the directory must land the marker too
+    # (self-review r12: a fresh-path width-120 append would otherwise
+    # read back as v2 and refuse every later width-120 op)
+    fresh = str(tmp_path / "idx120_fresh")
+    lsh_index_append(batch, fresh, width=120)
+    assert lsh_index_format(fresh)["format"] == 3
+    lsh_index_append(corpus, fresh, width=120)  # and extends fine
+
     # delete == rebuild over survivors, marker still in place
     tomb_ids = [
         r["doc_id"]

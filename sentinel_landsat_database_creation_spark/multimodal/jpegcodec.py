@@ -278,6 +278,13 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker byte — skip them, or the length field is read
+        # from the wrong offset (r12 ADVICE)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG ended before scan data")

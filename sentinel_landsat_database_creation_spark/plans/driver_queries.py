@@ -1785,11 +1785,11 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 #   and large-star/small-star; the merged entry runs BOTH and pins
 #   algorithm agreement as a boolean under the hash —
 #   q_dedup_clusters docstring has the coverage argument);
-# - ann_recall absorbs ann_topk (ann_recall already computes the
-#   brute-force cosine top-k as its recall denominator; the merged
-#   entry exposes those top-k rows alongside the recall rows, so the
-#   retired entry's coverage rides the same hash —
-#   q_ann_recall docstring).
+# - ann_topk absorbs ivfpq_topk (the four-way method union
+#   q_ann_topk's r10 docstring committed to; the composed IVFADC
+#   ranking rides that hash verbatim — ann_recall is untouched, and
+#   its snapshot hash change this round is the new ivfpq recall arm,
+#   not a merge).
 # The two freed slots fund, inside the r12 prefix per policy:
 # - ivfpq_topk_residual (NEW, r11 VERDICT item 2): IVFADC encoding
 #   PQ codes over exact integer RESIDUALS to the assigned coarse

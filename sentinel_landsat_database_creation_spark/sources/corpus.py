@@ -194,6 +194,7 @@ def delete_from_corpus(
     max_records_per_file: int = 1_000_000,
     sort_within: tuple[str, ...] = ("source", "doc_id"),
     tombstone_partitions: list[tuple] | None = None,
+    expected_col: str | None = None,
 ) -> DataFrame:
     """Tombstone deletion from a write_corpus layout — the standing
     takedown/GDPR operation of any production corpus (r10 VERDICT item
@@ -251,9 +252,20 @@ def delete_from_corpus(
     hinted dirs — at 100 TB that turns the one full-corpus id-column
     scan per takedown batch into a scan of the named dirs. FAIL
     CLOSED: every distinct tombstone id must be FOUND inside the
-    hinted partitions, else ValueError — a lying hint (or an id that
-    lives elsewhere / nowhere) can never silently skip erasure; pass
-    no hints for ids of unknown location.
+    hinted partitions, else ValueError. PRECONDITION (r13, r12
+    ADVICE medium): the found-ids check can only prove an id has AT
+    LEAST ONE row inside the hints — an id whose rows straddle the
+    hint boundary (some inside, some outside) passes the check while
+    its out-of-hint rows survive. The fail-closed guarantee therefore
+    assumes each tombstoned id's rows are CONFINED to the hinted
+    partitions — automatic when ids are unique (the write_corpus
+    norm) and otherwise the caller's burden. Two ways to discharge
+    it: pass no hints (full probe, always safe), or supply
+    ``expected_col`` — a column on ``tombstones`` carrying each id's
+    expected total row count (takedown requests built from an ingest
+    ledger know it); the probe then compares per-id row counts found
+    INSIDE the hints against it and raises on any shortfall, making
+    a straddling id a hard error instead of a silent survivor.
 
     Returns the post-delete corpus read back from ``path``."""
     import os
@@ -312,7 +324,10 @@ def delete_from_corpus(
         # present in several partitions and could mask a missing one).
         # found < expected proves some tombstone id is outside the
         # hints (or absent from the corpus — indistinguishable without
-        # the full scan the hints exist to skip; conservative).
+        # the full scan the hints exist to skip; conservative). This
+        # proves only "at least one row inside" per id — the confined-
+        # id precondition in the docstring; expected_col below closes
+        # the straddling-id hole when the caller can supply counts.
         n_found = (
             probe_src.join(F.broadcast(ids), id_col, "left_semi")
             .select(id_col)
@@ -329,6 +344,36 @@ def delete_from_corpus(
                 "hints would survive the delete; re-run without hints "
                 "or fix the hint set"
             )
+        if expected_col is not None:
+            # per-id strengthening (r12 ADVICE): every id's row count
+            # INSIDE the hints must equal the caller-supplied expected
+            # total, so an id with rows on BOTH sides of the hint
+            # boundary raises instead of silently keeping the outside
+            # rows. The probe stays bounded to the hinted dirs; the
+            # expected counts ride the (small) tombstone broadcast.
+            exp = tombstones.select(
+                F.col(id_col),
+                F.col(expected_col).cast("long").alias("__expected"),
+            ).distinct()
+            short = (
+                probe_src.join(F.broadcast(exp), id_col, "inner")
+                .groupBy(id_col, "__expected")
+                .agg(F.count(F.lit(1)).alias("__found"))
+                .filter(F.col("__found") != F.col("__expected"))
+                .limit(5)
+                .collect()
+            )
+            if short:
+                detail = ", ".join(
+                    f"{r[id_col]}: found {r['__found']} of "
+                    f"{r['__expected']}" for r in short
+                )
+                raise ValueError(
+                    "tombstone_partitions hint does not contain every "
+                    f"row of some tombstoned ids ({detail}) — rows "
+                    "outside the hinted partitions would survive the "
+                    "delete; re-run without hints or fix the hint set"
+                )
     if not affected:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)

@@ -425,3 +425,51 @@ def test_delete_from_corpus_hinted_probe_prunes_and_fails_closed(
     got = {r["doc_id"] for r in back.collect()}
     want = {r["doc_id"] for r in docs.collect()} - tomb_ids
     assert got == want
+
+
+def test_delete_from_corpus_expected_counts_catch_straddling_ids(
+    spark, tmp_path
+):
+    """The r12 ADVICE hole: a tombstoned id with rows both INSIDE and
+    OUTSIDE the hinted partitions passes the distinct-found check (at
+    least one row found) while its outside rows silently survive. With
+    ``expected_col`` the per-id in-hint row count is compared against
+    the caller's expected total, so the straddle raises; with hints
+    covering every partition the id lives in, the same expected counts
+    pass and both rows are erased."""
+    import pytest
+
+    from sentinel_landsat_database_creation_spark.sources.corpus import (
+        delete_from_corpus,
+    )
+
+    rows = [(i, "aa" if i % 2 else "bb", f"t{i}") for i in range(1, 21)]
+    rows.append((5, "bb", "straddler"))  # doc_id 5 also lives in aa
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    p = str(tmp_path / "corpus")
+    write_corpus(
+        docs, p, partition_by=("lang",), max_records_per_file=10,
+        sort_within=("doc_id",),
+    )
+
+    tdf = spark.createDataFrame([(5, 2)], "doc_id long, expected long")
+
+    # straddling id + hint naming only one of its partitions: the
+    # distinct-found check alone would pass (1 of 1 ids found), but the
+    # expected-count check sees 1 of 2 rows and fails closed
+    with pytest.raises(ValueError, match="every row"):
+        delete_from_corpus(
+            spark, p, tdf, max_records_per_file=10, sort_within=("doc_id",),
+            tombstone_partitions=[("aa",)], expected_col="expected",
+        )
+    back = spark.read.parquet(p)
+    assert back.filter(F.col("doc_id") == 5).count() == 2, "no rewrite"
+
+    # hints covering both partitions: expected counts match, erasure
+    # removes every row of the id
+    back = delete_from_corpus(
+        spark, p, tdf, max_records_per_file=10, sort_within=("doc_id",),
+        tombstone_partitions=[("aa",), ("bb",)], expected_col="expected",
+    )
+    assert back.filter(F.col("doc_id") == 5).count() == 0
+    assert back.count() == 19

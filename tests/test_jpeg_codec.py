@@ -218,3 +218,20 @@ def test_decode_image_end_to_end_with_real_jpegs(spark):
         want = jpeg_decode_resize(payloads[k], 4, 4)
         assert rows[k]["pixels"] == want
         assert all(0.0 <= p <= 1.0 for p in rows[k]["pixels"])
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2 optional fill bytes: any number of 0xFF bytes may
+    pad before a marker byte. A padded stream must decode identically
+    to the unpadded one (r12 ADVICE: the marker loop used to read the
+    segment length from the wrong offset)."""
+    clean = _hand_built_dc_only()
+    h0, w0, rows0 = decode_jpeg(clean)
+    # pad before the DQT marker (right after SOI) and before SOS
+    padded = bytearray(clean)
+    sos = bytes(padded).index(b"\xff\xda")
+    padded[sos:sos] = b"\xff\xff\xff"
+    padded[2:2] = b"\xff"
+    h1, w1, rows1 = decode_jpeg(bytes(padded))
+    assert (h0, w0) == (h1, w1)
+    assert [bytes(r) for r in rows0] == [bytes(r) for r in rows1]

@@ -1512,19 +1512,22 @@ def lsh_index_compact(spark, path: str) -> None:
     _sibling_swap_rewrite(spark, path, lambda idx: idx)
 
 
-def _sibling_swap_rewrite(spark, path: str, transform) -> None:
+def _sibling_swap_rewrite(spark, path: str, transform, key_col: str = "bucket") -> None:
     """Rewrite a parquet index directory in place through the
     crash-safe sibling swap (full story in lsh_index_compact's
     docstring — this is its machinery, factored in r11 so
     lsh_index_delete shares it instead of duplicating the recovery
     rules): read ``path``, apply ``transform`` (a DataFrame ->
     DataFrame function; identity = pure compaction), land the result
-    repartitioned+sorted on bucket at ``__compacting``, park the live
-    set at ``__old``, move the new set in, delete the park. The v3
-    format sidecar (r12) is copied onto the new set BEFORE the swap,
-    so a width-120 index keeps its family marker through compaction
-    and deletion (both are family-agnostic row operations); the copy
-    is a no-op for sidecar-less v2 directories."""
+    repartitioned+sorted on ``key_col`` at ``__compacting``, park the
+    live set at ``__old``, move the new set in, delete the park. The
+    v3 format sidecar (r12) is copied onto the new set BEFORE the
+    swap, so a width-120 index keeps its family marker through
+    compaction and deletion (both are family-agnostic row
+    operations); the copy is a no-op for sidecar-less v2 directories.
+    ``key_col`` (r13) lets the persisted ANN index
+    (operators/ann_index.py) share the machinery with its codes table
+    sorted on ``cell``; the default keeps every LSH plan unchanged."""
     import os
     import shutil
 
@@ -1540,8 +1543,8 @@ def _sibling_swap_rewrite(spark, path: str, transform) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     (
         transform(spark.read.parquet(path))
-        .repartition(_F.col("bucket"))
-        .sortWithinPartitions("bucket")
+        .repartition(_F.col(key_col))
+        .sortWithinPartitions(key_col)
         .write.mode("overwrite")
         .parquet(tmp)
     )

@@ -60,12 +60,12 @@ COPIES = 10
 TABLE_QUERIES = [
     "minhash_lsh",
     "minhash_estimate",
-    "span_dedup",
-    # r7 (late): the removal twin shares span_dedup's memo'd occurrence
+    # r13: span_scrub retired into span_dedup's merged entry — the
+    # removal twin always shared span_dedup's memo'd occurrence
     # stream; its extra state is per-DOCUMENT (window partitioned by
-    # doc_id, ranges array bounded by doc length), so it scales with
-    # the same hash/shuffle shape
-    "span_scrub",
+    # doc_id, ranges array bounded by doc length), so the merged
+    # entry keeps the same hash/shuffle shape
+    "span_dedup",
     # r7 (late): seeded shard+rank shuffle — one hash shuffle and a
     # per-SHARD window (n_shards is the per-task sort-state knob), no
     # global order anywhere
@@ -79,6 +79,11 @@ TABLE_QUERIES = [
     # normalized_dedup's per-byte-CPU ~1.0; that is the correct shape)
     "winnow_fingerprint",
     "pii_scrub",
+    # r13: trained-BPE token counts + pack budgets — fixture-free
+    # linear scans (explode, vocab-sized encode boundary, hash join,
+    # per-shard window); the training collect is capped at top-64
+    # words, constant in corpus size
+    "bpe_token_checks",
 ]
 
 # Memory-bound queries: per-task (or driver-broadcast) working sets
@@ -133,7 +138,7 @@ DECADE2_QUERIES = [
     # (~31 s at sf10 under the capped conditions)
     "minhash_estimate",
     "span_dedup",
-    "span_scrub",
+    "bpe_token_checks",
     "epoch_shuffle",
     "user_sessions",
     "pricing_summary",

@@ -134,6 +134,17 @@ EXTRA_UNCAPPED = [
     # the corpus scan); the residual PQ trainer is the same 2 x N*m*k*
     # recurrence over residual subvectors
     "ivfpq_topk_residual",
+    # r13 entry, hash-verified at 10x the round it lands:
+    # ann_index_lifecycle — the persisted-IVFADC write/append/delete
+    # fixture (one-time session cost, the lsh_index_delete class) +
+    # the file-answered probe (cell-pruned, broadcast LUT) + a
+    # map-side-combined per-cell digest; its oracle is
+    # ivfpq_topk_trained's verified coarse+PQ k-means cost plus the
+    # linear codes/digest CTEs
+    "ann_index_lifecycle",
+    # (bpe_token_checks joins the TIMING cohorts in bench_scale —
+    # fixture-free linear scans — so its tier membership flows in
+    # through TABLE_QUERIES/DECADE2_QUERIES, not this list)
 ]
 # containment_dedup moved UNCAPPED -> CAPPED in r8: its small-side
 # exact probe made it a pair-space query (the PPJoin-style cascade in
@@ -190,6 +201,10 @@ TIER2_EXTRA = [
     "corpus_delete_compact",
     "lsh_index_delete",
     "approx_stats_checks",
+    # r13: the persisted-ANN lifecycle, patch-verified the round it
+    # lands — fixture-dominated cost (index writes), so no DECADE2
+    # timing membership, but the 100x hash evidence lives here
+    "ann_index_lifecycle",
 ]
 
 # Results too large to collect to the driver at the 100x tier are

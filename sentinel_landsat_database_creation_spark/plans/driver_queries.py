@@ -1774,107 +1774,100 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # analyzed plan against a committed snapshot, so an accidental plan
 # change in a spilled query fails CI instead of relying on diff review.
 #
-# Round 12 prefix (mandatory rotation of the whole r11 tail): the 50
-# entries spilled in r11 were last driver-checked in r10 — the
-# staleness deadline — so ALL of them rotate back into the prefix.
-# With the registry at 100 that leaves ZERO free prefix slots; per
-# policy every r12 addition is funded by an in-prefix merge (both
-# parents inside the r12 prefix at merge time). Two merges this round:
-# - dedup_clusters absorbs dedup_clusters_lss (the same connected-
-#   components semantics under two algorithms — min-label propagation
-#   and large-star/small-star; the merged entry runs BOTH and pins
-#   algorithm agreement as a boolean under the hash —
-#   q_dedup_clusters docstring has the coverage argument);
-# - ann_topk absorbs ivfpq_topk (the four-way method union
-#   q_ann_topk's r10 docstring committed to; the composed IVFADC
-#   ranking rides that hash verbatim — ann_recall is untouched, and
-#   its snapshot hash change this round is the new ivfpq recall arm,
-#   not a merge).
-# The two freed slots fund, inside the r12 prefix per policy:
-# - ivfpq_topk_residual (NEW, r11 VERDICT item 2): IVFADC encoding
-#   PQ codes over exact integer RESIDUALS to the assigned coarse
-#   centroid (Jegou et al. TPAMI 2011 SSIVFADC), sub-codebooks trained
-#   on residuals; recall at equal m strictly beats the raw-vector
-#   trained variant (test-pinned);
-# - corpus_delete_compact MOVED from the slated tail into the prefix:
-#   delete_from_corpus's semantics moved this round (r11 ADVICE
-#   medium — eqNullSafe pruning + Spark partition-path escaping so
-#   NULL/escape-needing partition values are erased instead of
-#   silently kept; plus the optional partition-hinted probe, VERDICT
-#   item 5), so per the changed-entry rule it is driver-checked this
-#   round, with the entry widened to exercise a NULL-partition
-#   erasure.
-# Registry: 100 - 2 (absorbed) + 1 (new) = 99; prefix = 48 rotating
-# + ivfpq_topk_residual + corpus_delete_compact = 50; tail = the
-# other 49 r11-checked entries.
+# Round 13 prefix (mandatory rotation of the whole r12 tail): the 49
+# entries spilled in r12 were last driver-checked in r11 — the
+# staleness deadline — so ALL of them rotate back into the prefix,
+# leaving ONE free slot at the r12 registry size of 99. One in-prefix
+# merge this round funds a second addition (both parents inside the
+# r13 prefix at merge time — the two r12 merges are the template):
+# - span_dedup absorbs span_scrub (both halves of Lee et al.
+#   sub-document dedup — the REPORT half's per-doc coverage stats and
+#   the TRANSFORM half's maximal-range scrub with its kept_md5 text
+#   pin — run over ONE shared _span_occurrences memo with their
+#   per-doc rows joined, so every column of both retired shapes rides
+#   one hash; q_span_dedup docstring has the coverage argument).
+# The two slots fund, inside the r13 prefix per policy:
+# - ann_index_lifecycle (NEW, r12 VERDICT item 3): the persisted
+#   IVFADC index — codes+codebooks+coarse as parquet written once,
+#   appended to, deleted from (the lsh_index_write lifecycle applied
+#   to ANN), and PROBED from the files without retraining; per-cell
+#   content digests + the probe ranking under one hash;
+# - bpe_token_checks (NEW, r12 VERDICT item 4): a trained merge-table
+#   BPE (Sennrich et al. 2016) — merges trained on the capped word-
+#   frequency table, every distinct corpus word encoded via broadcast
+#   merge ranks, per-doc BPE token counts feeding the pack_sequences
+#   budget — against a recursive-CTE DuckDB mirror of both training
+#   and encoding.
+# Registry: 99 - 1 (absorbed) + 2 (new) = 100; prefix = 48 rotating
+# + ann_index_lifecycle + bpe_token_checks = 50; tail = the 50
+# r12-prefix entries below.
 #
-# The 49 spilled below are r11-green (CORRECTNESS_r11: rows+schema+
-# hash, err null, all 50 prefix entries — corpus_delete_compact, the
-# 50th, stays in the prefix as above) and untouched by r12's work.
-# stream_weekly_counts, stream_dedup_keys, stream_dedup_ttl,
-# stream_click_signup and stream_lsh_delta are the session-variant
+# The 50 spilled below are r12-green (CORRECTNESS_r12: rows+schema+
+# hash, err null, all 50 prefix entries) and untouched by r13's work.
+# stream_sessions and stream_sessions_native are the session-variant
 # members this round (ALLOWED_UNPINNED_TAIL justifications — the
 # dict is unchanged; membership is only load-bearing for tail
-# entries, and the other two streaming drains, stream_sessions and
-# stream_sessions_native, rotate into the prefix); the in-repo
-# replica (tests/test_oracle_equivalence.py) still checks ALL
-# entries every run.
+# entries, and the other five streaming drains rotate into the
+# prefix); the in-repo replica (tests/test_oracle_equivalence.py)
+# still checks ALL entries every run.
 #
-# r13 math: the 49 below were last driver-checked in r11, so they hit
-# the staleness deadline next round and must ALL rotate into the r13
-# prefix — 49 rotating leaves ONE free prefix slot; a second new r13
-# entry needs an in-prefix merge (both parents inside the r13 prefix
-# at merge time), exactly as the two r12 merges above.
+# r14 math: the 50 below are last driver-checked in r12, so they hit
+# the staleness deadline next round and must ALL rotate into the r14
+# prefix — 50 rotating leaves ZERO free prefix slots; every r14
+# addition needs an in-prefix merge (both parents inside the r14
+# prefix at merge time), exactly as the r12 merges and the r13 span
+# merge above.
 _PROVEN_TAIL = [
-    "crop_pipeline",
-    "crop_slice_quality",
-    "catalog_week_class",
-    "compat_csv_roundtrip",
-    "event_funnel",
-    "retention_cohorts",
-    "weekly_click_signup_outer",
-    "distinct_users_by_type",
-    "doc_stats",
-    "embed_checks",
-    "stream_weekly_counts",
-    "stream_dedup_keys",
-    "stream_click_signup",
-    "media_frames",
-    "cosine_topk",
-    "sign_lsh_buckets",
-    "containment_dedup",
-    "token_fingerprint_checks",
-    "pq_topk",
-    "lang_guess",
-    "chunk_split",
-    "epoch_shuffle",
-    "vocab_coverage",
-    "pack_sequences",
-    "bigram_nll",
-    "zorder_checks",
-    "semantic_dedup",
-    "bucketed_join_check",
-    "corpus_roundtrip",
-    "mixture_plan",
-    "stream_dedup_ttl",
-    "span_dedup",
-    "delta_dedup",
-    "ivf_probe2",
-    "ivf_train_centroids",
-    "quality_gate",
-    "salted_skew_checks",
-    "corpus_pruned_read",
-    "media_checks",
-    "span_scrub",
-    "lsh_delta_checks",
-    "crop_volume",
-    "scene_tensors_int16",
-    "train_centroids_distributed",
-    "stream_lsh_delta",
-    "curation_pipeline_write",
-    "ivfpq_topk_trained",
-    "lsh_index_delete",
-    "approx_stats_checks",
+    "overlap_grid",
+    "catalog_event_labels",
+    "pair_counts",
+    "pairing_keys",
+    "pairing_compat",
+    "range_join_events",
+    "antijoin_checks",
+    "pivot_rollup_checks",
+    "user_value_moving_avg",
+    "doc_length_quantiles",
+    "pricing_summary",
+    "order_rank_checks",
+    "nation_revenue",
+    "promo_revenue",
+    "asof_last_click",
+    "shipping_lag",
+    "winnow_fingerprint",
+    "stream_sessions",
+    "stream_sessions_native",
+    "ann_topk",
+    "user_sessions",
+    "jaccard_neardup",
+    "minhash_lsh",
+    "neardup_pipeline",
+    "dedup_clusters",
+    "simhash_docs",
+    "embed_cosine_neardup",
+    "doc_repetition",
+    "decontaminate",
+    "tfidf_terms",
+    "unigram_nll",
+    "top_tokens_per_lang",
+    "ann_recall",
+    "minhash_estimate",
+    "ann_recall_trained",
+    "pii_scrub",
+    "corpus_dedup_write",
+    "domain_quota",
+    "corpus_compact",
+    "media_neardup",
+    "corpus_cube",
+    "exact_dedup_checks",
+    "scene_tensors_volume",
+    "crop_volume_greedy",
+    "scene_tensors_compressed",
+    "lsh_index_compact",
+    "jsonl_quarantine",
+    "corpus_append_compact",
+    "ivfpq_topk_residual",
+    "corpus_delete_compact",
 ]
 
 

@@ -858,65 +858,35 @@ FROM s ORDER BY shard, pos
 
 
 def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-document duplicated 8-token spans, per-doc coverage
-    (operators/dedup.py:span_dedup) — sub-document dedup in the
-    Lee et al. sense, as bounded equi-joins instead of suffix arrays."""
-    from ..operators.dedup import span_dedup
+    """BOTH halves of Lee et al. sub-document dedup under one hash —
+    r13 merge: span_dedup absorbs span_scrub (both parents inside the
+    r13 prefix at merge time, per the rotation policy; the r12
+    dedup_clusters merge is the template). The REPORT half
+    (operators/dedup.py:span_dedup — per-doc duplicated-span coverage
+    as bounded equi-joins instead of suffix arrays) and the TRANSFORM
+    half (scrub_spans — overlapping duplicate windows merged into
+    maximal token ranges and cut, the exact scrubbed text pinned as
+    kept_md5) run over ONE _span_occurrences memo (the rolling-window
+    explode — the expensive half — is built once and shared, as it has
+    been since r7), and their per-doc rows join on doc_id so every
+    column of both retired shapes rides this hash. The join also pins
+    the cross-operator invariant n_spans == greatest(n_tokens - 7, 0)
+    on every row. The oracle materializes the occurrence and
+    shared-span CTEs (referenced 3x and 2x here — DuckDB inlines CTE
+    references, the r12 residual-oracle lesson) and left-joins both
+    aggregate shapes back to the document spine."""
+    from ..operators.dedup import scrub_spans, span_dedup
 
-    return span_dedup(table(spark, sf, "documents"), span_tokens=8).orderBy(
-        "doc_id"
-    )
+    d = table(spark, sf, "documents")
+    rep = span_dedup(d, span_tokens=8)
+    scr = scrub_spans(d, span_tokens=8)
+    return rep.join(scr, "doc_id").orderBy("doc_id")
 
 
 SQL_SPAN_DEDUP = """
 WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
            FROM documents),
-occ AS (
-  SELECT doc_id, unnest(
-           CASE WHEN len(toks) >= 8
-                THEN list_transform(range(1, len(toks) - 6),
-                     i -> ('0x' || substr(md5(
-                            list_aggregate(toks[i:i+7], 'string_agg', '_')),
-                            1, 15))::BIGINT)
-                ELSE CAST([] AS BIGINT[]) END) AS s
-  FROM d
-),
-shared AS (SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
-pd AS (
-  SELECT doc_id, count(*) AS nd FROM occ
-  WHERE s IN (SELECT s FROM shared) GROUP BY doc_id
-),
-tot AS (SELECT doc_id, greatest(len(toks) - 7, 0) AS n_spans FROM d)
-SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
-       CAST(n_spans AS BIGINT) AS n_spans,
-       CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_spans,
-       CASE WHEN n_spans > 0
-            THEN coalesce(nd, 0)::DOUBLE / n_spans::DOUBLE
-            ELSE 0.0 END AS dup_ratio
-FROM tot LEFT JOIN pd USING (doc_id) ORDER BY doc_id
-"""
-
-
-def q_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
-    """Duplicate-span REMOVAL (operators/dedup.py:scrub_spans) — the
-    transform half of Lee et al. sub-document dedup: span_dedup reports
-    the boilerplate ratio, this entry pins the exact scrubbed text
-    (kept_md5) after merging overlapping duplicate windows into maximal
-    token ranges and cutting them. The oracle re-derives the identical
-    ranges with window functions and filters tokens with an indexed
-    list lambda — both engines md5 the space-rejoined survivors, so
-    the driver hash checks every removed token boundary."""
-    from ..operators.dedup import scrub_spans
-
-    return scrub_spans(table(spark, sf, "documents"), span_tokens=8).orderBy(
-        "doc_id"
-    )
-
-
-SQL_SPAN_SCRUB = """
-WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
-           FROM documents),
-occ AS (
+occ AS MATERIALIZED (
   SELECT doc_id, unnest(
            CASE WHEN len(toks) >= 8
                 THEN list_transform(range(1, len(toks) - 6),
@@ -929,7 +899,13 @@ occ AS (
            recursive := true)
   FROM d
 ),
-shared AS (SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+shared AS MATERIALIZED (
+  SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+),
+pd AS (
+  SELECT doc_id, count(*) AS nd FROM occ
+  WHERE s IN (SELECT s FROM shared) GROUP BY doc_id
+),
 hits AS (SELECT doc_id, pos FROM occ WHERE s IN (SELECT s FROM shared)),
 lagged AS (
   SELECT doc_id, pos,
@@ -952,6 +928,12 @@ rpd AS (
   FROM ranges GROUP BY doc_id
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN greatest(len(toks) - 7, 0) > 0
+            THEN coalesce(nd, 0)::DOUBLE
+                 / greatest(len(toks) - 7, 0)::DOUBLE
+            ELSE 0.0 END AS dup_ratio,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(coalesce(n_ranges, 0) AS BIGINT) AS n_ranges,
        CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
@@ -961,7 +943,8 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                      len(list_filter(rs, r -> i - 1 >= r.a AND i - 1 <= r.b))
                        = 0)
          END, ' '), '')) AS kept_md5
-FROM d LEFT JOIN rpd USING (doc_id) ORDER BY doc_id
+FROM d LEFT JOIN pd USING (doc_id) LEFT JOIN rpd USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -2880,6 +2863,212 @@ def q_ivfpq_topk_residual(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+def _sql_ann_index_lifecycle(
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    k: int = 3,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB mirror of the PERSISTED IVFADC index lifecycle: the
+    oracle re-derives, from the embeddings table alone, exactly what
+    the post-maintenance files must hold — coarse k-means
+    (_sql_kmeans_ctes) + PQ k-means (_sql_pq_kmeans_ctes) + the
+    write/append corpus's codes MINUS the tombstoned ids — and pins
+    (a) the index CONTENT per cell (row count, distinct cids, 32-bit-
+    md5 digest over cell:cid:sub:code — the lsh_index_compact trick,
+    so a lost/duplicated/ghost code row hash-mismatches) and (b) the
+    file-answered probe's ADC ranking. Hot CTEs AS MATERIALIZED:
+    ranked_cells (the N·K assignment window), tdist (the code/LUT
+    distance table, referenced by codes and the probe), crows (the
+    index content, referenced by the summary and the probe) — the r12
+    residual-oracle evaluation-shape lesson."""
+    digest = (
+        "sum(('0x' || substr(md5(CAST(cell AS VARCHAR) || ':' || "
+        "CAST(cid AS VARCHAR) || ':' || CAST(sub AS VARCHAR) || ':' || "
+        "CAST(code AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+    score = (
+        "list_aggregate(list_transform(range(1, 65),"
+        " i -> q.qv[i] * c.s[i]), 'sum')::DOUBLE"
+        " / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(c.s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+        " (a, x) -> a + x))"
+    )
+    return f"""
+WITH {_sql_kmeans_ctes()},
+{_sql_pq_kmeans_ctes(m, dsub, ksub)},
+ranked_cells AS MATERIALIZED (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {score} DESC, c.cell) AS rn
+  FROM q CROSS JOIN cf c
+),
+cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+qcells AS (SELECT vec_id, cell FROM ranked_cells
+           WHERE rn <= {nprobe} AND vec_id < 5),
+tdist AS MATERIALIZED (
+  SELECT sv.vec_id, sv.sub, p.cent_id,
+         CAST(list_aggregate(list_transform(range(1, {dsub + 1}),
+                i -> (sv.sq[i] - p.cv[i]) * (sv.sq[i] - p.cv[i])),
+              'sum') AS BIGINT) AS dist
+  FROM sv JOIN pbf p USING (sub)
+),
+tcodes AS (
+  SELECT vec_id, sub, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, cent_id) AS rn
+    FROM tdist) WHERE rn = 1
+),
+crows AS MATERIALIZED (
+  SELECT cc.cell, t.vec_id AS cid, t.sub, t.code
+  FROM tcodes t
+  JOIN cells cc ON cc.vec_id = t.vec_id
+  WHERE ((t.vec_id % 2 = 1) OR (t.vec_id % 2 = 0 AND t.vec_id % 10 != 0))
+    AND t.vec_id % 7 != 3
+),
+cellsum AS (
+  SELECT cell, count(*) AS n_rows, count(DISTINCT cid) AS n_cids,
+         {digest} AS digest
+  FROM crows GROUP BY cell
+),
+adc AS (
+  SELECT qq.vec_id AS qid, c.cid, CAST(sum(d.dist) AS BIGINT) AS adc
+  FROM crows c
+  JOIN qcells qq ON qq.cell = c.cell AND qq.vec_id != c.cid
+  JOIN tdist d ON d.vec_id = qq.vec_id AND d.sub = c.sub
+              AND d.cent_id = c.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rnk
+  FROM adc
+)
+SELECT 'cell' AS kind, CAST(cell AS BIGINT) AS cell,
+       CAST(n_rows AS BIGINT) AS n_rows, CAST(n_cids AS BIGINT) AS n_cids,
+       CAST(digest AS BIGINT) AS digest,
+       CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS rnk,
+       CAST(NULL AS BIGINT) AS cid, CAST(NULL AS BIGINT) AS adc
+FROM cellsum
+UNION ALL
+SELECT 'topk' AS kind, CAST(NULL AS BIGINT) AS cell,
+       CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS n_cids,
+       CAST(NULL AS BIGINT) AS digest,
+       CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cid AS BIGINT) AS cid, CAST(adc AS BIGINT) AS adc
+FROM ranked WHERE rnk <= {k}
+ORDER BY kind, cell, qid, rnk
+"""
+
+
+SQL_ANN_INDEX_LIFECYCLE = _sql_ann_index_lifecycle()
+
+
+def q_ann_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED IVFADC index lifecycle under the driver's hash
+    gate (r13, r12 VERDICT item 3 — operators/ann_index.py): write
+    gen-1 (odd vec_ids) with TRAINED quantizers, APPEND gen-2 (even,
+    %10!=0) encoded from the persisted quantizers without retraining,
+    DELETE a tombstone cohort (%7==3) through the crash-safe sibling
+    swap, then answer from the files alone: per-cell index CONTENT
+    (row count, distinct cids, 32-bit-md5 digest over
+    cell:cid:sub:code — read from the post-swap files, so a ghost code
+    row for a deleted vector, a lost append row, or a drifted code
+    hash-mismatches) plus the probe's exact-BIGINT ADC top-k
+    (ann_index_probe — no trainer touched, only the probed cells' row
+    groups read). Query vec_id 3 is itself tombstoned, so the entry
+    also pins that a deleted vector can still PROBE but never be
+    RETURNED. The oracle re-derives everything from the embeddings
+    table: coarse k-means + PQ k-means + corpus codes minus tombstones
+    + the same ADC ranking (_sql_ann_index_lifecycle docstring has the
+    evaluation-shape story). Fills the ONE free r13 prefix slot
+    (rotation policy, driver_queries.py)."""
+    import os as _os
+    import time as _time
+
+    from ..operators.ann_index import (
+        ann_index_append,
+        ann_index_delete,
+        ann_index_probe,
+        ann_index_write,
+    )
+    from ..operators.dedup import log_setup_time
+    from ..operators.similarity import train_centroids, train_pq_codebooks
+    from ..session import session_tmp_path
+
+    e = table(spark, sf, "embeddings")
+    gen1 = e.filter(F.col("vec_id") % 2 == 1)
+    gen2 = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 10 != 0))
+    tomb = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    tag = sf.strip("/").replace("/", "_").replace(".", "_")
+    path = session_tmp_path(spark, f"ann_index_{tag}")
+    # the delete swap rewrites codes/ in place, so the once-per-session
+    # marker lives BESIDE the index root (the lsh_index_cmp pattern)
+    done = path.rstrip("/") + "__done"
+    if not _os.path.exists(done):
+        t0 = _time.perf_counter()
+        coarse = train_centroids(e, n_centroids=16, n_iters=2)
+        cb = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=2)
+        ann_index_write(gen1, path, coarse, cb, m=4)
+        ann_index_append(gen2, path)
+        ann_index_delete(spark, path, tomb)
+        with open(done, "w") as f:
+            f.write("ok")
+        log_setup_time("setup:ann_index", _time.perf_counter() - t0)
+    codes = spark.read.parquet(_os.path.join(path, "codes"))
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("cell").cast("string"),
+                    F.col("cid").cast("string"),
+                    F.col("sub").cast("string"),
+                    F.col("code").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    nul = F.lit(None).cast("long")
+    cellsum = (
+        codes.withColumn("d", digest)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("cid").cast("long").alias("n_cids"),
+            F.sum("d").cast("long").alias("digest"),
+        )
+        .select(
+            F.lit("cell").alias("kind"),
+            F.col("cell").cast("long"),
+            "n_rows",
+            "n_cids",
+            "digest",
+            nul.alias("qid"),
+            nul.alias("rnk"),
+            nul.alias("cid"),
+            nul.alias("adc"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    topk = ann_index_probe(spark, q, path, k=3, nprobe=2).select(
+        F.lit("topk").alias("kind"),
+        nul.alias("cell"),
+        nul.alias("n_rows"),
+        nul.alias("n_cids"),
+        nul.alias("digest"),
+        "qid",
+        "rnk",
+        "cid",
+        "adc",
+    )
+    return cellsum.unionAll(topk).orderBy("kind", "cell", "qid", "rnk")
+
+
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plumbing over mapInPandas (row explosion:
     one output row per sampled frame). The documents' text bytes are
@@ -3312,6 +3501,201 @@ SELECT CAST(shard AS BIGINT) AS shard, seq_id,
        CAST(sum(n_toks) AS BIGINT) AS n_toks_packed
 FROM p GROUP BY shard, seq_id ORDER BY shard, seq_id
 """
+
+
+def _sql_bpe_token_checks(
+    n_merges: int = 24, top_words: int = 64, budget: int = 256
+) -> str:
+    """DuckDB mirror of the WHOLE trained-BPE stack in one statement
+    (functions/bpe.py has the determinism design):
+
+    - ``tr`` — TRAINING as a single-row recursive state machine: the
+      state row carries the top-``top_words`` word symbol lists, the
+      merge table so far, and the pair currently being applied. A
+      'pick' step choses the best pair by (max summed count over every
+      adjacent position, lexicographically smallest pair); 'apply'
+      steps then merge its LEFTMOST occurrence in every word that
+      still contains it, one position per word per step — iterated
+      leftmost equals the left-to-right non-overlapping scan (merging
+      (a,b) can create no new (a,b) across the seam), so this matches
+      bpe_train exactly, overlapping runs ('aaa') included.
+    - ``enc`` — ENCODING as a per-distinct-word recursion: each step
+      merges the (lowest-rank, leftmost) pair present, the canonical
+      encoder; a word's final row is its last emitted step.
+    - the per-doc join/sum, the shard-cumulative pack (the
+      SQL_PACK_SEQUENCES shape under BPE counts), and the canonical
+      merge-table digest.
+
+    Both recursions are bounded: training by ~2 steps per merge x
+    occurrences (state is the CAPPED top-V table — constant in corpus
+    size), encoding by merges-applied per word over the Zipf-bounded
+    distinct-word table."""
+    return f"""
+WITH RECURSIVE
+wt AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+       FROM documents),
+wf AS (SELECT word, count(*) AS n FROM wt GROUP BY word),
+tv AS (SELECT word, n FROM wf ORDER BY n DESC, word LIMIT {top_words}),
+tr AS (
+  SELECT 0::BIGINT AS step,
+         (SELECT list({{'w': word,
+                        'syms': list_transform(range(1, length(word) + 1),
+                                               i -> word[i:i]),
+                        'n': n}} ORDER BY n DESC, word) FROM tv) AS words,
+         CAST([] AS STRUCT(rank BIGINT, l VARCHAR, r VARCHAR)[]) AS merges,
+         CAST(NULL AS STRUCT(l VARCHAR, r VARCHAR)) AS cur
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN applying THEN
+           list_transform(words, w ->
+             CASE WHEN len(list_filter(range(1, len(w.syms)),
+                       j -> w.syms[j] = cur.l AND w.syms[j+1] = cur.r)) > 0
+             THEN {{'w': w.w,
+                    'syms': w.syms[1:list_filter(range(1, len(w.syms)),
+                             j -> w.syms[j] = cur.l AND w.syms[j+1] = cur.r
+                             )[1] - 1]
+                           || [cur.l || cur.r]
+                           || w.syms[list_filter(range(1, len(w.syms)),
+                             j -> w.syms[j] = cur.l AND w.syms[j+1] = cur.r
+                             )[1] + 2:],
+                    'n': w.n}}
+             ELSE w END)
+         ELSE words END AS words,
+         CASE WHEN applying THEN merges
+         ELSE list_append(merges,
+                {{'rank': len(merges), 'l': best.l, 'r': best.r}}) END
+           AS merges,
+         CASE WHEN applying THEN cur
+         ELSE {{'l': best.l, 'r': best.r}} END AS cur
+  FROM (
+    SELECT *,
+      (cur IS NOT NULL AND len(list_filter(words,
+          w -> len(list_filter(range(1, len(w.syms)),
+               j -> w.syms[j] = cur.l AND w.syms[j+1] = cur.r)) > 0)) > 0)
+        AS applying,
+      (SELECT {{'l': p.l, 'r': p.r}} FROM (
+         SELECT pr.l AS l, pr.r AS r, sum(pr.n) AS c
+         FROM unnest(flatten(list_transform(words, w ->
+                list_transform(range(1, len(w.syms)),
+                  j -> {{'l': w.syms[j], 'r': w.syms[j+1], 'n': w.n}}))))
+              AS t(pr)
+         GROUP BY pr.l, pr.r
+         ORDER BY c DESC, l, r LIMIT 1) p) AS best
+    FROM tr) s
+  WHERE applying OR (len(merges) < {n_merges} AND best IS NOT NULL)
+),
+tlast AS (SELECT merges FROM tr ORDER BY step DESC LIMIT 1),
+dw AS (SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' '))
+         AS word FROM documents),
+enc AS (
+  SELECT word,
+         list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms,
+         0::BIGINT AS step, t.merges AS merges
+  FROM dw, tlast t
+  UNION ALL
+  SELECT word,
+         syms[1:best.pos - 1] || [syms[best.pos] || syms[best.pos + 1]]
+           || syms[best.pos + 2:],
+         step + 1, merges
+  FROM (
+    SELECT *,
+      (SELECT {{'rank': r, 'pos': j}} FROM (
+         SELECT list_aggregate(list_filter(list_transform(merges,
+                  m -> CASE WHEN m.l = syms[jj] AND m.r = syms[jj+1]
+                            THEN m.rank END), x -> x IS NOT NULL),
+                'min') AS r,
+                jj AS j
+         FROM unnest(range(1, len(syms))) AS u(jj)
+         WHERE len(list_filter(merges,
+                 m -> m.l = syms[jj] AND m.r = syms[jj+1])) > 0
+         ORDER BY r, j LIMIT 1) q) AS best
+    FROM enc) s
+  WHERE best IS NOT NULL
+),
+fe AS (
+  SELECT word, len(syms) AS n_bpe FROM enc
+  QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+),
+dtok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+           AS word FROM documents),
+dcnt AS (SELECT doc_id, word, count(*) AS c FROM dtok
+         GROUP BY doc_id, word),
+db AS (SELECT doc_id, sum(c * n_bpe) AS n_bpe FROM dcnt
+       JOIN fe USING (word) GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               len(string_split(coalesce(text, ''), ' ')) AS n_words
+        FROM documents),
+p AS (
+  SELECT t.doc_id, t.n_words, b.n_bpe, t.doc_id % 32 AS shard,
+         coalesce(sum(b.n_bpe) OVER (PARTITION BY t.doc_id % 32
+                  ORDER BY t.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum
+  FROM tot t JOIN db b USING (doc_id)
+),
+mdig AS (SELECT md5(coalesce(string_agg(
+             m.rank::VARCHAR || ':' || m.l || ':' || m.r, '|'
+             ORDER BY m.rank), '')) AS merges_md5
+         FROM (SELECT unnest(merges) AS m FROM tlast))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_bpe AS BIGINT) AS n_bpe,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(floor(cum::DOUBLE / {budget}) AS BIGINT) AS seq_id,
+       (SELECT merges_md5 FROM mdig) AS merges_md5
+FROM p ORDER BY doc_id
+"""
+
+
+SQL_BPE_TOKEN_CHECKS = _sql_bpe_token_checks()
+
+
+def q_bpe_token_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-faithful token counting under the driver's hash gate
+    (r13, r12 VERDICT item 4 — functions/bpe.py): merges TRAINED on
+    the corpus's capped word-frequency table (Sennrich et al. 2016,
+    deterministic tie-break), every distinct word encoded through the
+    canonical lowest-rank-pair encoder, per-doc BPE counts next to the
+    whitespace counts, and the pack_sequences budget re-derived under
+    BPE tokens (shard-cumulative seq assignment, budget 256 — the
+    pinned pack shape under the new counter). The trained merge table
+    itself is pinned by the constant merges_md5 column (canonical
+    'rank:l:r' rendering, identical on both engines), so the hash
+    covers training, encoding, counting, AND packing. The oracle runs
+    the whole stack in one statement — training as a single-row
+    recursive state machine, encoding as a per-word recursion
+    (_sql_bpe_token_checks docstring). Funded by the r13
+    span_dedup <- span_scrub merge (rotation policy,
+    driver_queries.py)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.bpe import (
+        bpe_merges_md5,
+        bpe_token_counts,
+        train_bpe_from_docs,
+    )
+
+    d = table(spark, sf, "documents")
+    merges = train_bpe_from_docs(d, n_merges=24, top_words=64)
+    counts = bpe_token_counts(d, merges)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        counts.withColumn("shard", (F.col("doc_id") % 32).cast("long"))
+        .withColumn("cum", F.coalesce(F.sum("n_bpe").over(w), F.lit(0)))
+        .withColumn(
+            "seq_id",
+            F.floor(F.col("cum").cast("double") / 256).cast("long"),
+        )
+        .withColumn("merges_md5", F.lit(bpe_merges_md5(merges)))
+        .select(
+            "doc_id", "n_words", "n_bpe", "shard", "seq_id", "merges_md5"
+        )
+        .orderBy("doc_id")
+    )
 
 
 # (length_trim retired as a standalone entry in the r11 quality_gate
@@ -4841,6 +5225,10 @@ REGISTRY_EXT = {
     # hash — q_mixture_plan docstring); the freed slot funds
     # approx_stats_checks.
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    # r13: trained merge-table BPE token counts feeding the pack
+    # budget (r12 VERDICT item 4; funded by the span_dedup <-
+    # span_scrub merge — both parents in the r13 prefix)
+    "bpe_token_checks": (q_bpe_token_checks, SQL_BPE_TOKEN_CHECKS),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "unigram_nll": (q_unigram_nll, SQL_UNIGRAM_NLL),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -4885,8 +5273,12 @@ REGISTRY_EXT = {
     # r5-green media payload entries now ride one hash
     # (q_media_checks docstring has the coverage argument); the freed
     # slot funds span_scrub in the same checked prefix.
+    # r13 merge: span_scrub retired into span_dedup (both halves of
+    # Lee et al. sub-document dedup over ONE _span_occurrences memo,
+    # their per-doc rows joined under one hash — q_span_dedup
+    # docstring has the coverage argument); the freed slot funds
+    # bpe_token_checks in the r13 prefix.
     "media_checks": (q_media_checks, SQL_MEDIA_CHECKS),
-    "span_scrub": (q_span_scrub, SQL_SPAN_SCRUB),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "corpus_compact": (q_corpus_compact, SQL_CORPUS_COMPACT),
     "media_neardup": (q_media_neardup, SQL_MEDIA_NEARDUP),
@@ -4967,6 +5359,11 @@ REGISTRY_EXT = {
     # y - q1(y), per-probed-cell query LUTs, exact-BIGINT end to end
     # (r11 VERDICT item 2; funded by the ann_topk <- ivfpq_topk merge)
     "ivfpq_topk_residual": (q_ivfpq_topk_residual, SQL_IVFPQ_TOPK_RESIDUAL),
+    # r13: the persisted IVFADC index lifecycle (r12 VERDICT item 3) —
+    # write/append/delete on parquet codes+quantizers, probe answered
+    # from the files without retraining; per-cell content digests +
+    # ADC top-k under one hash (fills the one free r13 prefix slot)
+    "ann_index_lifecycle": (q_ann_index_lifecycle, SQL_ANN_INDEX_LIFECYCLE),
     # r11: the corpus DELETION lifecycle (r10 VERDICT item 4) —
     # tombstone a cohort, partition-pruned rewrite, erasure proved
     # from the destination files

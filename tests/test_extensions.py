@@ -1776,7 +1776,6 @@ def test_span_family_null_text_matches_oracle(spark):
     )
     from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
         SQL_SPAN_DEDUP,
-        SQL_SPAN_SCRUB,
     )
 
     rows = [
@@ -1791,13 +1790,13 @@ def test_span_family_null_text_matches_oracle(spark):
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
 
-    for fn, sql in ((scrub_spans, SQL_SPAN_SCRUB), (span_dedup, SQL_SPAN_DEDUP)):
-        got = [
-            tuple(r)
-            for r in fn(docs, span_tokens=8).orderBy("doc_id").collect()
-        ]
-        want = con.execute(sql).fetchall()
-        assert got == want, fn.__name__
+    # the r13 merged oracle carries BOTH halves' columns per doc row
+    merged = span_dedup(docs, span_tokens=8).join(
+        scrub_spans(docs, span_tokens=8), "doc_id"
+    )
+    got = [tuple(r) for r in merged.orderBy("doc_id").collect()]
+    want = con.execute(SQL_SPAN_DEDUP).fetchall()
+    assert got == want
     # the NULL row is present, defined, and equals the ''-text row
     scrubbed = {
         r["doc_id"]: (r["n_tokens"], r["kept_md5"])

@@ -131,6 +131,13 @@ QUERIES = TABLE_QUERIES + CAPPED_QUERIES
 # at 100x. Two first-decade members are documented out rather than
 # silently dropped:
 DECADE2_QUERIES = [
+    # r13 (r12 VERDICT item 5): the merged two-engine CC entry FITS
+    # the capped heap at sf10 — measured 110 s Spark / 452 s oracle,
+    # hash MATCH over 47,698 rows — so its tier-2 evidence and
+    # decade-2 exponent are now first-class (it stays in
+    # CAPPED_QUERIES for decade-1, the memory classification that
+    # sets its run conditions)
+    "dedup_clusters",
     "minhash_lsh",
     # r8: the 60-bit key narrowing shrank the exact-verify side's
     # per-pair shingle arrays ~8x (longs, not ~50-byte strings) —

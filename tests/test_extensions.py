@@ -2672,3 +2672,45 @@ def test_approx_stats_sketches_are_one_pass_aggregates(spark):
     assert "ObjectHashAggregate" in plan
     for bad in ("Sort", "Window", "Expand"):
         assert bad not in plan, f"{bad} in the sketch aggregation:\n{plan[:2000]}"
+
+
+def test_ivfpq_residual_nprobe_monotone(spark):
+    """The ivf_probe2 recall/work dial applied to the residual stack
+    (r12 VERDICT item 7): at fixed (k, m, k*, K), raising nprobe can
+    only widen the candidate set each query scores, so brute-force
+    recall must be NON-DECREASING in nprobe — the knob a deployment
+    turns to buy recall with probe work. Checked on the clustered
+    fixture with K=16 coarse cells over its 8 clusters: OVER-
+    partitioning splits each cluster across sibling cells, so true
+    neighbors genuinely live outside the query's top-1 cell and the
+    dial must MOVE, not just hold (at K=8 the clusters are so
+    separated that nprobe=1 already saturates — measured 15/15/15).
+    Deterministic: exact integer ADC, fixed seed."""
+    from sentinel_landsat_database_creation_spark.operators.similarity import (
+        ivfpq_topk_residual,
+        topk_recall,
+        train_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    e = _clustered_embeddings(spark)
+    q = e.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(e, q, k=3)
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb_res = train_pq_codebooks_residual(
+        e, coarse, m=4, n_sub_centroids=16, n_iters=2
+    )
+    hits = {}
+    for nprobe in (1, 2, 4):
+        approx = ivfpq_topk_residual(
+            e, q, coarse, cb_res, k=3, m=4, nprobe=nprobe
+        )
+        rec = {
+            r["method"]: r["n_hits"]
+            for r in topk_recall(bf, {"res": approx}).collect()
+        }
+        hits[nprobe] = rec["res"]
+    assert hits[1] <= hits[2] <= hits[4], hits
+    # the dial must actually move on this fixture, or the test pins
+    # nothing: probing every cluster must beat the single-cell probe
+    assert hits[4] > hits[1], hits

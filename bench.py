@@ -91,7 +91,19 @@ _BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
 # both recorded in the payload so the artifact itself proves whether
 # the run was hot (r10 VERDICT item 6). Override the reference via
 # SPARK_GRAFT_CALIBRATION_REF (different host); <= 0 disables.
-_CALIBRATION_REF_SEC = 0.718
+#
+# r13 re-base 0.718 -> 0.629: the host now runs the spin ~12% FASTER
+# than the r11 reference state (5 quiet measurements 0.6275..0.6296,
+# spread 0.3%, loadavg 0.11 — a hypervisor placement change, the
+# inverse of the r9 slow episode). The guard is one-sided (only a
+# SLOWER spin blocks), so the old reference could not refuse a
+# baseline landed in the fast state — but a baseline measured at
+# 0.63-class throughput must carry a 0.63-class reference, or a later
+# return to the old 0.718-class normal would compare 12%-slower
+# entries against fast-state numbers with the guard silently
+# agreeing. The reference and the committed BENCH_PREV baseline move
+# TOGETHER (both landed by the r13 round-closing solo run).
+_CALIBRATION_REF_SEC = 0.629
 # 5%: the quiet-host spin's natural spread is <= 1.3% across repeated
 # measurements, and the single-thread spin UNDER-reads steal on a
 # 32-thread workload ~2-3x (measured r11: a run whose per-entry

@@ -208,8 +208,15 @@ def ann_index_append(
     dim disagrees with the index raises instead of landing codes no
     probe can score."""
     spark = batch.sparkSession
-    d = embedding_dim(batch, vec_col)
-    fmt = _check_ann_format(path, None, d, "ann_index_append")
+    fmt = ann_index_format(path)
+    probe = batch.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        # empty ingest batch: nothing to encode, and its geometry is
+        # unknowable — a no-op, not an error (the delete/re-ingest
+        # cycle legitimately produces empty batches)
+        return
+    d = int(probe["d"])
+    _check_ann_format(path, None, d, "ann_index_append")
     m = int(fmt["m"])
     dsub = d // m
     coarse_df = spark.read.parquet(os.path.join(path, "coarse"))
@@ -284,8 +291,16 @@ def ann_index_probe(
     (the LUT join IS the residual-entry pruning trick), one candidate
     groupBy, two-phase WindowGroupLimit ranking. Nothing corpus-sized
     shuffles: the cell+code attach was materialized at write time."""
-    d = embedding_dim(queries, vec_col)
-    fmt = _check_ann_format(path, None, d, "ann_index_probe")
+    fmt = ann_index_format(path)
+    probe = queries.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        # empty probe batch: an empty result with the contract schema,
+        # not a crash on the dimension probe
+        return spark.createDataFrame(
+            [], "qid long, rnk long, cid long, adc long"
+        )
+    d = int(probe["d"])
+    _check_ann_format(path, None, d, "ann_index_probe")
     m = int(fmt["m"])
     dsub = d // m
     coarse_df = spark.read.parquet(os.path.join(path, "coarse"))

@@ -3006,9 +3006,15 @@ def q_ann_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     # marker lives BESIDE the index root (the lsh_index_cmp pattern)
     done = path.rstrip("/") + "__done"
     if not _os.path.exists(done):
-        t0 = _time.perf_counter()
+        # trainers BEFORE the setup timer: they drain their own
+        # memo:train_* lines on a miss, and timing them inside this
+        # block too would double-subtract the build from whichever
+        # entry runs first (the r10 "rotations reorder who pays"
+        # attribution lesson — only disjoint logged spans keep
+        # per-query numbers order-independent)
         coarse = train_centroids(e, n_centroids=16, n_iters=2)
         cb = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=2)
+        t0 = _time.perf_counter()
         ann_index_write(gen1, path, coarse, cb, m=4)
         ann_index_append(gen2, path)
         ann_index_delete(spark, path, tomb)

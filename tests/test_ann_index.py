@@ -156,3 +156,35 @@ def test_probe_plan_prunes_and_stays_two_phase(spark, quantizers, tmp_path):
     scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert scan and any("In(cell" in ln for ln in scan), plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_empty_probe_and_append_after_delete(spark, quantizers, tmp_path):
+    """Lifecycle edges: probing with an empty query set returns an
+    empty frame (the isin([]) filter short-circuits, no job explosion);
+    appending AFTER a delete lands beside the swap-rewritten files and
+    probes read the union — the standing maintenance cycle
+    (delete ghosts, re-ingest survivors) must not corrupt the layout."""
+    e, coarse, cb = quantizers
+    p = str(tmp_path / "annidx")
+    gen1 = e.filter(F.col("vec_id") % 2 == 1)
+    gen2 = e.filter(F.col("vec_id") % 2 == 0)
+    ann_index_write(gen1, p, coarse, cb, m=4)
+
+    empty_q = e.filter(F.col("vec_id") < 0)
+    assert ann_index_probe(spark, empty_q, p, k=3, nprobe=2).count() == 0
+    # empty ingest batch: a no-op, not a crash or a phantom file set
+    n_before = spark.read.parquet(f"{p}/codes").count()
+    ann_index_append(empty_q, p)
+    assert spark.read.parquet(f"{p}/codes").count() == n_before
+
+    tomb = gen1.filter(F.col("vec_id") % 5 == 1).select("vec_id")
+    ann_index_delete(spark, p, tomb)
+    ann_index_append(gen2, p)
+    got = sorted(map(tuple, spark.read.parquet(f"{p}/codes").collect()))
+
+    p2 = str(tmp_path / "direct")
+    tomb_ids = {r["vec_id"] for r in tomb.collect()}
+    survivors = e.filter(~F.col("vec_id").isin(sorted(tomb_ids)))
+    ann_index_write(survivors, p2, coarse, cb, m=4)
+    want = sorted(map(tuple, spark.read.parquet(f"{p2}/codes").collect()))
+    assert got == want and got

@@ -140,3 +140,40 @@ def test_toy_corpus_matches_oracle(spark):
         _sql_bpe_token_checks(n_merges=4, top_words=8, budget=4)
     ).fetchall()
     assert got == want and len(got) == 5
+
+
+def test_unicode_words_match_oracle(spark):
+    """Non-ASCII words: Python symbols are codepoints (list(word)) and
+    the DuckDB mirror slices with word[i:i], which is character-based —
+    this pins that the two agree on multibyte text (accents, CJK,
+    an astral-plane emoji), so a multilingual corpus cannot silently
+    diverge between the engines."""
+    import duckdb
+
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        _sql_bpe_token_checks,
+    )
+
+    rows = [
+        (0, "héllo héllo übermaß"),
+        (1, "日本語 日本語 héllo"),
+        (2, "nó combining mañana"),
+        (3, "🦜🦜🦜 héllo 🦜🦜🦜"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe_from_docs(docs, n_merges=6, top_words=8)
+    assert merges, "multibyte pairs must train"
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            _sql_bpe_token_checks(n_merges=6, top_words=8, budget=4)
+        ).fetchall()
+    }
+    assert counts == want and len(counts) == 4

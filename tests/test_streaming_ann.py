@@ -1,0 +1,114 @@
+"""Streaming ANN radius probe (streaming/ann_delta.py) against the
+persisted IVFADC index: the stateless plan must (a) reproduce the
+batch probe's exact ADC integers, (b) implement radius semantics
+exactly (every candidate within r, none outside), and (c) run as a
+real Structured Streaming drain with output equal to the same
+function applied to the batch frame."""
+
+from __future__ import annotations
+
+import sys
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sentinel_landsat_database_creation_spark.operators.ann_index import (
+    ann_index_probe,
+    ann_index_write,
+)
+from sentinel_landsat_database_creation_spark.operators.similarity import (
+    train_centroids,
+    train_pq_codebooks,
+)
+from sentinel_landsat_database_creation_spark.sources.testdata import table
+from sentinel_landsat_database_creation_spark.streaming.ann_delta import (
+    ann_radius_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    e = table(spark, SF, "embeddings")
+    coarse = train_centroids(e, n_centroids=8, n_iters=2)
+    cb = train_pq_codebooks(e, m=4, n_sub_centroids=8, n_iters=2)
+    p = str(tmp_path_factory.mktemp("ann") / "annidx")
+    ann_index_write(e, p, coarse, cb, m=4)
+    return p
+
+
+def test_radius_matches_batch_probe_scores(spark, index_path):
+    """At a radius above every candidate distance, the radius set is
+    exactly the batch probe's candidate set at huge k, ADC integers
+    identical — the stateless row-local LUT fold reproduces the batch
+    LUT-join sum bit for bit."""
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    full = ann_index_probe(spark, q, index_path, k=10**6, nprobe=2)
+    want = {
+        (r["qid"], r["cid"]): r["adc"] for r in full.collect()
+    }
+    assert want
+    big = max(want.values()) + 1
+    got = {
+        (r["qid"], r["cid"]): r["adc"]
+        for r in ann_radius_stream(
+            q, spark, index_path, radius=big, nprobe=2
+        ).collect()
+    }
+    assert got == want
+
+    # a median radius keeps exactly the within-r subset
+    r_med = sorted(want.values())[len(want) // 2]
+    got_med = {
+        (r["qid"], r["cid"])
+        for r in ann_radius_stream(
+            q, spark, index_path, radius=r_med, nprobe=2
+        ).collect()
+    }
+    want_med = {k for k, v in want.items() if v <= r_med}
+    assert got_med == want_med and got_med and got_med != set(want)
+
+
+def test_streamed_equals_batch(spark, index_path, tmp_path):
+    """The same plan drained as a real availableNow stream (parquet
+    source -> memory sink) emits exactly the batch invocation's rows —
+    and the plan is legal append-mode streaming (no state, no window;
+    the start() itself proves it)."""
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 7).select("vec_id", "embedding")
+    src = str(tmp_path / "qstream")
+    q.write.parquet(src)
+
+    batch = {
+        (r["qid"], r["cid"], r["adc"])
+        for r in ann_radius_stream(
+            q, spark, index_path, radius=10**12, nprobe=2
+        ).collect()
+    }
+    assert batch
+
+    reader = spark.readStream.schema(q.schema).parquet(src)
+    out = ann_radius_stream(
+        reader, spark, index_path, radius=10**12, nprobe=2
+    )
+    assert out.isStreaming
+    name = f"ann_radius_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = {
+        (r["qid"], r["cid"], r["adc"])
+        for r in spark.table(name).collect()
+    }
+    assert streamed == batch

@@ -18,11 +18,15 @@ Plan shape — ZERO state, every stage before the index join row-local:
 - cell assignment: the K coarse sum-vectors ride the plan as a
   LITERAL array of structs (they are collected from the index's tiny
   ``coarse/`` dir — K·d ints, the same driver ceiling the trainers
-  enforce); each query row scores all K in an array HOF and takes its
-  ``nprobe`` best by (score desc, cell asc) via sort_array on a
-  (-score, cell) struct — the exact _assign_trained ordering without
-  the window streaming forbids. Negation is IEEE-exact, and Spark
-  normalizes -0.0 = 0.0 in comparisons, so the ordering is identical.
+  enforce); each query row scores all K in an array HOF — using
+  dot_cast's per-step DOUBLE fold and a dot_cast-shaped norm, the
+  byte-identical _assign_trained arithmetic (an exact int64 dot would
+  round DIFFERENTLY from the batch fold and overflow past 2^53 —
+  code-review finding) — and takes its ``nprobe`` best by
+  (score desc, cell asc) via sort_array on a (-score, cell) struct,
+  the _assign_trained ordering without the window streaming forbids.
+  Negation is IEEE-exact, and Spark normalizes -0.0 = 0.0 in
+  comparisons, so the ordering is identical.
 - ADC LUT: the PQ codebook rides as a literal nested array; each row
   computes its full m·k* LUT once (exact _l2_quant integers on the
   quantize_vec grid) as a flat array indexed lut[sub·k* + code].
@@ -41,8 +45,11 @@ aggregation — emitted rows are a pure per-row function of (query,
 static index), so the stream runs forever at flat memory; re-delivery
 of a source row re-emits the same rows (idempotent for set
 consumers). Geometry safety: the literal quantizers come FROM the
-index dir itself, so stream and index cannot disagree (the
-_check_ann_format story holds by construction).
+index dir itself, so stream and index cannot disagree by
+construction; the QUERY side is guarded in-plan — a row whose vector
+dimension disagrees with the index raises at execution instead of
+NULL-padding through zip_with and silently emitting nothing (the
+batch probe's _check_ann_format refusal, row-local).
 """
 
 from __future__ import annotations
@@ -52,7 +59,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import quantize_vec
+from ..operators.similarity import dot_cast, quantize_vec
 
 
 def _l2_fold(a: Column, b: Column) -> Column:
@@ -68,12 +75,18 @@ def _l2_fold(a: Column, b: Column) -> Column:
 def load_ann_index_static(
     spark: SparkSession, path: str
 ) -> tuple[dict, list, list, DataFrame]:
-    """The three static pieces a streaming probe plans against:
-    (format, coarse rows [(cell, s, sn)], codebook rows
-    [(sub, cent_id, cv)], grouped codes frame (cell, cid, codes)).
-    Coarse and codebook are COLLECTED (K·d and m·k*·dsub values — the
-    trainer ceiling bounds both); codes stay distributed, grouped once
-    per (cell, cid) with the m codes ordered by sub."""
+    """The static pieces a streaming probe plans against: (format,
+    coarse rows [(cell, s)], codebook rows [(sub, cent_id, cv)],
+    grouped codes frame (cell, cid, codes)). Coarse and codebook are
+    COLLECTED (K·d and m·k*·dsub values — the trainer ceiling bounds
+    both); codes stay distributed, grouped per (cell, cid) with the m
+    codes ordered by sub, and PERSISTED — a stream-static join
+    re-executes its static side every micro-batch, so without the
+    persist the corpus-sized codes scan + grouping shuffle would
+    re-run per trigger (and a concurrent delete's sibling swap could
+    be re-read half-done mid-batch; with the persist, the snapshot
+    taken here is the probe's consistent view — restart the stream
+    after maintenance windows, the lsh_delta operational rule)."""
     from ..operators.ann_index import ann_index_format
 
     fmt = ann_index_format(path)
@@ -99,6 +112,7 @@ def load_ann_index_static(
                 lambda s: s["code"],
             ).alias("codes")
         )
+        .persist()
     )
     return fmt, coarse, codebook, codes
 
@@ -122,14 +136,11 @@ def ann_radius_stream(
     dsub = d // m
     ksub = max(c for _s, c, _v in codebook) + 1
 
-    import math
-
     cents = F.array(
         *[
             F.struct(
                 F.lit(cell).alias("cell"),
                 F.array(*[F.lit(x).cast("long") for x in s]).alias("s"),
-                F.lit(math.sqrt(sum(x * x for x in s))).alias("sn"),
             )
             for cell, s in coarse
         ]
@@ -155,7 +166,29 @@ def ann_radius_stream(
         ]
     )
 
-    qv = quantize_vec(F.col(vec_col))
+    # geometry guard, stream side: a query row whose vector dimension
+    # disagrees with the index would NULL-pad through zip_with and be
+    # SILENTLY dropped by the radius filter — raise instead, matching
+    # the batch probe's _check_ann_format refusal (when/otherwise
+    # coerces raise_error's NULL type into the array branch)
+    vec = F.col(vec_col)
+    qv = F.when(F.size(vec) == d, quantize_vec(vec)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ann_radius_stream: query vector dimension != index "
+                    f"d={d} (or NULL vector) for id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    # cell scoring MUST be dot_cast's per-step DOUBLE fold and a
+    # dot_cast-shaped norm — the exact _assign_trained arithmetic —
+    # not an int64 fold: the integer dot is exact only below 2^53
+    # (large cells overflow it, and ANSI mode would hard-fail), and
+    # its differently-rounded score would flip nprobe ordering near
+    # ties vs the batch probe (code-review finding, r13)
     q = queries_stream.select(
         F.col(id_col).alias("qid"), qv.alias("qv")
     ).withColumn(
@@ -164,14 +197,8 @@ def ann_radius_stream(
             cents,
             lambda c: F.struct(
                 (
-                    -F.aggregate(
-                        F.zip_with(
-                            F.col("qv"), c["s"], lambda x, y: x * y
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    )
-                    / c["sn"]
+                    -dot_cast(F.col("qv"), c["s"])
+                    / F.sqrt(dot_cast(c["s"], c["s"]))
                 ).alias("nscore"),
                 c["cell"].alias("cell"),
             ),

@@ -112,3 +112,18 @@ def test_streamed_equals_batch(spark, index_path, tmp_path):
         for r in spark.table(name).collect()
     }
     assert streamed == batch
+
+
+def test_query_dimension_mismatch_raises(spark, index_path):
+    """A query vector whose dimension disagrees with the index must
+    raise at execution (the batch probe's geometry refusal, in-plan) —
+    without the guard it would NULL-pad through zip_with and silently
+    emit nothing forever."""
+    e = table(spark, SF, "embeddings")
+    short = e.filter(F.col("vec_id") < 3).select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(Exception, match="dimension != index"):
+        ann_radius_stream(
+            short, spark, index_path, radius=10**12, nprobe=2
+        ).collect()

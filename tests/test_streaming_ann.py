@@ -127,3 +127,49 @@ def test_query_dimension_mismatch_raises(spark, index_path):
         ann_radius_stream(
             short, spark, index_path, radius=10**12, nprobe=2
         ).collect()
+
+
+def test_radius_matches_duckdb_oracle(spark, tmp_path):
+    """The staged r14 oracle (_sql_ann_radius) against the streaming
+    plan TODAY: a full-corpus index at the fragment generators' grid
+    (K=16 coarse, k*=16 PQ — the registry configuration), queries
+    vec_id < 5, radius at the candidate median so kept AND dropped
+    rows both decide the comparison. Proves the r14 entry needs only
+    a registry row."""
+    import duckdb
+
+    from sentinel_landsat_database_creation_spark.plans.driver_queries_ext import (
+        _sql_ann_radius,
+    )
+
+    e = table(spark, SF, "embeddings")
+    coarse = train_centroids(e, n_centroids=16, n_iters=2)
+    cb = train_pq_codebooks(e, m=4, n_sub_centroids=16, n_iters=2)
+    p = str(tmp_path / "annidx16")
+    ann_index_write(e, p, coarse, cb, m=4)
+    q = e.filter(F.col("vec_id") < 5)
+
+    all_rows = ann_radius_stream(
+        q, spark, p, radius=10**15, nprobe=2
+    ).collect()
+    assert all_rows
+    r_med = sorted(r["adc"] for r in all_rows)[len(all_rows) // 2]
+    got = sorted(
+        (r["qid"], r["cid"], r["adc"])
+        for r in ann_radius_stream(
+            q, spark, p, radius=r_med, nprobe=2
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            _sql_ann_radius(int(r_med), ksub=16, n_coarse=16, nprobe=2)
+        ).fetchall()
+    ]
+    assert got == want and got and len(got) < len(all_rows)

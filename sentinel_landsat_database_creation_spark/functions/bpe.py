@@ -269,7 +269,10 @@ def bpe_save_merges(
     ships to every consumer (the ann_index_write philosophy at
     merge-table size). Rank order IS the table; loading re-sorts on
     it, so the round trip is exact (md5-pinned by tests)."""
-    df = spark.createDataFrame(
+    from ..session import local_df
+
+    df = local_df(
+        spark,
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank long, l string, r string",
     )

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import local_df
 from .similarity import (
     QUANT_SCALE,
     _assign_trained,
@@ -167,11 +168,11 @@ def ann_index_write(
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
     dsub = d // m
-    coarse_df = spark.createDataFrame(
-        [(c, s) for c, s, _n in coarse], "cell long, s array<long>"
+    coarse_df = local_df(
+        spark, [(c, s) for c, s, _n in coarse], "cell long, s array<long>"
     )
-    codebook_df = spark.createDataFrame(
-        codebooks, "sub int, cent_id long, cv array<long>"
+    codebook_df = local_df(
+        spark, codebooks, "sub int, cent_id long, cv array<long>"
     )
     os.makedirs(path, exist_ok=True)
     coarse_df.coalesce(1).write.mode("overwrite").parquet(
@@ -296,8 +297,8 @@ def ann_index_probe(
     if probe is None:
         # empty probe batch: an empty result with the contract schema,
         # not a crash on the dimension probe
-        return spark.createDataFrame(
-            [], "qid long, rnk long, cid long, adc long"
+        return local_df(
+            spark, [], "qid long, rnk long, cid long, adc long"
         )
     d = int(probe["d"])
     _check_ann_format(path, None, d, "ann_index_probe")

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
+from ..session import local_df
 
 # the 90/5/5 split's bucket boundary (plans/driver_queries_ext.py:
 # q_chunk_split):
@@ -199,7 +200,8 @@ def mixture_plan(
     the quantization; the reported rate is then still exactly what the
     sampler applies."""
     rows, rates = _mixture_math(docs, class_col, weights, n_buckets)
-    plan = docs.sparkSession.createDataFrame(
+    plan = local_df(
+        docs.sparkSession,
         rows,
         f"{class_col} string, n_docs long, weight long, "
         "keep_target long, thresh long",
@@ -275,8 +277,8 @@ def mixture_sample(
     the deterministic bucket filter (see stratified_sample for why hash
     buckets, not RNG)."""
     rows, rates = _mixture_math(docs, class_col, weights, n_buckets)
-    kept_classes = docs.sparkSession.createDataFrame(
-        [(c,) for c, *_ in rows], f"{class_col} string"
+    kept_classes = local_df(
+        docs.sparkSession, [(c,) for c, *_ in rows], f"{class_col} string"
     )
     weighted_docs = docs.join(
         F.broadcast(kept_classes), class_col, "left_semi"

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import hash60, hash120, shingles
+from ..session import local_df
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -357,7 +358,8 @@ def ngram_jaccard_pairs(
     )
     n_vocab = len(vocab_rows)
     if 0 < n_vocab <= max_bitmap_bits:
-        vocab_ids = docs.sparkSession.createDataFrame(
+        vocab_ids = local_df(
+            docs.sparkSession,
             [(r["s"], i) for i, r in enumerate(sorted(vocab_rows, key=lambda r: r["s"]))],
             "s long, sid int",
         )

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import local_df
+
 
 def dot_cast(a: Column, b: Column) -> Column:
     """Dot product over raw float arrays: per-element double widening
@@ -424,8 +426,8 @@ def train_centroids(
             "its DataFrame straight into ivf_topk_trained."
         )
     for _ in range(n_iters):
-        cdf = spark.createDataFrame(
-            [(c, s) for c, s, _n in cents], "cell long, s array<long>"
+        cdf = local_df(
+            spark, [(c, s) for c, s, _n in cents], "cell long, s array<long>"
         ).select(
             # norm once per cell (K rows), not per joined row — same
             # sqrt input bits, so identical scores, at half the fold
@@ -579,8 +581,8 @@ def _trained_centroid_frame(
     if isinstance(centroids, DataFrame):
         cdf = centroids.select("cell", "s")
     else:
-        cdf = spark.createDataFrame(
-            [(c, s) for c, s, _n in centroids], "cell long, s array<long>"
+        cdf = local_df(
+            spark, [(c, s) for c, s, _n in centroids], "cell long, s array<long>"
         )
     return cdf.select(
         "cell", "s", F.sqrt(dot_cast(F.col("s"), F.col("s"))).alias("sn")
@@ -1012,8 +1014,8 @@ def _lloyd_pq(
     (vid, sub, sq array<long>); determinism notes live on
     train_pq_codebooks."""
     for _ in range(n_iters):
-        cdf = spark.createDataFrame(
-            cb, "sub int, cent_id long, cv array<long>"
+        cdf = local_df(
+            spark, cb, "sub int, cent_id long, cv array<long>"
         )
         dist = subs.join(F.broadcast(cdf), "sub").withColumn(
             "dist", _l2_quant(F.col("sq"), F.col("cv"))
@@ -1182,8 +1184,10 @@ def ivfpq_topk_trained(
         nprobe,
     ).select(F.col(id_col).alias("qid"), "cell")
 
-    codebook = embeddings.sparkSession.createDataFrame(
-        codebooks, "sub int, cent_id long, cv array<long>"
+    codebook = local_df(
+        embeddings.sparkSession,
+        codebooks,
+        "sub int, cent_id long, cv array<long>",
     )
 
     sub_c = pq_subvectors(embeddings, m, dsub, id_col, vec_col, out_id="cid")
@@ -1409,8 +1413,8 @@ def train_pq_codebooks_residual(
 
     _t0 = _time.perf_counter()
     cdf = _trained_centroid_frame(spark, coarse)
-    gdf = spark.createDataFrame(
-        coarse_grid_centroids(coarse), "cell long, gv array<long>"
+    gdf = local_df(
+        spark, coarse_grid_centroids(coarse), "cell long, gv array<long>"
     )
     res = _residual_cells(
         embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
@@ -1482,8 +1486,8 @@ def ivfpq_topk_residual(
     spark = embeddings.sparkSession
 
     cdf = _trained_centroid_frame(spark, coarse)
-    gdf = spark.createDataFrame(
-        coarse_grid_centroids(coarse), "cell long, gv array<long>"
+    gdf = local_df(
+        spark, coarse_grid_centroids(coarse), "cell long, gv array<long>"
     )
     res_c = _residual_cells(
         embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
@@ -1500,8 +1504,8 @@ def ivfpq_topk_residual(
         nprobe,
     )
 
-    codebook = spark.createDataFrame(
-        codebooks, "sub int, cent_id long, cv array<long>"
+    codebook = local_df(
+        spark, codebooks, "sub int, cent_id long, cv array<long>"
     )
     sub_c = _residual_sub_rows(res_c, m, dsub, id_col, "cid")
     dist_c = sub_c.join(F.broadcast(codebook), "sub").withColumn(

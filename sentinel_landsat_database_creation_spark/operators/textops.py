@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 # Public per-language function-word profiles (tiny, order matters only
 # for tie-breaking: first profile wins ties).
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -63,7 +65,8 @@ def language_id_table(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, lang_guess)."""
     spark = docs.sparkSession
-    prof = spark.createDataFrame(
+    prof = local_df(
+        spark,
         [(w, lang) for lang, words in LANG_PROFILES.items() for w in words],
         "t string, lang string",
     )

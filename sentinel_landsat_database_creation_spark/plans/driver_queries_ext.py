@@ -2351,8 +2351,10 @@ def q_ivf_train_centroids(spark: SparkSession, sf: str) -> DataFrame:
     rows = [
         (c, p, s[p], n) for c, s, n in cents for p in range(len(s))
     ]
-    return spark.createDataFrame(
-        rows, "cell long, pos long, s long, n long"
+    from ..session import local_df
+
+    return local_df(
+        spark, rows, "cell long, pos long, s long, n long"
     ).orderBy("cell", "pos")
 
 

@@ -40,7 +40,9 @@ def _check_width(width: int) -> None:
         raise ValueError(f"width must be 60 or 120, got {width}")
 
 
-def _shingle_rows(docs: DataFrame, n: int, width: int = 60) -> DataFrame:
+def _shingle_rows(
+    docs: DataFrame, n: int, width: int = 60, distinct: bool = True
+) -> DataFrame:
     """Distinct (doc_id, shingle-key) rows: explode, hash each raw
     shingle to its 60-bit md5-prefix BIGINT (functions/text.py:hash60),
     then FRAME-level distinct. The per-row ``array_distinct``
@@ -80,9 +82,19 @@ def _shingle_rows(docs: DataFrame, n: int, width: int = 60) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     ex = docs.select("doc_id", F.explode(shingles(toks, n)).alias("sraw"))
     if width == 60:
-        return ex.select("doc_id", hash60("sraw").alias("s")).distinct()
-    w0, w1 = hash120("sraw")
-    return ex.select("doc_id", w0.alias("s"), w1.alias("s2")).distinct()
+        out = ex.select("doc_id", hash60("sraw").alias("s"))
+    else:
+        w0, w1 = hash120("sraw")
+        out = ex.select("doc_id", w0.alias("s"), w1.alias("s2"))
+    # distinct=False (r13 optimization round): consumers whose
+    # downstream aggregate is duplicate-INSENSITIVE — the MinHash
+    # signature min in lsh_index_write/append — skip the
+    # (doc_id, key) distinct, which is the only corpus-sized exchange
+    # on that path (min over a multiset equals min over its set; the
+    # signature groupBy's map-side partial min collapses occurrence
+    # rows before its own shuffle). Set-semantics consumers (Jaccard
+    # intersections, containment, the shared memo) keep the default.
+    return out.distinct() if distinct else out
 
 
 def shingle_rows_materialized(
@@ -1412,7 +1424,12 @@ def lsh_index_write(
     mechanically (_check_index_width); delete/compact are
     family-agnostic row operations and work on either."""
     _check_width(width)
-    ex = _shingle_rows(corpus, n, width)
+    # distinct=False: the signature min is duplicate-insensitive, so
+    # the (doc_id, key) distinct — the only corpus-sized exchange on
+    # the index-write path — is pure cost here (identical buckets;
+    # measured r13-opt: one full exchange removed, see
+    # OPTIMIZATION_r13.md)
+    ex = _shingle_rows(corpus, n, width, distinct=False)
     banded = banded_buckets(
         minhash_signatures(ex, n_hashes, width), n_hashes, bands, width
     )
@@ -1460,7 +1477,9 @@ def lsh_index_append(
 
     if os.path.isdir(path):
         _check_index_width(path, width, "lsh_index_append")
-    ex = _shingle_rows(batch, n, width)
+    # distinct=False: same duplicate-insensitive signature argument as
+    # lsh_index_write
+    ex = _shingle_rows(batch, n, width, distinct=False)
     banded = banded_buckets(
         minhash_signatures(ex, n_hashes, width), n_hashes, bands, width
     )

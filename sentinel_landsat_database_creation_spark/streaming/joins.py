@@ -110,6 +110,15 @@ def click_signup_join_once(
     # checkpoint overhead for drain-sized state (measured, weekly.py)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # inner stream-stream joins emit matches in the data batch itself;
+    # the trailing no-data batch only advances the watermark for state
+    # EVICTION, which a one-shot drain never reuses (measured 3.27 ->
+    # 1.73 s at sf0.1, identical rows — _no_data_batch rationale in
+    # plans/driver_queries_ext.py). Per-trigger conf: restore only
+    # after termination.
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(ndb_key)
+    spark.conf.set(ndb_key, "false")
     try:
         q = (
             out.writeStream.outputMode("append")
@@ -129,5 +138,6 @@ def click_signup_join_once(
                 "click_signup_join_once drain did not finish within 300s"
             )
     finally:
+        spark.conf.set(ndb_key, old_ndb)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("click_id", "signup_id")

@@ -279,3 +279,36 @@ def test_stream_stream_join_matches_batch_across_microbatches(spark, tmp_path):
                 want.add((i, 100 + j, lag_us))
     assert want, "fixture must produce matches"
     assert got == want
+
+
+def test_drains_pin_no_data_batch_explicitly(spark):
+    """The r13-opt _no_data_batch discipline: every availableNow drain
+    FORCES its own noDataMicroBatches value instead of inheriting the
+    session's. Load-bearing direction: stream_sessions_native needs the
+    trailing no-data batch to emit its append-mode session windows —
+    with the session conf deliberately left 'false' (as a sibling drain
+    would have set mid-run before its finally), the entry must still
+    emit rows, and must restore the caller's conf afterwards. The
+    cheap drains' 'false' pin is covered by the oracle replica (their
+    rows are hash-checked every pytest run); this pins the one drain
+    whose correctness DEPENDS on overriding the inherited conf."""
+    from sentinel_landsat_database_creation_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        rows = REGISTRY["stream_sessions_native"][0](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) > 0, (
+            "native session drain emitted nothing — the explicit "
+            "_no_data_batch(spark, True) pin was lost"
+        )
+        assert spark.conf.get(key) == "false", (
+            "drain did not restore the caller's conf"
+        )
+    finally:
+        spark.conf.set(key, old)

@@ -440,17 +440,25 @@ def train_centroids(
         scored = q.join(F.broadcast(cdf)).withColumn(
             "score", dot_cast(F.col("qv"), F.col("s")) / F.col("sn")
         )
-        best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
-        assigned = (
-            scored.groupBy(id_col)
-            .agg(best.alias("b"))
-            .select(F.col(id_col), (-F.col("b.nc")).alias("cell"))
+        # qv rides the argmax struct as payload (the _residual_cells
+        # trick, applied here in the r13 optimization round): (score,
+        # -cell) is already a total order per vector — cell is unique —
+        # so qv never participates in a comparison, and the old
+        # assigned.join(q, id_col) back-attach (one extra exchange plus
+        # a SECOND evaluation of the q subtree per iteration) goes away.
+        # Same integers summed, bit-identical centroids.
+        best = F.max(
+            F.struct(F.col("score"), (-F.col("cell")).alias("nc"), F.col("qv"))
         )
         # element-wise BIGINT sums + member counts, one partial-agg
         # shuffle of K·d rows; pos is 0-based here and in the oracle
         sums = (
-            assigned.join(q, id_col)
-            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(
+                (-F.col("b.nc")).alias("cell"),
+                F.posexplode("b.qv").alias("pos", "x"),
+            )
             .groupBy("cell", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -1020,15 +1028,27 @@ def _lloyd_pq(
         dist = subs.join(F.broadcast(cdf), "sub").withColumn(
             "dist", _l2_quant(F.col("sq"), F.col("cv"))
         )
-        best = F.min(F.struct(F.col("dist"), F.col("cent_id")))
-        codes = (
-            dist.groupBy("vid", "sub")
-            .agg(best.alias("b"))
-            .select("vid", "sub", F.col("b.cent_id").alias("code"))
+        # sq rides the argmin struct as payload (the _residual_cells
+        # trick; r13 optimization round): (dist, cent_id) is a total
+        # order within a (vid, sub) group — cent_id is unique — so sq
+        # never participates in a comparison, and the old
+        # codes.join(subs, ...) back-attach goes away. That join cost
+        # one extra exchange AND a second evaluation of the ``subs``
+        # subtree per iteration — for the residual trainer that
+        # subtree contains the whole coarse-assignment fold, so it is
+        # the dominant saving. Same integers summed, bit-identical
+        # codebooks.
+        best = F.min(
+            F.struct(F.col("dist"), F.col("cent_id"), F.col("sq"))
         )
         sums = (
-            codes.join(subs, ["vid", "sub"])
-            .select("sub", "code", F.posexplode("sq").alias("pos", "x"))
+            dist.groupBy("vid", "sub")
+            .agg(best.alias("b"))
+            .select(
+                "sub",
+                F.col("b.cent_id").alias("code"),
+                F.posexplode("b.sq").alias("pos", "x"),
+            )
             .groupBy("sub", "code", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()

@@ -102,8 +102,21 @@ def salted_agg(
     ``aggs`` maps output name -> (merge_fn_name, partial_agg_column);
     merge_fn must be an algebraic combiner ('sum', 'max', 'min') so the
     two-stage result equals the one-stage result exactly (count merges
-    with 'sum' — partial counts add)."""
-    salt = (F.rand(seed=0) * n_salts).cast("int").alias("_salt")
+    with 'sum' — partial counts add).
+
+    The salt is a DETERMINISTIC row-content hash, not rand(): a salt
+    drawn from rand feeding a shuffle key is the SPARK-38388 hazard —
+    if a fetch failure re-runs part of the map stage, retried tasks
+    redraw and rows can land under a different salt than the partials
+    already fetched, double- or zero-counting them (the guide's §2.5
+    rule; salted_join was fixed for the same class in r6). Identical
+    rows share a salt — only relevant when one hot key's rows are also
+    byte-identical, the salted_join caveat verbatim. The merged result
+    is salt-independent either way (algebraic combiners), so outputs
+    and oracles are unchanged."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).cast("int").alias("_salt")
     partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
         *[col.alias(f"_p_{name}") for name, (_, col) in aggs.items()]
     )

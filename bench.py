@@ -103,7 +103,17 @@ _BASELINE_PATH = Path(__file__).resolve().parent / "BENCH_PREV.json"
 # entries against fast-state numbers with the guard silently
 # agreeing. The reference and the committed BENCH_PREV baseline move
 # TOGETHER (both landed by the r13 round-closing solo run).
-_CALIBRATION_REF_SEC = 0.629
+#
+# r13-OPTIMIZATION-round re-base 0.629 -> 0.706: the return the
+# comment above anticipated happened — the host is back at the old
+# 0.718-class placement (5 quiet measurements 0.7004..0.7124, median
+# 0.706, loadavg 0.15; every solo spin this session landed
+# 0.69..0.72). With the 0.629 reference the guard refused EVERY quiet
+# run of the session, so no post-optimization baseline could land at
+# all. Moved together with the BENCH_PREV re-land by the round-closing
+# solo run; per-entry numbers in that baseline are measured at
+# 0.71-class throughput and the round record states so.
+_CALIBRATION_REF_SEC = 0.706
 # 5%: the quiet-host spin's natural spread is <= 1.3% across repeated
 # measurements, and the single-thread spin UNDER-reads steal on a
 # 32-thread workload ~2-3x (measured r11: a run whose per-entry

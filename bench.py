@@ -369,6 +369,13 @@ def main() -> None:
                 errors["__session__"] = f"{type(exc).__name__}: {exc}"[:200]
                 break
             restarts += 1
+        # label the jobs (guide §1.5) so a UI/event-log reading of a
+        # bench run maps stages back to registry entries; thread-local,
+        # zero timing effect
+        try:
+            spark.sparkContext.setJobDescription(f"bench: {name}")
+        except Exception:  # noqa: BLE001 — labeling must never fail a run
+            pass
         samples: list[float] = []
         for _rep in range(reps):
             t0 = time.perf_counter()

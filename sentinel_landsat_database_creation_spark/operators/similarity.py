@@ -545,15 +545,23 @@ def train_centroids_distributed(
         scored = q.join(F.broadcast(cdf)).withColumn(
             "score", dot_cast(F.col("qv"), F.col("s")) / F.col("sn")
         )
-        best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc")))
-        assigned = (
-            scored.groupBy(id_col)
-            .agg(best.alias("b"))
-            .select(F.col(id_col), (-F.col("b.nc")).alias("cell"))
+        # qv rides the argmax struct as payload — the same r13-opt
+        # rewrite as the driver-path twin (train_centroids above):
+        # (score, -cell) is a total order per vector, so qv never
+        # participates in a comparison, and the old
+        # assigned.join(q, id_col) back-attach (one extra exchange +
+        # a second scan/quantize of q per iteration) goes away. Same
+        # integers summed; the twins stay structurally identical.
+        best = F.max(
+            F.struct(F.col("score"), (-F.col("cell")).alias("nc"), F.col("qv"))
         )
         sums = (
-            assigned.join(q, id_col)
-            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(
+                (-F.col("b.nc")).alias("cell"),
+                F.posexplode("b.qv").alias("pos", "x"),
+            )
             .groupBy("cell", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
         )

@@ -142,31 +142,66 @@ def _calibration_spin() -> float:
 
 
 def _calibration_reference() -> float:
-    """The reference the guard actually compares against: the
-    committed host constant unless SPARK_GRAFT_CALIBRATION_REF
-    re-bases it (different host). Resolved in one place so the payload
-    records the SAME value the comparison used (r11 ADVICE: recording
-    the constant while comparing against the override broke the
-    artifact's self-proving property on re-based hosts)."""
+    """The reference the guard actually compares against, resolved in
+    one place so the payload records the SAME value the comparison
+    used (r11 ADVICE). Resolution order:
+
+    1. SPARK_GRAFT_CALIBRATION_REF (env re-base: a different host, or
+       the one deliberate run that lands a baseline after a SLOWER
+       placement flip — the guard is one-sided, so without the
+       override no quiet run could ever land);
+    2. the median of the quiet spins RECORDED IN the committed
+       baseline itself (_record_baseline stores the landing run's
+       start/end spins since r14): the reference then tracks whatever
+       placement the committed baseline was measured at, with no
+       hand-edited constant to re-base (r13 VERDICT item 6 — the
+       0.718 -> 0.629 -> 0.706 constant churn was a guard one edit
+       away from being re-based to whatever lets a baseline land);
+    3. the committed constant, for baselines predating the recorded
+       spins."""
     try:
         return float(
             os.environ.get(
-                "SPARK_GRAFT_CALIBRATION_REF", _CALIBRATION_REF_SEC
+                "SPARK_GRAFT_CALIBRATION_REF", _baseline_calibration_ref()
             )
         )
     except ValueError:
-        return _CALIBRATION_REF_SEC
+        return _baseline_calibration_ref()
 
 
-def _calibration_contended(calib: float, when: str = "start") -> str | None:
+def _baseline_calibration_ref() -> float:
+    """Median of the committed baseline's recorded quiet spins, else
+    the legacy constant."""
+    try:
+        spins = json.loads(_BASELINE_PATH.read_text())["calibration_spins"]
+        spins = sorted(float(s) for s in spins)
+        if spins:
+            mid = len(spins) // 2
+            return (
+                spins[mid]
+                if len(spins) % 2
+                else (spins[mid - 1] + spins[mid]) / 2
+            )
+    except Exception:  # noqa: BLE001 — pre-r14 baseline or corrupt file
+        pass
+    return _CALIBRATION_REF_SEC
+
+
+def _calibration_contended(
+    calib: float, when: str = "start", ref: float | None = None
+) -> str | None:
     """None if the spin is within tolerance of the committed reference,
     else the reason string (same contract as _start_contended). Called
     at run START and again at run END (r11: three back-to-back solo
     runs measured 222 -> 243 -> 277 s with CLEAN start guards — steal
     accrued DURING the runs, the r9 sustained-contention signature, and
     the third run briefly poisoned the baseline; the end spin is what
-    catches mid-run degradation)."""
-    ref = _calibration_reference()
+    catches mid-run degradation). ``ref`` lets main() resolve the
+    reference ONCE before the run: _record_baseline rewrites the
+    recorded spins mid-run, so a late re-resolution would compare (and
+    record) a reference the guard never used."""
+    if ref is None:
+        ref = _calibration_reference()
     if ref <= 0:
         return None
     if calib > ref * (1 + _CALIBRATION_TOL):
@@ -290,17 +325,26 @@ def _adjudicate_regressions(regressions: dict, sf_dir: str) -> None:
     spark.stop()
 
 
-def _record_baseline(timings: dict[str, float], sf: float) -> None:
+def _record_baseline(
+    timings: dict[str, float], sf: float, spins: tuple[float, float]
+) -> None:
     """Persist this run's warm per-query numbers as the next run's
     comparison baseline, keyed by sf so a local sf0.01 iteration loop
     never clobbers the sf0.1 record the per-round driver run compares
     against. The file is committed with the round's work, making the
-    baseline the prior ROUND's last run."""
+    baseline the prior ROUND's last run.
+
+    The landing run's own (start, end) calibration spins are recorded
+    alongside (host-level, not per-sf): they BECOME the guard's
+    reference for subsequent runs (_baseline_calibration_ref), so the
+    reference and the baseline move together mechanically instead of
+    via a hand-edited constant."""
     try:
         book = json.loads(_BASELINE_PATH.read_text())
     except Exception:  # noqa: BLE001 — first run / corrupt: start fresh
         book = {}
     book[str(sf)] = {"queries": timings}
+    book["calibration_spins"] = [round(s, 4) for s in spins]
     _BASELINE_PATH.write_text(json.dumps(book, indent=1, sort_keys=True) + "\n")
 
 
@@ -309,8 +353,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     contended = _start_contended()  # must read load BEFORE Spark starts
     calibration = _calibration_spin()  # ... and spin before Spark too
+    # resolve the guard's reference ONCE, before anything can rewrite
+    # the recorded-spin source (_record_baseline), so the payload
+    # records exactly what both spins were compared against
+    calibration_ref = _calibration_reference()
     if contended is None:
-        contended = _calibration_contended(calibration)
+        contended = _calibration_contended(calibration, ref=calibration_ref)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -421,7 +469,9 @@ def main() -> None:
     # hot start
     calibration_end = _calibration_spin()
     if contended is None:
-        contended = _calibration_contended(calibration_end, "end")
+        contended = _calibration_contended(
+            calibration_end, "end", ref=calibration_ref
+        )
     regressions = _regressions_vs_prior(timings, float(sf))
     if errors:
         pass  # a crash-looping run must not become the next baseline
@@ -432,7 +482,9 @@ def main() -> None:
         # just refuses to become the comparison record
         pass
     else:
-        _record_baseline(dict(timings), float(sf))
+        _record_baseline(
+            dict(timings), float(sf), (calibration, calibration_end)
+        )
     if regressions is not None:
         # fresh_session below replaces the live singleton, so the main
         # session is done measuring by this point
@@ -450,8 +502,10 @@ def main() -> None:
         "calibration_sec": round(calibration, 4),
         "calibration_end_sec": round(calibration_end, 4),
         # the env-resolved reference the guard COMPARED AGAINST (r11
-        # ADVICE: the constant alone misreports on re-based hosts)
-        "calibration_ref_sec": _calibration_reference(),
+        # ADVICE: the constant alone misreports on re-based hosts) —
+        # resolved once at run start, before _record_baseline could
+        # rewrite the recorded-spin source it derives from
+        "calibration_ref_sec": calibration_ref,
         "calibration_ref_overridden": "SPARK_GRAFT_CALIBRATION_REF"
         in os.environ,
     }
@@ -466,7 +520,57 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
         payload["failed_timings"] = failed_timings
+    # post-loop session work (baseline re-lands, adjudication session
+    # teardown) must not run under the last entry's label (r13 ADVICE)
+    try:
+        spark.sparkContext.setJobDescription(None)
+    except Exception:  # noqa: BLE001 — labeling must never fail a run
+        pass
     print(json.dumps(payload))
+    # Per-query visibility inside the driver's 2000-char stdout tail
+    # (r13 VERDICT item 2: PERF per_query has been empty since r03
+    # because only the tail survives). The FULL set cannot fit: the 100
+    # query names alone are 1555 chars, and the most aggressive
+    # complete encoding (integer deciseconds, no wrapper) measures
+    # 2117 chars against the ~1865 available next to the summary line.
+    # So emit the most informative prefix that fits: entries sorted by
+    # descending warm seconds, as many as fit a fixed byte budget. The
+    # omitted entries are the sub-noise-floor crowd (the regression
+    # gate itself ignores moves under 0.3 s absolute), and the line
+    # says exactly what it holds ("top_queries" + n_total/n_shown +
+    # the max omitted value) so a partial dict can never be misread as
+    # the full run. The complete per-query record remains in the first
+    # payload line and in the committed BENCH_PREV.json.
+    by_cost = sorted(
+        ((n, t) for n, t in timings.items() if n not in memo_timings),
+        key=lambda kv: -kv[1],
+    )
+    top: dict[str, float] = {}
+    budget = 1500  # bytes for the top_queries dict body
+    used = 0
+    for n, t in by_cost:
+        cost = len(n) + len(f"{t:.2f}") + 6
+        if used + cost > budget:
+            break
+        top[n] = round(t, 2)
+        used += cost
+    print(
+        json.dumps(
+            {
+                "metric": "top_queries",
+                "n_total": len(timings) - len(memo_timings),
+                "n_shown": len(top),
+                "omitted_max_sec": (
+                    round(by_cost[len(top)][1], 2)
+                    if len(top) < len(by_cost)
+                    else 0.0
+                ),
+                "top_queries": top,
+                "sf": float(sf),
+            },
+            separators=(",", ":"),
+        )
+    )
     # The driver captures only the tail of stdout; at 82+ queries the full
     # line above can be cut mid-stream ("parsed": null in BENCH_r03). Emit a
     # compact summary line LAST so the tail always ends with parseable JSON.

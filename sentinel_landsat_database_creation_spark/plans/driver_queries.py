@@ -1802,72 +1802,85 @@ _BASE_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | 
 # + ann_index_lifecycle + bpe_token_checks = 50; tail = the 50
 # r12-prefix entries below.
 #
-# The 50 spilled below are r12-green (CORRECTNESS_r12: rows+schema+
-# hash, err null, all 50 prefix entries) and untouched by r13's work.
-# stream_sessions and stream_sessions_native are the session-variant
-# members this round (ALLOWED_UNPINNED_TAIL justifications — the
-# dict is unchanged; membership is only load-bearing for tail
-# entries, and the other five streaming drains rotate into the
-# prefix); the in-repo replica (tests/test_oracle_equivalence.py)
-# still checks ALL entries every run.
+# (The r13 tail — the 50 r12-prefix entries — was r12-green and
+# untouched by r13's work; its history is in the r13 round artifacts.)
 #
-# r14 math: the 50 below are last driver-checked in r12, so they hit
-# the staleness deadline next round and must ALL rotate into the r14
-# prefix — 50 rotating leaves ZERO free prefix slots; every r14
-# addition needs an in-prefix merge (both parents inside the r14
-# prefix at merge time), exactly as the r12 merges and the r13 span
-# merge above.
+# r14 rotation (optimization round 2 of 2 — the mandatory swap the
+# r13 comment above committed to): the 50 entries spilled in r13 were
+# last driver-checked in r12 — the staleness deadline — so ALL of them
+# rotate into the r14 prefix; 50 rotating into a 100-entry registry
+# leaves ZERO free prefix slots and the round adds no entries (the
+# optimization brief forbids registry surgery: a query that disappears
+# or whose hash moves is a REGRESSION regardless of speed). The tail
+# below is therefore exactly the 50 r13-prefix entries — all r13-green
+# (CORRECTNESS_r13: rows+schema+hash, err null) — and untouched by
+# r14's work except behavior-preserving hardening (the
+# _no_data_batch refactor shared by the drain entries preserves each
+# drain's pinned flag direction; salted_agg gains a doc/guard with the
+# salt expression untouched). The r14 plan changes (crop_volume_greedy
+# and scene_tensors_volume/_compressed: HOF slicing -> one metadata-out
+# Arrow stage) are all PREFIX entries this round, per policy.
+# Streaming members of this tail (stream_weekly_counts,
+# stream_dedup_keys, stream_click_signup, stream_dedup_ttl,
+# stream_lsh_delta) are session-variant and enrolled in
+# ALLOWED_UNPINNED_TAIL with pinned batch twins; the in-repo replica
+# (tests/test_oracle_equivalence.py) still checks ALL entries.
+#
+# r15 math: the 50 below are last driver-checked in r13, so they may
+# sit out r14 and must rotate into the r15 prefix; the 50 r14-prefix
+# entries (driver-checked this round) become the r15 tail. Additions
+# need in-prefix merges as before.
 _PROVEN_TAIL = [
-    "overlap_grid",
-    "catalog_event_labels",
-    "pair_counts",
-    "pairing_keys",
-    "pairing_compat",
-    "range_join_events",
-    "antijoin_checks",
-    "pivot_rollup_checks",
-    "user_value_moving_avg",
-    "doc_length_quantiles",
-    "pricing_summary",
-    "order_rank_checks",
-    "nation_revenue",
-    "promo_revenue",
-    "asof_last_click",
-    "shipping_lag",
-    "winnow_fingerprint",
-    "stream_sessions",
-    "stream_sessions_native",
-    "ann_topk",
-    "user_sessions",
-    "jaccard_neardup",
-    "minhash_lsh",
-    "neardup_pipeline",
-    "dedup_clusters",
-    "simhash_docs",
-    "embed_cosine_neardup",
-    "doc_repetition",
-    "decontaminate",
-    "tfidf_terms",
-    "unigram_nll",
-    "top_tokens_per_lang",
-    "ann_recall",
-    "minhash_estimate",
-    "ann_recall_trained",
-    "pii_scrub",
-    "corpus_dedup_write",
-    "domain_quota",
-    "corpus_compact",
-    "media_neardup",
-    "corpus_cube",
-    "exact_dedup_checks",
-    "scene_tensors_volume",
-    "crop_volume_greedy",
-    "scene_tensors_compressed",
-    "lsh_index_compact",
-    "jsonl_quarantine",
-    "corpus_append_compact",
-    "ivfpq_topk_residual",
-    "corpus_delete_compact",
+    "crop_pipeline",
+    "crop_slice_quality",
+    "catalog_week_class",
+    "compat_csv_roundtrip",
+    "event_funnel",
+    "retention_cohorts",
+    "weekly_click_signup_outer",
+    "distinct_users_by_type",
+    "doc_stats",
+    "embed_checks",
+    "stream_weekly_counts",
+    "stream_dedup_keys",
+    "stream_click_signup",
+    "media_frames",
+    "cosine_topk",
+    "sign_lsh_buckets",
+    "containment_dedup",
+    "token_fingerprint_checks",
+    "pq_topk",
+    "lang_guess",
+    "chunk_split",
+    "epoch_shuffle",
+    "vocab_coverage",
+    "bpe_token_checks",
+    "pack_sequences",
+    "bigram_nll",
+    "zorder_checks",
+    "semantic_dedup",
+    "bucketed_join_check",
+    "corpus_roundtrip",
+    "mixture_plan",
+    "stream_dedup_ttl",
+    "span_dedup",
+    "delta_dedup",
+    "ivf_probe2",
+    "ivf_train_centroids",
+    "quality_gate",
+    "salted_skew_checks",
+    "corpus_pruned_read",
+    "media_checks",
+    "lsh_delta_checks",
+    "crop_volume",
+    "scene_tensors_int16",
+    "train_centroids_distributed",
+    "stream_lsh_delta",
+    "curation_pipeline_write",
+    "ivfpq_topk_trained",
+    "ann_index_lifecycle",
+    "lsh_index_delete",
+    "approx_stats_checks",
 ]
 
 

@@ -55,9 +55,7 @@ from pyspark.sql import functions as F
 from ..operators.stacking import (
     LANDSAT_BANDS,
     SENTINEL_BANDS,
-    band_rank,
     filter_band_files,
-    stack_bands,
 )
 from ..sources.raster import encode_rasters, scene_file_listing
 
@@ -195,46 +193,90 @@ def ensure_fixture(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _decode_band_stats(band_files: DataFrame) -> DataFrame:
+    """Op-4 decode fused with the per-band integer stats (r14, guide
+    §2.3/§8): the SAME decode_tiff_bytes kernel as decode_rasters, but
+    what returns to the JVM is (scene, height, width, px_sum, n_high)
+    — ~40 B/file instead of the full pixel list. The stats are exact
+    (pixels are integer-valued floats; astype(int64) is the same
+    truncation as the retired per-element ``x.cast('long')``, ``>=
+    500`` compares the identical float values), so the value hash is
+    unchanged while the Arrow return transfer (~29M doubles at sf0.1)
+    and the pixel-payload stack exchange both disappear — at 100 TB
+    those were the two corpus-sized movements of bytes whose CONTENT
+    the query never needed past this stage."""
+    from ..sources.raster import decode_tiff_bytes
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hs, ws, sums, highs = [], [], [], []
+            for v in pdf["content"]:
+                h, w, px = decode_tiff_bytes(v)
+                a = np.asarray(px)
+                hs.append(h)
+                ws.append(w)
+                sums.append(int(a.astype(np.int64).sum()))
+                highs.append(int((a >= 500).sum()))
+            yield pd.DataFrame(
+                {
+                    "scene": pdf["scene"],
+                    "height": hs,
+                    "width": ws,
+                    "px_sum": sums,
+                    "n_high": highs,
+                }
+            )
+
+    return band_files.select("scene", "band", "content").mapInPandas(
+        run, "scene string, height int, width int, px_sum long, n_high long"
+    )
+
+
 def _summarize_side(
     files: DataFrame, prefix: str, bands: tuple[str, ...], label: str
 ) -> DataFrame:
-    """filter (ops 10/11) -> decode (op 4, the mapInPandas boundary) ->
-    stack (op 42) -> integer per-scene pixel stats. The stats are exact
-    longs (pixel values are integer-valued floats), so the whole decode
-    path lands in the value hash."""
-    from ..sources.raster import decode_rasters
+    """filter (ops 10/11) -> decode+stats (op 4, the mapInPandas
+    boundary) -> metadata-only stack -> integer per-scene pixel stats.
+    The stats are exact longs (pixel values are integer-valued floats),
+    so the whole decode path lands in the value hash.
 
+    r14 (guide §2.3, both consumers in the checked prefix): the decode
+    boundary now returns per-file STATS rows (_decode_band_stats)
+    instead of pixel lists, and the stack aggregation reproduces
+    stack_bands' exact drop semantics (exactly n_bands files per
+    scene, min(dims)==max(dims) — the r6 Expand-avoiding form) over
+    those metadata rows: the per-scene sums distribute over the band
+    concat, so the results are value-identical while the exchange
+    carries ~40 B/scene-file rather than the stacked pixel payload."""
     side = files.filter(F.col("scene").startswith(prefix))
     band_files = filter_band_files(side, bands)
-    decoded = decode_rasters(band_files).withColumn(
-        "band_rank", band_rank(F.col("band"), bands)
+    stats = _decode_band_stats(band_files)
+    dims = F.struct("height", "width")
+    n_bands = 4
+    per_scene = (
+        stats.groupBy("scene")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(dims).alias("_dmin"),
+            F.max(dims).alias("_dmax"),
+            F.sum("px_sum").alias("px_sum"),
+            F.sum("n_high").alias("n_high"),
+        )
+        .filter(
+            (F.col("_n") == n_bands) & (F.col("_dmin") == F.col("_dmax"))
+        )
     )
-    stacked = stack_bands(decoded)
-    zero = F.lit(0).cast("long")
-    px_sum = F.aggregate(
-        F.transform(
-            "bands",
-            lambda b: F.aggregate(b, zero, lambda a, x: a + x.cast("long")),
-        ),
-        zero,
-        lambda a, x: a + x,
-    )
-    n_high = F.aggregate(
-        F.transform(
-            "bands",
-            lambda b: F.size(F.filter(b, lambda x: x >= 500)).cast("long"),
-        ),
-        zero,
-        lambda a, x: a + x,
-    )
-    return stacked.select(
+    return per_scene.select(
         F.regexp_extract("scene", r"_p(\d+)$", 1).cast("long").alias("pair_id"),
         F.lit(label).alias("side"),
-        F.col("height").cast("long").alias("height"),
-        F.col("width").cast("long").alias("width"),
-        F.size("bands").cast("long").alias("n_bands"),
-        px_sum.alias("px_sum"),
-        n_high.alias("n_high"),
+        F.col("_dmin.height").cast("long").alias("height"),
+        F.col("_dmin.width").cast("long").alias("width"),
+        F.col("_n").cast("long").alias("n_bands"),
+        F.col("px_sum"),
+        F.col("n_high"),
     )
 
 

@@ -138,10 +138,33 @@ def test_adjudication_noop_without_flags(monkeypatch):
 
 def test_record_baseline_is_per_sf(monkeypatch, tmp_path):
     p = _with_baseline(monkeypatch, tmp_path, {"0.1": {"queries": {"a": 1.0}}})
-    bench._record_baseline({"b": 2.0}, 0.01)
+    bench._record_baseline({"b": 2.0}, 0.01, (0.71, 0.72))
     book = json.loads(p.read_text())
     assert book["0.1"]["queries"] == {"a": 1.0}  # other sf untouched
     assert book["0.01"]["queries"] == {"b": 2.0}
+    # the landing run's spins ride along as the next runs' reference
+    assert book["calibration_spins"] == [0.71, 0.72]
+
+
+def test_calibration_reference_derives_from_recorded_spins(
+    monkeypatch, tmp_path
+):
+    """r13 VERDICT item 6: the guard's reference must track the
+    committed baseline mechanically (median of the spins recorded by
+    the run that landed it), not a hand-edited constant; the constant
+    remains only as the pre-r14 fallback, and the env override still
+    wins (it is the deliberate re-base path after a SLOWER placement
+    flip, which the one-sided guard could otherwise never land)."""
+    p = _with_baseline(monkeypatch, tmp_path, {"0.1": {"queries": {}}})
+    monkeypatch.delenv("SPARK_GRAFT_CALIBRATION_REF", raising=False)
+    # no recorded spins -> legacy constant
+    assert bench._calibration_reference() == bench._CALIBRATION_REF_SEC
+    # recorded spins -> their median
+    bench._record_baseline({}, 0.1, (0.80, 0.84))
+    assert abs(bench._calibration_reference() - 0.82) < 1e-9
+    # env override wins over both
+    monkeypatch.setenv("SPARK_GRAFT_CALIBRATION_REF", "0.5")
+    assert bench._calibration_reference() == 0.5
 
 
 def test_contention_guard_reads_load(monkeypatch):

@@ -291,24 +291,28 @@ def test_length_trim_window_is_over_grouped_lengths(spark):
 
 
 def test_greedy_walk_python_boundary_is_centers_only(spark):
-    """VERDICT r3 item 5: the E4 greedy suppression must hand Python
+    """VERDICT r3 item 5, re-pinned for the r14 Arrow metadata path:
+    the E4 greedy suppression must hand the walk's Python boundary
     (FlatMapGroupsInPandas) METADATA rows only — (pair_id, r, c, ord,
-    ok) — never the pixel payloads. Pinned from the executed plan of
-    the full volume pipeline: the Arrow boundary's own operator line
-    must not reference crop columns, while the plan as a whole does
-    slice them (sanity that we looked at the real pipeline)."""
+    ok, nz_hr) — never the band payloads; the band payload crosses
+    into Python exactly ONCE, at the MapInArrow candidate-stats stage
+    (guide §8: heavy bytes move once, decisions flow as metadata); and
+    NO Exchange anywhere in the plan carries a band column (pixels
+    never shuffle — the rule that predates both shapes)."""
     from sentinel_landsat_database_creation_spark.plans.crop_volume import (
-        crop_volume_dataset,
+        greedy_volume_meta_dataset,
     )
 
-    df = crop_volume_dataset(spark, "/root/testdata/sf0.01", compat=True)
+    df = greedy_volume_meta_dataset(spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, "exactly one payload crossing"
     assert "FlatMapGroupsInPandas" in plan
     for line in plan.splitlines():
         if "FlatMapGroupsInPandas" in line:
-            assert "hr_crop" not in line and "lr_crop" not in line
+            assert "hr_bands" not in line and "lr_bands" not in line
             assert "pair_id" in line and "ok" in line
-    assert "hr_crop" in plan  # the payload slicing exists elsewhere
+        if "Exchange" in line:
+            assert "hr_bands" not in line and "lr_bands" not in line
 
 
 def test_crop_volume_native_no_python_and_metadata_shuffle(spark):

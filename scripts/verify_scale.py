@@ -517,7 +517,16 @@ def _oracle_compare(
     for t in tables:
         p = f"{tier_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+        except Exception:  # noqa: BLE001 — tier dir without this table
+            # (r14: patch modes for the SELF-GENERATED fixtures — e.g.
+            # scene_tensors_volume's closed-form tier-2 oracle — need
+            # only the tier dir's NAME; an oracle that actually reads a
+            # missing table still fails loudly at execute() below)
+            pass
     for q, sdf in spark_frames.items():
         t0 = time.perf_counter()
         sql = oracles[q]
@@ -709,6 +718,14 @@ def main() -> None:
             digest_cols=dcols1,
         )
         oracles = {q: REGISTRY[q][1] for q in qnames}
+        # generated-fixture entries need the sf1 instantiation of their
+        # oracle generators, exactly as the full run builds them — the
+        # registry holds the sf0.01 instantiation (r14: patching
+        # scene_tensors_volume compared 2000 rows against the 12-row
+        # driver oracle until this overlay landed)
+        for q, sql in _generated_oracles().items():
+            if q in oracles:
+                oracles[q] = sql
         _oracle_compare(frames, oracles, SF1, results, digest_cols=dcols1)
         for q in dcols1:
             if q in results:
@@ -732,15 +749,49 @@ def main() -> None:
         prior = json.loads(path.read_text())
         results10 = prior["results_tier2"]
         dcols: dict = {}
-        frames10 = _run_spark_set(
-            qnames,
-            capped=True,
-            results=results10,
-            tier_dir=SF10,
-            digest=frozenset(DIGEST_TIER2) & frozenset(qnames),
-            digest_cols=dcols,
-        )
+        # scene_tensors_volume runs under its OWN tier-2 conditions
+        # (PAYLOAD_TIER2_CONF + local[4]) and a GENERATED oracle — the
+        # generic path below would use the sf0.01 registry oracle and
+        # the wrong conf (r14: needed to re-verify the stats-decode
+        # path without the full tier-2 run; its self-generated fixture
+        # also means it needs only SF10's NAME, not the synthetic
+        # tables)
+        scene_special = "scene_tensors_volume" in qnames
+        qnames = [q for q in qnames if q != "scene_tensors_volume"]
+        frames10 = {}
+        if qnames:
+            frames10 = _run_spark_set(
+                qnames,
+                capped=True,
+                results=results10,
+                tier_dir=SF10,
+                digest=frozenset(DIGEST_TIER2) & frozenset(qnames),
+                digest_cols=dcols,
+            )
+        if scene_special:
+            frames10.update(
+                _run_spark_set(
+                    ["scene_tensors_volume"],
+                    capped=True,
+                    results=results10,
+                    tier_dir=SF10,
+                    digest=frozenset({"scene_tensors_volume"}),
+                    digest_cols=dcols,
+                    conf=PAYLOAD_TIER2_CONF,
+                    master="local[4]",
+                )
+            )
+            qnames = qnames + ["scene_tensors_volume"]
         oracles10 = {q: REGISTRY[q][1] for q in qnames}
+        if scene_special:
+            from sentinel_landsat_database_creation_spark.plans import (
+                scene_volume as _sv,
+            )
+
+            sp10 = _sv.params_for(SF10)
+            oracles10["scene_tensors_volume"] = _sv.scale_oracle_sql(
+                sp10["n_pairs"], sp10["hrw"], sp10["lrw"]
+            )
         _oracle_compare(frames10, oracles10, SF10, results10, digest_cols=dcols)
         for q in dcols:
             if q in results10:
@@ -766,6 +817,44 @@ def main() -> None:
         prior["n_pass"] = n_pass
         path.write_text(json.dumps(prior, indent=1) + "\n")
         print(f"\nSCALE VERIFY (centroids-only merge): {n_pass}/{len(results)}")
+        return
+    # --greedy-only: (re)run just the greedy walk's pair-scale twin
+    # (crop_volume_greedy_scale, the full run's dedicated block) and
+    # merge — the patch mode the r14 Arrow-path change needs, since
+    # the twin is not a registry entry and --tier1-patch can't name it
+    if "--greedy-only" in sys.argv:
+        import duckdb
+
+        from sentinel_landsat_database_creation_spark.plans import (
+            crop_volume as _cv,
+        )
+
+        path = Path(__file__).resolve().parents[1] / "CORRECTNESS_SCALE.json"
+        prior = json.loads(path.read_text())
+        results = prior["results"]
+        gname = "crop_volume_greedy_scale"
+        gspark = _fresh_session("vscale-greedy", CAPPED_CONF, "local[8]")
+        t0 = time.perf_counter()
+        gdf = _cv.greedy_scale_twin(gspark, n_pairs=60).toPandas()
+        gspark.stop()
+        print(f"  spark {gname}: {len(gdf)} rows in {time.perf_counter()-t0:.1f}s")
+        odf = duckdb.connect().execute(_cv.greedy_oracle_sql(60)).df()
+        ok = len(gdf) == len(odf) and gdf.astype(
+            odf.dtypes.to_dict()
+        ).equals(odf)
+        results[gname] = {
+            "rows_match": len(gdf) == len(odf),
+            "schema_match": list(gdf.columns) == list(odf.columns),
+            "values_match": bool(ok),
+            "n_rows": len(gdf),
+            "err": None,
+        }
+        n_pass = sum(1 for r in results.values() if r.get("values_match"))
+        prior["results"] = dict(sorted(results.items()))
+        prior["n_checked"] = len(results)
+        prior["n_pass"] = n_pass
+        path.write_text(json.dumps(prior, indent=1) + "\n")
+        print(f"\nSCALE VERIFY (greedy-only merge): {n_pass}/{len(results)}")
         return
     if tier2_only:
         prior = json.loads(

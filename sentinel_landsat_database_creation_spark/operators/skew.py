@@ -79,8 +79,13 @@ def salted_join(
     if salt_source is not None:
         salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
     else:
+        # map-typed columns are not xxhash64-hashable: exclude them
+        # (same guard + degeneracy notes as salted_agg; expression
+        # byte-identical for map-free frames, so pinned plans hold)
+        hashable = [c for c, t in skewed.dtypes if not t.startswith("map")]
         salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+            F.xxhash64(*[F.col(c) for c in (hashable or [key_col])]),
+            F.lit(n_salts),
         )
     l = skewed.withColumn("_salt", salt.cast("int"))
     r = small.withColumn(
@@ -113,9 +118,22 @@ def salted_agg(
     rows share a salt — only relevant when one hot key's rows are also
     byte-identical, the salted_join caveat verbatim. The merged result
     is salt-independent either way (algebraic combiners), so outputs
-    and oracles are unchanged."""
+    and oracles are unchanged.
+
+    Input-shape limits of the content hash (r13 ADVICE — rand()
+    accepted any frame, xxhash64 does not): map-typed columns are not
+    hashable and are EXCLUDED from the salt (still deterministic — a
+    pure function of the remaining columns); a frame whose columns are
+    ALL maps, or only the key columns, degenerates to one salt per key
+    and the two-stage plan silently loses its skew spread (results
+    still correct). Duplicate column names fail analysis (ambiguous
+    reference) — dedupe upstream. For non-map frames the salt
+    expression is byte-identical to the r13 form, so pinned consumer
+    plans (salted_skew_checks) are unchanged."""
+    hashable = [c for c, t in df.dtypes if not t.startswith("map")]
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in (hashable or key_cols)]),
+        F.lit(n_salts),
     ).cast("int").alias("_salt")
     partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
         *[col.alias(f"_p_{name}") for name, (_, col) in aggs.items()]

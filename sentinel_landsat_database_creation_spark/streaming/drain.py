@@ -10,8 +10,45 @@ this module is only for the verification drains.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+
+
+@contextlib.contextmanager
+def no_data_batch(spark, enabled: bool):
+    """Temporarily set whether availableNow drains run the trailing
+    NO-DATA micro-batch (spark.sql.streaming.noDataMicroBatches.enabled,
+    engine default true). ONE implementation for every drain (r13
+    ADVICE: three hand-rolled copies of this conf discipline invited
+    drift against the 'every new drain must decide explicitly' rule).
+
+    The trailing batch exists to advance the watermark so append-mode
+    AGGREGATIONS can emit their finalized windows — stream_sessions_
+    native genuinely needs it (with it off the drain emits 0 rows) and
+    pins enabled=True explicitly, because a sibling drain may have
+    left the session conf either way. Every other drain emits its rows
+    in the data batch itself (stateless maps, inner joins,
+    flatMapGroupsWithState / dropDuplicates whose output rides the
+    input batch), so the no-data batch is a pure extra round of
+    state-store commits + WAL fsyncs across every operator and
+    partition. Measured at sf0.1 (r13 optimization round, per-drain
+    rows proven identical): weekly 3.35 -> 0.90 s, lsh_delta 6.07 ->
+    2.01 s, sessions 4.94 -> 2.98 s, click_signup 3.27 -> 1.73 s,
+    dedup_keys 1.35 -> 0.91 s, dedup_ttl 1.32 -> 1.03 s. Scale note:
+    the saving is per-TRIGGER fixed cost, so it matters for any
+    high-frequency availableNow/cron drain, not just the bench.
+
+    The conf is read PER TRIGGER (unlike the state-store count, fixed
+    at query start): keep the manager open until the drain terminates,
+    or the engine may re-read the restored value mid-drain."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true" if enabled else "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def drain_checkpoint_dir(name: str) -> str:

@@ -25,7 +25,7 @@ from __future__ import annotations
 import shutil
 import uuid
 
-from .drain import drain_checkpoint_dir
+from .drain import drain_checkpoint_dir, no_data_batch
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,38 +106,34 @@ def click_signup_join_once(
     )
     name = f"click_signup_{uuid.uuid4().hex[:8]}"
     ckpt = drain_checkpoint_dir(name)
-    # state-store count fixed at query start; 8 stores beat 32 on
-    # checkpoint overhead for drain-sized state (measured, weekly.py)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     # inner stream-stream joins emit matches in the data batch itself;
     # the trailing no-data batch only advances the watermark for state
     # EVICTION, which a one-shot drain never reuses (measured 3.27 ->
-    # 1.73 s at sf0.1, identical rows — _no_data_batch rationale in
-    # plans/driver_queries_ext.py). Per-trigger conf: restore only
-    # after termination.
-    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    old_ndb = spark.conf.get(ndb_key)
-    spark.conf.set(ndb_key, "false")
-    try:
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    # bounded drain: a stuck run becomes a recorded error, not a hang
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "click_signup_join_once drain did not finish within 300s"
+    # 1.73 s at sf0.1, identical rows — rationale + per-trigger
+    # restore-after-termination discipline on no_data_batch itself).
+    with no_data_batch(spark, False):
+        # state-store count fixed at query start; 8 stores beat 32 on
+        # checkpoint overhead for drain-sized state (measured, weekly.py)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-    finally:
-        spark.conf.set(ndb_key, old_ndb)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        # bounded drain: a stuck run is a recorded error, not a hang
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "click_signup_join_once drain did not finish within 300s"
+                )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("click_id", "signup_id")

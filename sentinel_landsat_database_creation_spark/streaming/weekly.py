@@ -53,42 +53,38 @@ def weekly_counts_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming state-store count is fixed at query start from
     # spark.sql.shuffle.partitions; 8 stores beat 32 on checkpoint
     # overhead for drain-sized state (measured on the sessions ops)
-    from .drain import drain_checkpoint_dir
+    from .drain import drain_checkpoint_dir, no_data_batch
 
     ckpt = drain_checkpoint_dir(name)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     # complete-mode output re-emits the full aggregate every data
     # batch — the trailing no-data batch adds a whole extra round of
     # state commits for rows already in the sink (measured 3.35 ->
-    # 0.90 s at sf0.1, identical rows; the _no_data_batch rationale in
-    # plans/driver_queries_ext.py). Read per-trigger, so it stays set
-    # until termination, unlike the state-store count fixed at start.
-    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    old_ndb = spark.conf.get(ndb_key)
-    spark.conf.set(ndb_key, "false")
-    try:
-        q = (
-            out.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    # bounded drain: a stuck availableNow run becomes a recorded error,
-    # not a hang that kills the caller's whole batch of queries
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "weekly_counts_once drain did not finish within 300s"
+    # 0.90 s at sf0.1, identical rows; rationale + per-trigger
+    # restore-after-termination discipline on no_data_batch itself).
+    with no_data_batch(spark, False):
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-    finally:
-        import shutil
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        # bounded drain: a stuck availableNow run becomes a recorded
+        # error, not a hang that kills the caller's batch of queries
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "weekly_counts_once drain did not finish within 300s"
+                )
+        finally:
+            import shutil
 
-        spark.conf.set(ndb_key, old_ndb)
-        shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("week_start")

@@ -73,6 +73,25 @@ def test_salted_agg_matches_plain(spark, events):
     assert salted == plain
 
 
+def test_salted_agg_accepts_map_columns(spark):
+    """r13 ADVICE: the deterministic content salt hashes every column
+    via xxhash64, which rejects map types at analysis time (rand()
+    accepted any frame). Map columns must be excluded from the salt —
+    results are unchanged (the merge is salt-independent) and the
+    query must analyze and run."""
+    df = spark.createDataFrame(
+        [(1, 2, {"a": 1}), (1, 3, {"b": 2}), (2, 5, {"c": 3})],
+        "k int, v int, m map<string,int>",
+    )
+    got = {
+        (r["k"],): r["s"]
+        for r in salted_agg(
+            df, ["k"], {"s": ("sum", F.sum("v"))}, n_salts=4
+        ).collect()
+    }
+    assert got == {(1,): 5, (2,): 5}
+
+
 def test_salted_join_salt_deterministic_under_repartition(spark, events):
     """The default salt must be a pure function of row content: the same
     input re-partitioned arbitrarily yields the exact same joined

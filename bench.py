@@ -224,6 +224,18 @@ def _calibration_contended(
 # host); <= 0 disables.
 _LOAD_GUARD_DEFAULT = 2.0
 
+# How many leading registry entries get an uncharged warm-up pass
+# before the measured loop (see the comment at the call site: the
+# shared-JVM JIT warm-up reaches ~20 entries deep on a freshly
+# rotated prefix; measured r14). Override for experiments via
+# SPARK_GRAFT_WARMUP_PREFIX; 1 reproduces the r7..r13 methodology.
+try:
+    _WARMUP_PREFIX = max(
+        1, int(os.environ.get("SPARK_GRAFT_WARMUP_PREFIX", "20"))
+    )
+except ValueError:
+    _WARMUP_PREFIX = 20
+
 
 def _start_contended() -> str | None:
     """None if the host looks idle enough to record a baseline, else a
@@ -391,15 +403,24 @@ def main() -> None:
     # warm-up used to land on whichever queries ran first — invisible
     # while the prefix order was stable, a spray of spurious 2-4x
     # "regressions" the round the registry rotated (r7). One uncharged
-    # cold pass of the first registry entry absorbs the bulk of it;
-    # memo builds it triggers still land in their memo: lines (wall
-    # time conserved — the memoized table would otherwise be built by
-    # the first measured query).
-    first_fn = next(iter(REGISTRY.values()))[0]
-    try:
-        first_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:  # noqa: BLE001 — the measured loop will surface it
-        pass
+    # cold pass of the first registry entry absorbed the bulk of it —
+    # but the r14 rotation MEASURED the residual: with the single
+    # first-entry pass, entries ~2-20 of the freshly rotated prefix
+    # still carried 1.2-2.6x of shared-JVM warm-up (catalog_event_
+    # labels 0.70 -> 1.85 in TWO independent runs, isolated median
+    # 0.7-class; the same mechanism retroactively explains every r13
+    # committed-baseline "outlier" — all sat early in the r13 prefix).
+    # C2 compilation of the shared planner/codegen infrastructure
+    # takes tens of seconds of jobs, not one. The uncharged pass now
+    # covers the first _WARMUP_PREFIX entries; their memo builds still
+    # land in their memo: lines (wall time conserved), failures are
+    # left for the measured loop to surface. Old-methodology numbers
+    # are kept in OPTIMIZATION_r14.md per the measurement-change rule.
+    for _wfn, _ in list(REGISTRY.values())[:_WARMUP_PREFIX]:
+        try:
+            _wfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — the measured loop will surface it
+            pass
     for label, secs in drain_memo_build_log():
         memo_timings[label] = memo_timings.get(label, 0.0) + secs
     for name, (fn, _) in REGISTRY.items():
